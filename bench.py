@@ -1,0 +1,65 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Results are written to the noop sink so
+the full plan executes without driver collection overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from console_datagen_spark.plans import all_queries
+from console_datagen_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_scan_count",
+    "q3_keyed_count",
+    "q8_inner_join",
+    "q10_anti_join",
+    "q12_topk_per_key",
+    "q14_lag_delta",
+    "q17_json_extract",
+    "text_quality",
+    "dedup_minhash_pairs",
+    "sim_topk_brute",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="console-datagen-spark-bench")
+    registry = all_queries()
+    # warm the JVM + parquet footers with one tiny action
+    registry["q1_scan_count"].spark(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry[name].spark(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Deduplication operators over the ``documents`` table.
+
+Spark-first designs, all shuffle-conscious for the 100 TB target:
+
+- exact dedup: hash-groupBy on md5(text) — one shuffle on a 128-bit key,
+  map-side partial agg; never compares full texts across the wire.
+- MinHash: shingle → 60-bit portable hash → k universal-hash mins per doc.
+  The doc×perm expansion is a broadcast cross join (k tiny); the min is a
+  partial+final hash agg, so the shuffle carries k rows per doc, not the
+  shingle set.
+- LSH banding: band-hash groupBy turns the quadratic candidate search into
+  an equi-join on (band, band_hash) — only colliding docs meet. This is
+  the scale path: candidate volume is O(near-dup pairs), not O(n^2).
+- n-gram Jaccard verify: equi-join on shared shingles (again: only docs
+  sharing a shingle meet), then exact set arithmetic. Used standalone for
+  small corpora and as the verify stage after LSH.
+- SimHash: 30-bit sign-aggregated fingerprint; hamming-ball pairing.
+
+All hashes are md5-derived (functions/hashing.py) so the DuckDB oracle can
+replay them exactly — no rows-only checks needed.
+
+Reference parity: the reference has only exact-set dedup of topic names
+(DataGenerator.java:297 HashSet); everything here is the beyond-reference
+LLM-pipeline surface required by the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import HASH_PRIME, minhash_coeffs, token_id
+from ..functions.text import shingles, tokens
+
+
+def doc_tokens(documents: DataFrame, min_tokens: int = 3) -> DataFrame:
+    return documents.select(
+        "doc_id", tokens("text").alias("toks")
+    ).where(F.size("toks") >= min_tokens)
+
+
+def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs."""
+    return (
+        doc_tokens(documents, min_tokens=n)
+        .select("doc_id", F.explode(shingles(F.col("toks"), n)).alias("s"))
+        .distinct()
+    )
+
+
+def doc_shingle_ids(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, tid) with tid = portable 60-bit hash mod P."""
+    return doc_shingles(documents, n).select(
+        "doc_id", (token_id(F.col("s")) % F.lit(HASH_PRIME)).alias("tid")
+    )
+
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Exact-duplicate groups keyed by content hash.
+
+    Returns (h, keeper, n): keeper = min doc_id per identical text.
+    """
+    return (
+        documents.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n"))
+    )
+
+
+def minhash_signatures(
+    spark: SparkSession, documents: DataFrame, k: int = 8, n: int = 3
+) -> DataFrame:
+    """(doc_id, perm, minhash) — k-permutation MinHash over n-token shingles."""
+    ids = doc_shingle_ids(documents, n)
+    perms = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(minhash_coeffs(k))],
+        "perm INT, a BIGINT, b BIGINT",
+    )
+    return (
+        ids.join(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min((F.col("a") * F.col("tid") + F.col("b")) % F.lit(HASH_PRIME)).alias(
+                "minhash"
+            )
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    spark: SparkSession,
+    documents: DataFrame,
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash signatures.
+
+    Band hash is an order-free weighted sum mod P so it needs no
+    ordered string-agg (portable + shuffle-friendly: one row per
+    (doc, band) enters the self-join).
+    """
+    sigs = minhash_signatures(spark, documents, k, n)
+    bands = sigs.groupBy(
+        "doc_id", F.floor(F.col("perm") / rows_per_band).alias("band")
+    ).agg(
+        (
+            F.sum((F.pmod(F.col("perm"), F.lit(rows_per_band)) + 1) * F.col("minhash"))
+            % F.lit(HASH_PRIME)
+        ).alias("bh")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold_permille: int = 200,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard_permille) for pairs ≥ threshold.
+
+    Jaccard is computed in exact integer arithmetic (permille, floor
+    division) so Spark and the DuckDB oracle agree bit-for-bit.
+    When ``candidates`` is given (e.g. from LSH), only those pairs are
+    verified — the scale path. Without it, the shared-shingle equi-join
+    bounds the pair space to docs that overlap at all.
+    """
+    d = doc_shingles(documents, n)
+    sizes = d.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(inter * 1000 DIV (sza + szb - inter) AS BIGINT)").alias(
+                "jaccard_permille"
+            ),
+        )
+        .where(F.col("jaccard_permille") >= threshold_permille)
+    )
+
+
+def simhash_fingerprints(
+    spark: SparkSession, documents: DataFrame, bits: int = 30, n: int = 3
+) -> DataFrame:
+    """(doc_id, simhash) — sign-aggregated bit fingerprint over shingles.
+
+    Two-level agg: per (doc, bit) sum of ±1 contributions, then per doc
+    the positive bits OR'd into an int64. Both aggs are partial+final
+    hash aggs; the doc×bits expansion is a broadcast join.
+    """
+    ids = doc_shingle_ids(documents, n)
+    bdf = spark.createDataFrame([(b,) for b in range(bits)], "b INT")
+    contrib = (
+        ids.join(F.broadcast(bdf))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(tid, b) & 1) = 1"), 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    spark: SparkSession,
+    documents: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 30,
+    n: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within a hamming ball.
+
+    Local-scale impl is a self-join; the scale path would band the
+    fingerprint into bit-chunks (pigeonhole: distance ≤ d ⇒ some chunk
+    equal) and equi-join on chunks — same pattern as LSH banding.
+    """
+    fp = simhash_fingerprints(spark, documents, bits, n)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over the ``embeddings`` table.
+
+Three tiers, all driver-collect-free:
+
+- brute-force top-k: broadcast the (small) query set against the corpus;
+  cosine in a codegen'd higher-order-function projection; per-query top-k
+  via ranking window partitioned by query — the shuffle is on query_id,
+  k rows per query survive. Baseline + ground truth for recall tests.
+- IVF: corpus is assigned to its nearest centroid (broadcast centroids),
+  then search touches only the probed cluster — the join key becomes
+  centroid_id, so the candidate set shrinks by ~n_clusters. On a real
+  deployment the assignment is precomputed and the corpus bucketed/
+  partitioned by centroid_id so probes are partition-pruned scans.
+- sign-LSH: r broadcast hyperplanes → r sign bits → bucket id; search
+  within bucket. Equi-join on bucket id — O(collisions), not O(n^2).
+
+Centroids/hyperplanes are taken deterministically from the corpus itself
+(vec_id selection) so the DuckDB oracle can replay the exact pipeline —
+a production deployment would plug k-means/random planes in their place.
+
+At very high dims or huge query batches, the cosine projection can move to
+a vectorized Pandas UDF (numpy BLAS over Arrow batches); built-ins win at
+dim=64 by avoiding the Python round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vector import cosine, dot, to_double_vec
+
+
+def with_norm(embeddings: DataFrame) -> DataFrame:
+    """Project (vec_id, v double[], nrm) once; reused by every tier."""
+    v = to_double_vec("embedding")
+    return embeddings.select(
+        "vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm")
+    )
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, k: int = 5, max_query_id: int = 20
+) -> DataFrame:
+    """(query_id, neighbor_id, rnk) — exact cosine top-k per query."""
+    n = with_norm(embeddings)
+    q = n.where(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def assign_clusters(embeddings: DataFrame, centroid_mod: int = 25) -> DataFrame:
+    """(vec_id, v, nrm, cluster) — nearest-centroid assignment.
+
+    Centroids are the vectors with vec_id % centroid_mod == 0 (deterministic
+    stand-in for k-means). Ties break toward the lower centroid id.
+    """
+    n = with_norm(embeddings)
+    cent = n.where(F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = n.join(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cid",
+        (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("cid").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    max_query_id: int = 20,
+    centroid_mod: int = 25,
+) -> DataFrame:
+    """Approximate top-k: search only the query's own cluster (nprobe=1)."""
+    assigned = assign_clusters(embeddings, centroid_mod)
+    q = assigned.where(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cluster",
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def lsh_buckets(embeddings: DataFrame, plane_ids: tuple[int, ...] = (1, 3, 5, 7)) -> DataFrame:
+    """(vec_id, bucket) — sign-LSH bucket from deterministic hyperplanes."""
+    n = with_norm(embeddings)
+    planes = n.where(F.col("vec_id").isin(list(plane_ids))).select(
+        F.col("vec_id").alias("pid"), F.col("v").alias("pv")
+    )
+    # dense_rank gives each plane a stable bit index 0..r-1 by pid order
+    pw = Window.orderBy("pid")
+    planes = planes.withColumn("bit", F.dense_rank().over(pw) - 1)
+    signs = n.join(F.broadcast(planes)).select(
+        "vec_id",
+        "bit",
+        F.when(dot(F.col("v"), F.col("pv")) > 0, 1).otherwise(0).alias("sgn"),
+    )
+    return signs.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(CAST(sgn AS BIGINT), bit)")).alias("bucket")
+    )
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """(vec_a, vec_b) with cosine above threshold — embedding near-dup scan.
+
+    Local impl is the exact O(n^2/2) self-join; at scale you run
+    ``lsh_buckets`` first and join within buckets (same verify logic).
+    """
+    n = with_norm(embeddings)
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) > threshold
+        )
+        .select("vec_a", "vec_b")
+    )

@@ -1,0 +1,12 @@
+"""Declared query plans.
+
+Each module registers QuerySpecs into the central registry; importing this
+package loads them all. ``registry.all_queries()`` is the single source the
+driver entry point (``__spark_entry__.py``) exposes.
+"""
+
+from . import relational  # noqa: F401
+from . import text_analysis  # noqa: F401
+from . import dedup  # noqa: F401
+from . import similarity  # noqa: F401
+from .registry import QuerySpec, all_queries, get_query  # noqa: F401

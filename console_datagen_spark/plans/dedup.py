@@ -1,0 +1,209 @@
+"""Declared dedup queries — DataFrame operators + exact DuckDB oracles.
+
+The Spark side runs operators/dedup.py; the oracle replays the identical
+pipeline in DuckDB SQL (portable md5-derived hashes, integer permille
+arithmetic — see functions/hashing.py), so MinHash/SimHash/LSH are fully
+hash-checked rather than rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register_views
+from ..functions.hashing import HASH_PRIME, minhash_coeffs
+from ..operators import dedup as D
+from .registry import df_query
+
+DOCS = ("documents",)
+_K = 8  # minhash permutations
+_ROWS_PER_BAND = 2
+_JACCARD_PERMILLE = 350
+_BITS = 30
+
+# ---- shared DuckDB CTE fragments -----------------------------------------
+
+_DUCK_SHINGLES = (
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents "
+    "         WHERE len(string_split(text, ' ')) >= 3), "
+    "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l)-2), "
+    "       i -> array_to_string(l[i:i+2], ' '))) AS s FROM toks), "
+    "d AS (SELECT DISTINCT doc_id, s FROM sh)"
+)
+
+_DUCK_IDS = (
+    f"{_DUCK_SHINGLES}, "
+    "ids AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT "
+    f"        % {HASH_PRIME} AS tid FROM d)"
+)
+
+_DUCK_PERM = " UNION ALL ".join(
+    f"SELECT {i} AS perm, {a} AS a, {b} AS b"
+    for i, (a, b) in enumerate(minhash_coeffs(_K))
+)
+
+_DUCK_SIG = (
+    f"{_DUCK_IDS}, perm AS ({_DUCK_PERM}), "
+    "sig AS (SELECT doc_id, perm, "
+    f"        MIN((a * tid + b) % {HASH_PRIME}) AS minhash "
+    "        FROM ids CROSS JOIN perm GROUP BY doc_id, perm)"
+)
+
+# ---- exact dedup ----------------------------------------------------------
+
+
+def _exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    return D.exact_dedup_groups(docs).orderBy("h")
+
+
+df_query(
+    "dedup_exact",
+    _exact,
+    oracle=(
+        "SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n "
+        "FROM documents GROUP BY md5(text) ORDER BY h"
+    ),
+    tables=DOCS,
+    tags=("dedup",),
+    doc="exact dedup: content-hash groupBy (HashSet analog, DataGenerator.java:297)",
+)
+
+
+def _exact_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n"))
+        .orderBy("lang", "source")
+    )
+
+
+df_query(
+    "dedup_exact_subset",
+    _exact_subset,
+    oracle=(
+        "SELECT lang, source, MIN(doc_id) AS keeper, COUNT(*) AS n "
+        "FROM documents GROUP BY lang, source ORDER BY lang, source"
+    ),
+    tables=DOCS,
+    tags=("dedup",),
+    doc="subset-key dedup (dropDuplicates([...]) analog)",
+)
+
+# ---- minhash --------------------------------------------------------------
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    return D.minhash_signatures(spark, docs, k=_K).orderBy("doc_id", "perm")
+
+
+df_query(
+    "dedup_minhash_sigs",
+    _minhash_sigs,
+    oracle=(
+        f"WITH {_DUCK_SIG} "
+        "SELECT doc_id, perm, minhash FROM sig ORDER BY doc_id, perm"
+    ),
+    tables=DOCS,
+    tags=("dedup", "minhash"),
+    doc="MinHash signatures: k=8 universal hashes over 3-token shingles",
+)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    cand = D.lsh_candidate_pairs(spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND)
+    return D.ngram_jaccard_pairs(
+        docs, threshold_permille=_JACCARD_PERMILLE, candidates=cand
+    ).orderBy("doc_a", "doc_b")
+
+
+df_query(
+    "dedup_minhash_pairs",
+    _minhash_pairs,
+    oracle=(
+        f"WITH {_DUCK_SIG}, "
+        f"bands AS (SELECT doc_id, perm // {_ROWS_PER_BAND} AS band, "
+        f"          SUM((perm % {_ROWS_PER_BAND} + 1) * minhash) % {HASH_PRIME} AS bh "
+        f"          FROM sig GROUP BY doc_id, perm // {_ROWS_PER_BAND}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "         FROM bands a JOIN bands b "
+        "         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter "
+        "          FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id "
+        "          GROUP BY 1, 2) "
+        "SELECT i.doc_a, i.doc_b, "
+        "CAST(i.inter * 1000 // (sa.sz + sb.sz - i.inter) AS BIGINT) "
+        "AS jaccard_permille "
+        "FROM inter i "
+        "JOIN sizes sa ON i.doc_a = sa.doc_id "
+        "JOIN sizes sb ON i.doc_b = sb.doc_id "
+        "JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b "
+        f"WHERE i.inter * 1000 // (sa.sz + sb.sz - i.inter) >= {_JACCARD_PERMILLE} "
+        "ORDER BY i.doc_a, i.doc_b"
+    ),
+    tables=DOCS,
+    tags=("dedup", "minhash", "lsh"),
+    doc="MinHash+LSH near-dup pairs: band → bucket-join → exact-Jaccard verify",
+)
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    return D.ngram_jaccard_pairs(docs, threshold_permille=200).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+df_query(
+    "dedup_ngram_jaccard",
+    _jaccard_pairs,
+    oracle=(
+        f"WITH {_DUCK_SHINGLES}, "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter "
+        "          FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id "
+        "          GROUP BY 1, 2) "
+        "SELECT i.doc_a, i.doc_b, "
+        "CAST(i.inter * 1000 // (sa.sz + sb.sz - i.inter) AS BIGINT) "
+        "AS jaccard_permille "
+        "FROM inter i "
+        "JOIN sizes sa ON i.doc_a = sa.doc_id "
+        "JOIN sizes sb ON i.doc_b = sb.doc_id "
+        "WHERE i.inter * 1000 // (sa.sz + sb.sz - i.inter) >= 200 "
+        "ORDER BY i.doc_a, i.doc_b"
+    ),
+    tables=DOCS,
+    tags=("dedup", "jaccard"),
+    doc="n-gram Jaccard near-dup pairs (shared-shingle equi-join, exact verify)",
+)
+
+# ---- simhash --------------------------------------------------------------
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    return D.simhash_fingerprints(spark, docs, bits=_BITS).orderBy("doc_id")
+
+
+df_query(
+    "dedup_simhash",
+    _simhash,
+    oracle=(
+        f"WITH {_DUCK_IDS}, "
+        f"bitsrc AS (SELECT unnest(generate_series(0, {_BITS - 1})) AS b), "
+        "contrib AS (SELECT doc_id, b, "
+        "            SUM(CASE WHEN ((tid >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s "
+        "            FROM ids CROSS JOIN bitsrc GROUP BY doc_id, b) "
+        "SELECT doc_id, "
+        "CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) "
+        "     AS BIGINT) AS simhash "
+        "FROM contrib GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=DOCS,
+    tags=("dedup", "simhash"),
+    doc="SimHash 30-bit fingerprints (sign-aggregated shingle hashes)",
+)

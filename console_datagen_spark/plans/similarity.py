@@ -1,0 +1,151 @@
+"""Declared similarity-search queries — DataFrame operators + DuckDB oracles.
+
+Cosine scores are computed in identical double-precision left-fold order on
+both engines (Spark ``aggregate`` over zip_with vs DuckDB
+``list_inner_product`` over DOUBLE[] casts), so rankings are deterministic
+and only ids/ranks are emitted (FIXTURES.md: float scores are never hashed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register_views
+from ..operators import similarity as S
+from .registry import df_query, sql_query
+
+EMB = ("embeddings",)
+
+# Q20 [north-star: similarity prep] embeddings array scan
+sql_query(
+    "q20_label_counts",
+    "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label ORDER BY label",
+    tables=EMB,
+    tags=("similarity", "agg"),
+    doc="Q20: embeddings table scan + label histogram (SURVEY §2.11)",
+)
+
+_DUCK_NORM = (
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)"
+)
+
+
+def _brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    return S.brute_force_topk(emb, k=5, max_query_id=20).orderBy("query_id", "rnk")
+
+
+df_query(
+    "sim_topk_brute",
+    _brute,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n "
+        "      WHERE vec_id < 20), "
+        "scored AS (SELECT query_id, c.vec_id AS neighbor_id, "
+        "           list_inner_product(qv, c.v) / (qn * c.nrm) AS cos "
+        "           FROM n c, q WHERE c.vec_id <> query_id), "
+        "r AS (SELECT query_id, neighbor_id, "
+        "      ROW_NUMBER() OVER (PARTITION BY query_id "
+        "                         ORDER BY cos DESC, neighbor_id) AS rnk "
+        "      FROM scored) "
+        "SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM r "
+        "WHERE rnk <= 5 ORDER BY query_id, rnk"
+    ),
+    tables=EMB,
+    tags=("similarity", "topk"),
+    doc="brute-force cosine top-5 (exact baseline; broadcast queries)",
+)
+
+
+def _ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    return S.ivf_topk(emb, k=3, max_query_id=20, centroid_mod=25).orderBy(
+        "query_id", "rnk"
+    )
+
+
+df_query(
+    "sim_ivf_topk",
+    _ivf,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        "cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n "
+        "         WHERE vec_id % 25 = 0), "
+        "ascore AS (SELECT n.vec_id, n.v, n.nrm, cid, "
+        "           list_inner_product(n.v, cv) / (n.nrm * cn) AS cos "
+        "           FROM n, cent), "
+        "assigned AS (SELECT vec_id, v, nrm, cid AS cluster FROM "
+        "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "   ORDER BY cos DESC, cid) AS rn FROM ascore) t WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cluster "
+        "      FROM assigned WHERE vec_id < 20), "
+        "scored AS (SELECT query_id, a.vec_id AS neighbor_id, "
+        "           list_inner_product(qv, a.v) / (qn * a.nrm) AS cos "
+        "           FROM assigned a JOIN q USING (cluster) "
+        "           WHERE a.vec_id <> query_id), "
+        "r AS (SELECT query_id, neighbor_id, "
+        "      ROW_NUMBER() OVER (PARTITION BY query_id "
+        "                         ORDER BY cos DESC, neighbor_id) AS rnk "
+        "      FROM scored) "
+        "SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM r "
+        "WHERE rnk <= 3 ORDER BY query_id, rnk"
+    ),
+    tables=EMB,
+    tags=("similarity", "ivf"),
+    doc="IVF top-3 (nprobe=1): nearest-centroid bucketing prunes the search",
+)
+
+
+def _lsh_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    return (
+        S.lsh_buckets(emb)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+df_query(
+    "sim_lsh_buckets",
+    _lsh_hist,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        "planes AS (SELECT vec_id AS pid, v AS pv, "
+        "           ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS bit "
+        "           FROM n WHERE vec_id IN (1, 3, 5, 7)), "
+        "signs AS (SELECT n.vec_id, bit, "
+        "          CASE WHEN list_inner_product(n.v, pv) > 0 THEN 1 ELSE 0 END "
+        "          AS sgn FROM n, planes), "
+        "buckets AS (SELECT vec_id, "
+        "            CAST(SUM(CAST(sgn AS BIGINT) << bit) AS BIGINT) AS bucket "
+        "            FROM signs GROUP BY vec_id) "
+        "SELECT bucket, COUNT(*) AS n FROM buckets GROUP BY bucket ORDER BY bucket"
+    ),
+    tables=EMB,
+    tags=("similarity", "lsh"),
+    doc="sign-LSH bucket histogram (4 hyperplanes → 16 buckets)",
+)
+
+
+def _emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    return S.embedding_dup_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+
+
+df_query(
+    "dedup_embedding",
+    _emb_dups,
+    oracle=(
+        f"WITH {_DUCK_NORM} "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM n a, n b "
+        "WHERE a.vec_id < b.vec_id "
+        "AND list_inner_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4 "
+        "ORDER BY vec_a, vec_b"
+    ),
+    tables=EMB,
+    tags=("dedup", "similarity"),
+    doc="embedding-cosine near-dup pairs (exact scan; LSH-prefilter at scale)",
+)

@@ -1,0 +1,139 @@
+"""Text-analysis queries over the ``documents`` fixture (north-star surface).
+
+Token counting, quality scoring, language-ID scoring, fingerprinting — all
+expressed with built-in collection functions (split/filter/array_distinct),
+so they stay inside whole-stage codegen; no Python in the hot path. All
+ratio math is exact integer permille (floor DIV) so the DuckDB oracle
+matches bit-for-bit (FIXTURES.md D2 analog for ratios).
+
+The lang-ID marker sets are deterministic stand-ins wired to the synthetic
+fixture vocabulary; a real deployment swaps in per-language character-n-gram
+profiles — the operator shape (per-class token scoring + argmax with stable
+tiebreak) is what's certified here.
+"""
+
+from __future__ import annotations
+
+from .registry import sql_query
+
+DOCS = ("documents",)
+
+# Q19 [north-star: text analysis] per-language corpus stats
+sql_query(
+    "q19_lang_stats",
+    "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars, COUNT(*) AS docs "
+    "FROM documents GROUP BY lang ORDER BY lang",
+    tables=DOCS,
+    tags=("text", "agg"),
+    doc="Q19: tokenize+count per lang (SURVEY §2.11)",
+)
+
+sql_query(
+    "text_token_stats",
+    "SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_distinct "
+    "FROM documents ORDER BY doc_id",
+    oracle=(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct "
+        "FROM documents ORDER BY doc_id"
+    ),
+    tables=DOCS,
+    tags=("text",),
+    doc="token counting: whitespace tokenizer, per-doc totals",
+)
+
+sql_query(
+    "text_token_freq",
+    "SELECT tok, COUNT(*) AS n FROM "
+    "(SELECT explode(split(text, ' ')) AS tok FROM documents) t "
+    "GROUP BY tok ORDER BY n DESC, tok LIMIT 100",
+    oracle=(
+        "SELECT tok, COUNT(*) AS n FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
+        "GROUP BY tok ORDER BY n DESC, tok LIMIT 100"
+    ),
+    tables=DOCS,
+    tags=("text", "topk"),
+    doc="global token frequency top-100 (explode → count → top-n)",
+)
+
+_STOP = "('the','a','of','to')"
+sql_query(
+    "text_quality",
+    "SELECT doc_id, "
+    "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "CAST(size(array_distinct(split(text, ' '))) * 1000 "
+    "     DIV size(split(text, ' ')) AS BIGINT) AS distinct_permille, "
+    f"CAST(size(filter(split(text, ' '), t -> t IN {_STOP})) * 1000 "
+    "     DIV size(split(text, ' ')) AS BIGINT) AS stop_permille, "
+    "CAST((n_chars - (size(split(text, ' ')) - 1)) * 100 "
+    "     DIV size(split(text, ' ')) AS BIGINT) AS avg_tok_len_x100, "
+    "CAST(CASE WHEN size(split(text, ' ')) BETWEEN 10 AND 1000 "
+    "     AND size(array_distinct(split(text, ' '))) * 1000 "
+    "         >= 200 * size(split(text, ' ')) "
+    "     THEN 1 ELSE 0 END AS INT) AS quality_ok "
+    "FROM documents ORDER BY doc_id",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_distinct(string_split(text, ' '))) * 1000 "
+        "     // len(string_split(text, ' ')) AS BIGINT) AS distinct_permille, "
+        f"CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP})) * 1000 "
+        "     // len(string_split(text, ' ')) AS BIGINT) AS stop_permille, "
+        "CAST((n_chars - (len(string_split(text, ' ')) - 1)) * 100 "
+        "     // len(string_split(text, ' ')) AS BIGINT) AS avg_tok_len_x100, "
+        "CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000 "
+        "     AND len(list_distinct(string_split(text, ' '))) * 1000 "
+        "         >= 200 * len(string_split(text, ' ')) "
+        "     THEN 1 ELSE 0 END AS INT) AS quality_ok "
+        "FROM documents ORDER BY doc_id"
+    ),
+    tables=DOCS,
+    tags=("text", "quality"),
+    doc="quality scoring: length/distinct/stopword ratios in exact permille",
+)
+
+_MARKERS = {
+    "de": "('table','row','scan')",
+    "en": "('the','a','fast')",
+    "es": "('data','query','value')",
+    "fr": "('join','merge','sort')",
+    "zh": "('stream','batch','window')",
+}
+
+
+def _langid_sql(size_fn: str, filter_fn: str, split_fn: str) -> str:
+    scores = ", ".join(
+        f"CAST({size_fn}({filter_fn}({split_fn}(text, ' '), "
+        f"t -> t IN {mk})) AS BIGINT) AS s_{lang}"
+        for lang, mk in _MARKERS.items()
+    )
+    return (
+        f"WITH sc AS (SELECT doc_id, lang, {scores} FROM documents) "
+        "SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, "
+        "CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr "
+        "          AND s_de >= s_zh THEN 'de' "
+        "     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' "
+        "     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' "
+        "     WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang "
+        "FROM sc ORDER BY doc_id"
+    )
+
+
+sql_query(
+    "text_langid",
+    _langid_sql("size", "filter", "split"),
+    oracle=_langid_sql("len", "list_filter", "string_split"),
+    tables=DOCS,
+    tags=("text", "langid"),
+    doc="language-ID: per-class marker-token scoring + stable argmax",
+)
+
+sql_query(
+    "text_fingerprint",
+    "SELECT doc_id, SUBSTR(md5(text), 1, 16) AS fp FROM documents ORDER BY doc_id",
+    tables=DOCS,
+    tags=("text", "hash"),
+    doc="document fingerprint (content hash prefix; md5 is cross-engine)",
+)

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Local-mode defaults are tuned for the test harness (local[32], 128 GiB box);
+on a real cluster every one of these is overridable via ``extra_conf`` or
+spark-submit --conf. Shuffle partitions default to the local core count —
+at 100 TB you'd raise this to ~2-4x the executor-core total (AQE coalesces
+the excess at runtime, so over-provisioning is the safe direction).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "console-datagen-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    AQE is on: runtime partition coalescing + skew-join splitting are the
+    first line of defense for the 100 TB target (skewed join keys get split
+    without hand-salting; tiny shuffle partitions get merged).
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{DEFAULT_CPUS}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply the session-level settings the declared queries rely on.
+
+    The driver harness passes us its own SparkSession; timestamps in the
+    fixtures are naive (no zone), so all DATE/YEAR derivations must run
+    under UTC to match the DuckDB oracle regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses outright;
+    # read it as raw nanos and let the catalog truncate to µs (identical to
+    # DuckDB's ns→µs handling, per FIXTURES.md D3).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
