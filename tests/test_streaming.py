@@ -1,0 +1,153 @@
+"""Streaming surface tests: sawtooth generator stream, counters, health.
+
+No Kafka broker exists in the container, so the Kafka sink is exercised at
+plan-construction level; data-path tests run through rate-micro-batch +
+memory/foreachBatch sinks (SURVEY §5.2.3).
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from console_datagen_spark.functions.rate import RATE_PEAK, RATE_VALUES
+from console_datagen_spark.streaming import counters as CT
+from console_datagen_spark.streaming import health as H
+from console_datagen_spark.streaming.generator_stream import (
+    kafka_writer,
+    records_stream,
+    sawtooth_thin,
+)
+
+
+def test_sawtooth_thin_batch_equivalence(spark):
+    """Apply the thinning predicate to a synthetic batch of ticks: each
+    1-second tick must keep exactly rate(tick) rows."""
+    base_ms = 1_704_067_200_000
+    ticks = spark.range(RATE_PEAK * 50).select(
+        F.timestamp_millis(
+            F.lit(base_ms) + (F.col("id") / RATE_PEAK).cast("long") * 1000
+        ).alias("timestamp"),
+        F.col("id").alias("value"),
+    )
+    kept = (
+        sawtooth_thin(ticks)
+        .groupBy("timestamp")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_tick = sorted({r.n for r in kept})
+    assert per_tick == sorted(RATE_VALUES)
+    total = sum(r.n for r in kept)
+    assert total == sum(RATE_VALUES) * 10  # 50 ticks = 10 full plateaus
+
+
+def test_records_stream_plan_and_memory_sink(spark, tmp_path):
+    """Drive one micro-batch of the streaming generator into a memory sink."""
+    rec = records_stream(spark, micro_batch=True, num_partitions=2)
+    assert rec.isStreaming
+    q = (
+        rec.writeStream.format("memory")
+        .queryName("gen_test_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM gen_test_sink")
+    n = out.count()
+    assert n > 0
+    row = out.first()
+    assert row.topic.startswith("console_datagen_000-")
+    assert [h.key for h in row.headers] == ["X-Country", "X-Animal"]
+    assert bytes(row.key).startswith(b'{"storeId"')
+
+
+def test_kafka_writer_builds(spark):
+    """Sink plan construction only (no broker in the container)."""
+    rec = records_stream(spark, micro_batch=True)
+    writer = kafka_writer(rec, "localhost:9092", compression_type="gzip")
+    assert writer is not None
+
+
+def test_init_counters_cross_product(spark):
+    init = CT.init_counters(spark, "c1", ["t1", "t2"], 3)
+    rows = init.collect()
+    assert len(rows) == 6
+    assert all(r["count"] == 0 for r in rows)
+    assert {(r.topic, r.partition) for r in rows} == {
+        (t, p) for t in ("t1", "t2") for p in range(3)
+    }
+
+
+def test_count_and_merge(spark):
+    init = CT.init_counters(spark, "c1", ["t1", "t2"], 2)
+    envelopes = spark.createDataFrame(
+        [("t1", 0)] * 5 + [("t1", 1)] * 3 + [("t2", 0)] * 2,
+        "topic STRING, partition INT",
+    )
+    merged = CT.merge_counts(init, CT.count_records(envelopes, "c1"))
+    out = {(r.topic, r.partition): r["count"] for r in merged.collect()}
+    assert out == {("t1", 0): 5, ("t1", 1): 3, ("t2", 0): 2, ("t2", 1): 0}
+
+
+def test_truncation_predicate(spark):
+    offsets = spark.createDataFrame(
+        [("t1", 0, o) for o in range(0, 6000, 100)]  # depth 5900 ≥ 5000
+        + [("t1", 1, o) for o in range(0, 100, 10)],  # depth 90 < 5000
+        "topic STRING, partition INT, offset LONG",
+    )
+    need = CT.partitions_needing_truncation(offsets, 5000).collect()
+    assert len(need) == 1
+    assert (need[0].topic, need[0].partition, need[0].truncate_before) == (
+        "t1", 0, 5900,
+    )
+
+
+@pytest.fixture()
+def now():
+    return datetime(2024, 1, 1, 12, 0, 0)
+
+
+def test_activity_updates_on_progress(spark, now):
+    startup = now - timedelta(minutes=30)
+    prev = spark.createDataFrame(
+        [("c", "t", 0, 10), ("c", "t", 1, 10)],
+        "cluster STRING, topic STRING, partition INT, count LONG",
+    )
+    cur = spark.createDataFrame(
+        [("c", "t", 0, 15), ("c", "t", 1, 10)],
+        "cluster STRING, topic STRING, partition INT, count LONG",
+    )
+    act = H.activity_from_snapshots(prev, cur, None, now, startup)
+    rows = {r.partition: r for r in act.collect()}
+    assert rows[0].last_update == now  # progressed → stamped now
+    assert rows[1].last_update == startup  # stalled → default (J3)
+    assert rows[0]["count"] == 15
+
+
+def test_health_summary_up_down(spark, now):
+    fresh = now - timedelta(minutes=1)
+    stale = now - timedelta(minutes=10)
+    act = spark.createDataFrame(
+        [("c", "t", 0, 100, fresh), ("c", "t", 1, 50, stale)],
+        "cluster STRING, topic STRING, partition INT, count LONG, last_update TIMESTAMP",
+    )
+    row = H.health_summary(act, now).first()
+    assert row.current_count == 150
+    assert row.inactive_partitions == 1
+    assert row.status == "DOWN"
+    assert row.earliest_activity == stale and row.latest_activity == fresh
+
+    all_fresh = act.withColumn("last_update", F.lit(fresh))
+    row2 = H.health_summary(all_fresh, now).first()
+    assert row2.status == "UP" and row2.inactive_partitions == 0
+
+
+def test_staleness_tiers(spark, now):
+    act = spark.createDataFrame(
+        [(now - timedelta(minutes=m),) for m in (0, 3, 4, 6)],
+        "last_update TIMESTAMP",
+    )
+    tiers = [r[0] for r in act.select(H.staleness_tier(now)).collect()]
+    assert tiers == ["OK", "DEBUG", "INFO", "WARN"]
