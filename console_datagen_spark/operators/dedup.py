@@ -136,8 +136,22 @@ def ngram_jaccard_pairs(
     bounds the pair space to docs that overlap at all.
     """
     d = doc_shingles(documents, n)
+    if candidates is not None:
+        # candidate-driven verify: restrict shingle sets to candidate docs
+        # BEFORE the shared-shingle join — the quadratic stage then touches
+        # only O(candidate) docs instead of every overlapping pair. This is
+        # what makes LSH + verify scale: candidate volume, not corpus size,
+        # drives the cost.
+        cdocs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .union(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        d_pairs = d.join(F.broadcast(cdocs), "doc_id", "left_semi")
+    else:
+        d_pairs = d
     sizes = d.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = d.alias("a"), d.alias("b")
+    a, b = d_pairs.alias("a"), d_pairs.alias("b")
     pairs = (
         a.join(
             b,
@@ -149,7 +163,7 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     if candidates is not None:
-        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        pairs = pairs.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (
