@@ -1,0 +1,90 @@
+"""Declared window queries (SURVEY §2.6 W1-W3, Q13-Q15 complement).
+
+The Spark side uses the real window operators (window / session_window);
+the DuckDB oracle expresses the identical semantics in batch SQL
+(date_trunc bucketing; offset-union for sliding; gaps-and-islands for
+sessions). Streaming parity for the same operators is asserted in
+tests/test_windows_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register_views
+from ..streaming.windows import session_counts, sliding_counts, tumbling_counts
+from .registry import df_query
+
+EV = ("events",)
+
+
+def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, EV)["events"]
+    return tumbling_counts(ev, "1 hour", ("event_type",)).orderBy(
+        "ws", "event_type"
+    )
+
+
+df_query(
+    "win_tumbling_hour",
+    _tumbling,
+    oracle=(
+        "SELECT date_trunc('hour', ts) AS ws, "
+        "date_trunc('hour', ts) + INTERVAL '1 hour' AS we, "
+        "event_type, COUNT(*) AS n "
+        "FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type"
+    ),
+    tables=EV,
+    tags=("window", "streaming"),
+    doc="W3: tumbling 1h windows via window() (streaming-parity-tested)",
+)
+
+
+def _sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, EV)["events"]
+    return sliding_counts(ev, "2 hours", "1 hour").orderBy("ws")
+
+
+df_query(
+    "win_sliding_2h1h",
+    _sliding,
+    oracle=(
+        # each event belongs to the 2 sliding windows starting at
+        # hour(ts) and hour(ts)-1h
+        "SELECT ws, COUNT(*) AS n FROM ("
+        "  SELECT date_trunc('hour', ts) - h * INTERVAL '1 hour' AS ws "
+        "  FROM events, (SELECT unnest([0, 1]) AS h)) t "
+        "GROUP BY ws ORDER BY ws"
+    ),
+    tables=EV,
+    tags=("window", "streaming"),
+    doc="sliding 2h/1h windows via window(duration, slide)",
+)
+
+
+def _session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, EV)["events"]
+    return session_counts(ev, "30 minutes", "user_id").orderBy("user_id", "ss")
+
+
+df_query(
+    "win_session_30m",
+    _session,
+    oracle=(
+        # gaps-and-islands: a new session starts when the gap from the
+        # previous event of the same user exceeds 30 minutes
+        "WITH flagged AS ("
+        "  SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes' "
+        "         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sessions AS ("
+        "  SELECT user_id, ts, SUM(new_session) OVER "
+        "         (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "  FROM flagged) "
+        "SELECT user_id, MIN(ts) AS ss, COUNT(*) AS n "
+        "FROM sessions GROUP BY user_id, sid ORDER BY user_id, ss"
+    ),
+    tables=EV,
+    tags=("window", "streaming", "session"),
+    doc="W2: session windows (30m gap) via session_window(); oracle is gaps-and-islands",
+)

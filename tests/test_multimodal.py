@@ -1,0 +1,82 @@
+"""Multimodal operator plumbing: schemas, batch shapes, determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from console_datagen_spark.catalog import register_views
+from console_datagen_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = register_views(spark, sf_dir, ("documents",))["documents"].limit(50)
+    return M.synth_media(docs, "image", n_bytes=256).cache()
+
+
+def test_media_schema_and_bytes(media):
+    s = {f.name: f.dataType.simpleString() for f in media.schema.fields}
+    assert s == {
+        "doc_id": "bigint",
+        "media_type": "string",
+        "fmt": "string",
+        "n_bytes": "int",
+        "content": "binary",
+    }
+    row = media.first()
+    assert len(bytes(row.content)) == 256
+    assert row.fmt in ("png", "jpeg")
+    # bytes must match the pure-Python twin (cross-layer determinism)
+    assert bytes(row.content) == M._md5_chain_bytes(row.doc_id, 256)
+
+
+def test_extract_features_shape_and_values(media):
+    feats = M.extract_features(media)
+    s = {f.name: f.dataType.simpleString() for f in feats.schema.fields}
+    assert s["feature"] == "array<double>"
+    rows = feats.orderBy("doc_id").collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert len(r.feature) == M.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.feature)
+    # deterministic vs the reference implementation
+    r0 = rows[0]
+    expected = M._fake_decode_reference(M._md5_chain_bytes(r0.doc_id, 256))
+    assert np.allclose(r0.feature, expected)
+
+
+def test_features_partition_invariance(media):
+    a = M.extract_features(media).orderBy("doc_id").collect()
+    b = M.extract_features(media.repartition(7)).orderBy("doc_id").collect()
+    assert [r.feature for r in a] == [r.feature for r in b]
+
+
+def test_empty_payload_raises(spark):
+    bad = spark.createDataFrame(
+        [(1, "image", "png", 0, bytearray(b""))],
+        M.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="empty media payload"):
+        M.extract_features(bad).collect()
+
+
+def test_frame_sampling(media):
+    frames = M.sample_frames(media, frame_bytes=32, stride=2)
+    per_doc = frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    # 256 bytes / 32 = 8 frames, stride 2 → 4 sampled frames per doc
+    assert all(r.n == 4 for r in per_doc)
+    f0 = frames.orderBy("doc_id", "frame_idx").first()
+    assert f0.frame_idx == 0
+    assert len(bytes(f0.frame)) == 32
+    # sampled frame 0 is the first 32 bytes of the content
+    assert bytes(f0.frame) == M._md5_chain_bytes(f0.doc_id, 256)[:32]
+
+
+def test_resize_is_explicitly_stubbed(media):
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.resize_images(media, 64, 64)
+
+
+def test_media_fingerprint_dedup_key(media):
+    fps = M.media_fingerprint(media)
+    assert fps.select("content_sha256").distinct().count() == 50
