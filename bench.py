@@ -30,7 +30,12 @@ HEADLINE = [
     "text_quality",
     "dedup_minhash_pairs",
     "sim_topk_brute",
+    "win_tumbling_hour",
+    "win_session_30m",
+    "gen_records_1m",  # generator throughput proxy (see below)
 ]
+
+GEN_BENCH_N = 1_000_000
 
 
 def main() -> None:
@@ -40,11 +45,20 @@ def main() -> None:
     registry["q1_scan_count"].spark(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
     for name in HEADLINE:
-        df = registry[name].spark(spark, SF_DIR)
+        if name == "gen_records_1m":
+            from console_datagen_spark.sources.generator import generate_batch
+
+            df = generate_batch(spark, GEN_BENCH_N)
+        else:
+            df = registry[name].spark(spark, SF_DIR)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "gen_records_1m":
+            # reference baseline: 630 msg/s aggregate (BASELINE.md)
+            extras["gen_records_per_sec"] = round(GEN_BENCH_N / timings[name])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -55,6 +69,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else SF_DIR,
+                **extras,
             }
         )
     )
