@@ -5,6 +5,7 @@ package loads them all. ``registry.all_queries()`` is the single source the
 driver entry point (``__spark_entry__.py``) exposes.
 """
 
+from . import analytics  # noqa: F401
 from . import generator_plans  # noqa: F401
 from . import relational  # noqa: F401
 from . import text_analysis  # noqa: F401

@@ -1,0 +1,120 @@
+"""Heavier analytic queries: multi-way joins, pivot, weighted text ranking.
+
+These certify Catalyst behaviors the single-join queries don't reach:
+join *reordering* across 3-6 tables (statistics-driven), pivot
+aggregation, and windowed ranking over derived weights. Shapes follow the
+classic pricing/shipping/local-supplier analytics over the TPC-H-ish
+fixture schema (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+from .registry import sql_query
+
+# lineitem pricing summary (classic Q1 shape): multi-aggregate with exact
+# decimal arithmetic over the largest table
+sql_query(
+    "q_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "AS sum_base_price, "
+    # scale-4 output: the discount product is exact at scale 4; casting the
+    # sum down to scale 2 would round .xx5 ties HALF_UP in Spark but
+    # half-even in DuckDB — keep full precision instead (D2 spirit)
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) "
+    "AS sum_disc_price, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    tables=("lineitem",),
+    tags=("agg", "decimal"),
+    doc="pricing summary: multi-agg with exact decimals over the fact table",
+)
+
+# 3-way join + group + top-N (classic Q3 shape)
+sql_query(
+    "q_shipping_priority",
+    "SELECT o_orderkey, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) "
+    "AS revenue, "
+    "CAST(o_orderdate AS DATE) AS odate "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "GROUP BY o_orderkey, CAST(o_orderdate AS DATE) "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10",
+    tables=("customer", "orders", "lineitem"),
+    tags=("join", "topn"),
+    doc="3-way join + agg + top-N: Catalyst join-order + TakeOrdered",
+)
+
+# 6-way join (classic Q5 shape): the full star traversal
+sql_query(
+    "q_local_supplier_volume",
+    "SELECT n_name, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) "
+    "AS revenue "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'EUROPE' "
+    "GROUP BY n_name ORDER BY revenue DESC, n_name",
+    tables=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    tags=("join",),
+    doc="6-way star join: broadcast dims + reordering under AQE",
+)
+
+# pivot: per-user event-type count matrix (groupBy().pivot() analog);
+# the oracle spells it as portable conditional aggregation
+sql_query(
+    "agg_pivot_event_types",
+    "SELECT user_id, "
+    "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS click, "
+    "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS error, "
+    "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS purchase, "
+    "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS signup, "
+    "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS view "
+    "FROM events WHERE user_id < 30 GROUP BY user_id ORDER BY user_id",
+    tables=("events",),
+    tags=("agg", "pivot"),
+    doc="pivot matrix via conditional aggregation (df.groupBy().pivot() analog)",
+)
+
+# tf-icf weighted term ranking: integer-exact tf*N/df weighting (log-free so
+# both engines agree bit-for-bit); top-3 distinctive terms per doc
+_TFIDF_CORE = (
+    "WITH toks AS (SELECT doc_id, {unnest} AS tok FROM documents), "
+    "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), "
+    "df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok), "
+    "nd AS (SELECT COUNT(*) AS n_docs FROM documents), "
+    "scored AS (SELECT doc_id, tok, "
+    "           CAST(tf * n_docs * 1000 {idiv} df AS BIGINT) AS score "
+    "           FROM tf JOIN df USING (tok) CROSS JOIN nd), "
+    "ranked AS (SELECT doc_id, tok, score, "
+    "           ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "                              ORDER BY score DESC, tok) AS rn "
+    "           FROM scored) "
+    "SELECT doc_id, tok, score, CAST(rn AS INT) AS rn FROM ranked "
+    "WHERE rn <= 3 AND doc_id < 100 ORDER BY doc_id, rn"
+)
+
+sql_query(
+    "text_tfidf_topk",
+    _TFIDF_CORE.format(unnest="explode(split(text, ' '))", idiv="DIV"),
+    oracle=_TFIDF_CORE.format(unnest="unnest(string_split(text, ' '))", idiv="//"),
+    tables=("documents",),
+    tags=("text", "tfidf"),
+    doc="tf-idf-style distinctive-term ranking (integer-exact tf*N/df weight)",
+)
