@@ -32,6 +32,10 @@ HEADLINE = [
     "sim_topk_brute",
     "win_tumbling_hour",
     "win_session_30m",
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "text_tfidf_topk",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 

@@ -142,6 +142,67 @@ def lsh_buckets(embeddings: DataFrame, plane_ids: tuple[int, ...] = (1, 3, 5, 7)
     )
 
 
+def kmeans_iterate(
+    embeddings: DataFrame, k: int = 10, iterations: int = 2
+) -> DataFrame:
+    """Lloyd's k-means over embedding vectors — the iterative-algorithm tier.
+
+    Deterministic init: centroid j = the vector with vec_id == j * (n/k)
+    ordinal. Each iteration: assign (broadcast centroids, cosine argmax) →
+    recompute means (zip_with elementwise sum agg / count). All DataFrame
+    ops; the loop materializes k centroid rows per iteration (driver-side
+    collect of k rows only — not the corpus).
+
+    Returns the final assignment (vec_id, cluster). Float means make this
+    run-order sensitive at the last ulp, so the declared check is
+    rows-only (iterative algorithms clause, SURVEY §5).
+    """
+    n = with_norm(embeddings)
+    cent = (
+        n.where(F.pmod(F.col("vec_id"), F.lit(max(1, 500 // k))) == 0)
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(iterations):
+        scored = n.join(F.broadcast(cent)).select(
+            "vec_id",
+            "v",
+            "cid",
+            (dot(F.col("v"), F.col("cv"))).alias("sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "v", F.col("cid").alias("cluster"))
+        )
+        dim = len(embeddings.select("embedding").first()[0])
+        sums = assigned.groupBy("cluster").agg(
+            F.count("*").alias("sz"),
+            *[
+                F.sum(F.element_at(F.col("v"), i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        cent = sums.select(
+            F.col("cluster").alias("cid"),
+            F.array(
+                *[(F.col(f"s{i}") / F.col("sz")) for i in range(dim)]
+            ).alias("cv"),
+        )
+    final = n.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        dot(F.col("v"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        final.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+
+
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
     """(vec_a, vec_b) with cosine above threshold — embedding near-dup scan.
 

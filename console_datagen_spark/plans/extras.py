@@ -53,6 +53,39 @@ sql_query(
 )
 
 
+# part-table coverage: LIKE filter + grouped stats (the one fixture table
+# not otherwise exercised)
+sql_query(
+    "q_part_type_stats",
+    "SELECT p_brand, COUNT(*) AS n, "
+    "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "AS total_price, "
+    "CAST(MAX(p_size) AS INT) AS max_size "
+    "FROM part WHERE p_type LIKE 'ECO%' "
+    "GROUP BY p_brand ORDER BY p_brand",
+    tables=("part",),
+    tags=("agg", "filter"),
+    doc="part-table scan: LIKE predicate pushdown + grouped decimal stats",
+)
+
+
+def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_iterate
+
+    emb = register_views(spark, sf_dir, ("embeddings",))["embeddings"]
+    return kmeans_iterate(emb, k=5, iterations=2).orderBy("vec_id")
+
+
+df_query(
+    "sim_kmeans_assign",
+    _kmeans,
+    oracle=None,  # iterative float means: rows-only check (SURVEY §5 clause)
+    tables=("embeddings",),
+    tags=("similarity", "iterative"),
+    doc="k-means (2 Lloyd iterations) cluster assignment — iterative algorithm tier",
+)
+
+
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     media = M.synth_media(docs, "image", n_bytes=256)

@@ -29,6 +29,11 @@ def get_spark(
     without hand-salting; tiny shuffle partitions get merged).
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{DEFAULT_CPUS}]")
+    # local mode = single JVM: the driver heap is the only memory knob.
+    # Empirically the JVM default outperforms large explicit heaps here
+    # (big heaps triggered multi-x GC regressions on this box); set
+    # SPARK_GRAFT_DRIVER_MEM to override when a workload truly needs it.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -41,6 +46,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if driver_mem:
+        builder = builder.config("spark.driver.memory", driver_mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
