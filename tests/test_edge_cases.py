@@ -1,0 +1,80 @@
+"""Edge-case robustness: short/empty docs, empty frames, null handling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from console_datagen_spark.operators import dedup as D
+from console_datagen_spark.operators.similarity import brute_force_topk, with_norm
+from console_datagen_spark.sources.generator import generate_batch
+
+
+@pytest.fixture()
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "one two three four", "en", "s", 18),
+            (1, "ab", "en", "s", 2),  # < 3 tokens: must be excluded, not crash
+            (2, "", "en", "s", 0),  # empty text
+            (3, "one two three four", "en", "s", 18),  # exact dup of 0
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+
+
+def test_shingles_skip_short_docs(spark, tiny_docs):
+    sh = D.doc_shingles(tiny_docs)
+    docs_with_shingles = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
+    assert docs_with_shingles == {0, 3}
+
+
+def test_exact_dedup_finds_duplicate_group(spark, tiny_docs):
+    groups = {r.keeper: r.n for r in D.exact_dedup_groups(tiny_docs).collect()}
+    assert groups[0] == 2  # docs 0 and 3 identical
+    assert groups[1] == 1
+
+
+def test_jaccard_identical_docs_1000_permille(spark, tiny_docs):
+    pairs = D.ngram_jaccard_pairs(tiny_docs, threshold_permille=900).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard_permille) for r in pairs] == [(0, 3, 1000)]
+
+
+def test_minhash_on_degenerate_corpus(spark, tiny_docs):
+    sigs = D.minhash_signatures(spark, tiny_docs, k=4)
+    rows = sigs.collect()
+    assert {r.doc_id for r in rows} == {0, 3}
+    assert len(rows) == 8  # 2 docs x 4 perms
+    # identical docs → identical signatures
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.perm] = r.minhash
+    assert by_doc[0] == by_doc[3]
+
+
+def test_empty_documents_frame(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    assert D.ngram_jaccard_pairs(empty).count() == 0
+    assert D.exact_dedup_groups(empty).count() == 0
+
+
+def test_topk_with_fewer_candidates_than_k(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = brute_force_topk(emb, k=10, max_query_id=1).collect()
+    # only 2 candidates exist; k=10 must not fabricate rows
+    assert len(out) == 2
+
+
+def test_generate_zero_records(spark):
+    assert generate_batch(spark, 0).count() == 0
+
+
+def test_norm_of_zero_vector_no_crash(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    row = with_norm(emb).first()
+    assert row.nrm == 0.0  # division guards are the caller's concern

@@ -1,0 +1,114 @@
+"""Persistent IVF index (partition pruning) + stream-static enrichment."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from console_datagen_spark.catalog import register_views
+from console_datagen_spark.operators.ivf_index import (
+    build_ivf_index,
+    probe_ivf_index,
+    query_vectors,
+)
+from console_datagen_spark.operators.similarity import ivf_topk
+from console_datagen_spark.streaming.enrich import (
+    enrich_stream,
+    filter_known_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return register_views(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, embeddings, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ivf") / "index")
+    build_ivf_index(embeddings, p)
+    return p
+
+
+def test_index_layout_partitioned(spark, index_path):
+    import pathlib
+
+    dirs = list(pathlib.Path(index_path).glob("cluster=*"))
+    assert len(dirs) > 1, "expected cluster= partition directories"
+
+
+def test_probe_matches_inmemory_ivf(spark, embeddings, index_path):
+    q = query_vectors(embeddings, max_query_id=20)
+    got = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in probe_ivf_index(spark, index_path, q, k=3).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in ivf_topk(embeddings, k=3, max_query_id=20).collect()
+    }
+    assert got == want
+
+
+def test_probe_prunes_partitions(spark, embeddings, index_path):
+    q = query_vectors(embeddings, max_query_id=5)
+    clusters = [r.cluster for r in q.select("cluster").distinct().collect()]
+    probed = probe_ivf_index(
+        spark, index_path, q, k=3, nprobe_clusters=clusters
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the cluster IN (...) predicate must appear as a partition filter,
+    # not a post-scan filter
+    pf = plan[plan.find("PartitionFilters"):][:300]
+    assert "cluster" in pf, pf
+
+
+def test_enrich_stream_broadcast(spark, tmp_path):
+    src = tmp_path / "src"
+    (
+        spark.createDataFrame(
+            [(1, "click"), (2, "error"), (3, "view")], "id LONG, et STRING"
+        )
+        .coalesce(1)
+        .write.parquet(str(src))
+    )
+    stream = spark.readStream.schema("id LONG, et STRING").parquet(str(src))
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("error", 5.0)], "et STRING, weight DOUBLE"
+    )
+    out = enrich_stream(stream, dim, ["et"])
+    emitted = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: emitted.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.id: r.weight for r in emitted}
+    assert got == {1: 1.0, 2: 5.0, 3: None}
+
+
+def test_filter_known_duplicates(spark, tmp_path):
+    src = tmp_path / "src2"
+    (
+        spark.createDataFrame(
+            [(1, "seen before"), (2, "brand new")], "id LONG, text STRING"
+        )
+        .coalesce(1)
+        .write.parquet(str(src))
+    )
+    stream = spark.readStream.schema("id LONG, text STRING").parquet(str(src))
+    fps = spark.createDataFrame([("seen before",)], "t STRING").select(
+        F.md5("t").alias("fp")
+    )
+    out = filter_known_duplicates(stream, fps)
+    emitted = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _: emitted.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert [r.id for r in emitted] == [2]
+    assert "fp" not in emitted[0].asDict()
