@@ -1,0 +1,45 @@
+"""Grouped-map operators via applyInPandas (SURVEY §2.10 grouped tier).
+
+Per-group pandas computation for semantics that are awkward as window
+functions but natural as a per-group frame — here: per-user event-gap
+statistics in exact integer microseconds (no float drift, so the DuckDB
+oracle matches bit-for-bit; see plans/extras.py ``grouped_event_gaps``).
+
+Scale: applyInPandas shuffles once on the grouping key; each group must
+fit in one task's memory — for per-user event history that's the natural
+bound (a user's events, not the corpus).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+GAP_SCHEMA = (
+    "user_id LONG, event_id LONG, seq INT, gap_us LONG"
+)
+
+
+def event_gaps(events: DataFrame) -> DataFrame:
+    """Per user, events ordered by (ts, event_id): sequence number and the
+    gap to the previous event in integer microseconds (0 for the first).
+    """
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs, exact ints
+        gaps = ts_us.diff().fillna(0).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "seq": range(1, len(pdf) + 1),
+                "gap_us": gaps,
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(per_user, schema=GAP_SCHEMA)
+    )

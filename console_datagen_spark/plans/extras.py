@@ -53,6 +53,118 @@ sql_query(
 )
 
 
+def _grouped_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grouped import event_gaps
+
+    ev = register_views(spark, sf_dir, ("events",))["events"]
+    return event_gaps(ev.where("user_id < 10")).orderBy("user_id", "seq")
+
+
+df_query(
+    "grouped_event_gaps",
+    _grouped_gaps,
+    oracle=(
+        # exact integer-microsecond gaps: LAG + epoch_us difference
+        "SELECT user_id, event_id, "
+        "CAST(ROW_NUMBER() OVER w AS INT) AS seq, "
+        "CAST(COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, 0) AS BIGINT) "
+        "AS gap_us "
+        "FROM events WHERE user_id < 10 "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+        "ORDER BY user_id, seq"
+    ),
+    tables=("events",),
+    tags=("grouped", "pandas"),
+    doc="applyInPandas per-user event gaps in exact integer µs (§2.10 grouped map)",
+)
+
+
+# null-semantics battery: synthesized nulls + COALESCE/NULLIF/explicit
+# NULLS ordering (fixtures are null-free, so nulls are derived)
+sql_query(
+    "scalar_null_battery",
+    "SELECT event_id, "
+    "NULLIF(event_type, 'error') AS et_nonerr, "
+    "COALESCE(NULLIF(event_type, 'error'), 'was-error') AS et_filled, "
+    "CAST(CASE WHEN event_type = 'view' THEN NULL ELSE user_id END AS BIGINT) "
+    "AS uid_maybe "
+    "FROM events WHERE event_id < 200 "
+    "ORDER BY uid_maybe ASC NULLS FIRST, event_id",
+    tables=("events",),
+    tags=("scalar", "null"),
+    doc="NULLIF/COALESCE + explicit NULLS FIRST ordering (D1 null rule)",
+)
+
+# date/time battery: extraction + arithmetic with portable spellings
+sql_query(
+    "scalar_date_battery",
+    "SELECT event_id, CAST(ts AS DATE) AS d, "
+    "CAST(QUARTER(ts) AS INT) AS q, "
+    "CAST(DAYOFMONTH(ts) AS INT) AS dom, "
+    "CAST(DATEDIFF(CAST(ts AS DATE), DATE '2024-01-01') AS INT) AS days_in, "
+    "date_add(CAST(ts AS DATE), 30) AS plus30, "
+    "last_day(CAST(ts AS DATE)) AS eom "
+    "FROM events WHERE event_id < 100 ORDER BY event_id",
+    oracle=(
+        "SELECT event_id, CAST(ts AS DATE) AS d, "
+        "CAST(QUARTER(ts) AS INT) AS q, "
+        "CAST(DAYOFMONTH(ts) AS INT) AS dom, "
+        "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) "
+        "AS days_in, "
+        "CAST(ts AS DATE) + 30 AS plus30, "
+        "last_day(CAST(ts AS DATE)) AS eom "
+        "FROM events WHERE event_id < 100 ORDER BY event_id"
+    ),
+    tables=("events",),
+    tags=("scalar", "date"),
+    doc="date extraction/arithmetic battery (§2.9 date/time row)",
+)
+
+# bitwise battery (SimHash support ops): and/or/xor/shifts
+sql_query(
+    "scalar_bitwise_battery",
+    "SELECT event_id, "
+    "CAST(event_id & 255 AS BIGINT) AS lo_byte, "
+    "CAST(event_id | 4096 AS BIGINT) AS with_flag, "
+    "CAST(event_id ^ user_id AS BIGINT) AS xored, "
+    "CAST(shiftleft(event_id, 3) AS BIGINT) AS shl3, "
+    "CAST(shiftright(event_id, 2) AS BIGINT) AS shr2, "
+    "CAST(bit_count(event_id) AS INT) AS bits "
+    "FROM events WHERE event_id < 200 ORDER BY event_id",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(event_id & 255 AS BIGINT) AS lo_byte, "
+        "CAST(event_id | 4096 AS BIGINT) AS with_flag, "
+        "CAST(xor(event_id, user_id) AS BIGINT) AS xored, "
+        "CAST(event_id << 3 AS BIGINT) AS shl3, "
+        "CAST(event_id >> 2 AS BIGINT) AS shr2, "
+        "CAST(bit_count(event_id) AS INT) AS bits "
+        "FROM events WHERE event_id < 200 ORDER BY event_id"
+    ),
+    tables=("events",),
+    tags=("scalar", "bitwise"),
+    doc="bitwise op battery (& | ^ shifts popcount — SimHash support surface)",
+)
+
+# set-op completion: INTERSECT + UNION distinct (E3 + §2.8 INTERSECT note)
+sql_query(
+    "setop_intersect_union",
+    "SELECT user_id, 'both' AS tag FROM "
+    "(SELECT user_id FROM events WHERE event_type = 'click' "
+    " INTERSECT "
+    " SELECT user_id FROM events WHERE event_type = 'purchase') t "
+    "UNION "
+    "SELECT user_id, 'neither' AS tag FROM "
+    "(SELECT user_id FROM events "
+    " EXCEPT SELECT user_id FROM events "
+    " WHERE event_type IN ('click', 'purchase')) u "
+    "ORDER BY tag, user_id",
+    tables=("events",),
+    tags=("setop",),
+    doc="INTERSECT + UNION distinct + EXCEPT composition (§2.8)",
+)
+
+
 # part-table coverage: LIKE filter + grouped stats (the one fixture table
 # not otherwise exercised)
 sql_query(
