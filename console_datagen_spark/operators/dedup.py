@@ -69,21 +69,27 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
 def minhash_signatures(
     spark: SparkSession, documents: DataFrame, k: int = 8, n: int = 3
 ) -> DataFrame:
-    """(doc_id, perm, minhash) — k-permutation MinHash over n-token shingles."""
+    """(doc_id, perm, minhash) — k-permutation MinHash over n-token shingles.
+
+    All k permutation-mins are computed in ONE aggregation pass (k min
+    columns over the shingle-id frame), then unpivoted to rows. Compared
+    to the textbook docs×k cross join + groupBy, the shuffle carries one
+    row per doc instead of k — the difference between O(corpus) and
+    O(k·corpus) network at 100 TB.
+    """
     ids = doc_shingle_ids(documents, n)
-    perms = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(minhash_coeffs(k))],
-        "perm INT, a BIGINT, b BIGINT",
-    )
-    return (
-        ids.join(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min((F.col("a") * F.col("tid") + F.col("b")) % F.lit(HASH_PRIME)).alias(
-                "minhash"
+    mins = ids.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(HASH_PRIME)).alias(
+                f"mh{i}"
             )
-        )
+            for i, (a, b) in enumerate(minhash_coeffs(k))
+        ]
     )
+    stack = ", ".join(f"{i}, mh{i}" for i in range(k))
+    return mins.selectExpr(
+        "doc_id", f"stack({k}, {stack}) AS (perm, minhash)"
+    ).selectExpr("doc_id", "CAST(perm AS INT) AS perm", "minhash")
 
 
 def lsh_candidate_pairs(
