@@ -165,6 +165,51 @@ sql_query(
 )
 
 
+# exact quantiles: Spark percentile()/median() and DuckDB quantile_cont()
+# use the same linear interpolation over doubles — verified bit-identical
+sql_query(
+    "agg_quantiles",
+    "SELECT event_type, "
+    "CAST(percentile(value, 0.25) AS DOUBLE) AS q25, "
+    "CAST(median(value) AS DOUBLE) AS med, "
+    "CAST(percentile(value, 0.75) AS DOUBLE) AS q75, "
+    "CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+    oracle=(
+        "SELECT event_type, "
+        "quantile_cont(value, 0.25) AS q25, "
+        "median(value) AS med, "
+        "quantile_cont(value, 0.75) AS q75, "
+        "MIN(value) AS lo, MAX(value) AS hi "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    tables=("events",),
+    tags=("agg", "quantile"),
+    doc="exact interpolated quantiles / median per group (§2.5 extension)",
+)
+
+# JSON construction battery: to_json(struct) emits byte-identical compact
+# JSON in both engines (same guarantee the generator relies on)
+sql_query(
+    "scalar_json_construct",
+    "SELECT event_id, "
+    "to_json(named_struct('et', event_type, 'uid', user_id)) AS j, "
+    "CAST(get_json_object(to_json(named_struct('et', event_type, "
+    "     'uid', user_id)), '$.uid') AS BIGINT) AS uid_back "
+    "FROM events WHERE event_id < 100 ORDER BY event_id",
+    oracle=(
+        "SELECT event_id, "
+        'to_json(struct_pack("et" := event_type, "uid" := user_id)) AS j, '
+        'CAST(json_extract_string(to_json(struct_pack("et" := event_type, '
+        '     "uid" := user_id)), \'$.uid\') AS BIGINT) AS uid_back '
+        "FROM events WHERE event_id < 100 ORDER BY event_id"
+    ),
+    tables=("events",),
+    tags=("scalar", "json"),
+    doc="G6: JSON construction + extraction roundtrip (DataGenerator.java:469-503)",
+)
+
+
 # part-table coverage: LIKE filter + grouped stats (the one fixture table
 # not otherwise exercised)
 sql_query(
