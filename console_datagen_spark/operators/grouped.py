@@ -27,7 +27,10 @@ def event_gaps(events: DataFrame) -> DataFrame:
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs, exact ints
+        # explicit µs resolution — don't assume the Arrow batch arrives as
+        # datetime64[ns] (pandas 2.x may hand over [us] directly)
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        ts_us = pd.Series(ts_us)
         gaps = ts_us.diff().fillna(0).astype("int64")
         return pd.DataFrame(
             {

@@ -210,6 +210,31 @@ sql_query(
 )
 
 
+# map-function battery (§2.9 map/array row: map_concat / element_at /
+# map_keys — ClientConfigFactory.java:98-106 merge semantics analog).
+# DuckDB's element_at returns a single-element LIST; [1] unwraps it.
+sql_query(
+    "scalar_map_battery",
+    "SELECT event_id, "
+    "element_at(map('et', event_type, 'uid', CAST(user_id AS STRING)), 'et') "
+    "AS et_val, "
+    "CAST(cardinality(map_concat(map('a', 1), map('b', 2))) AS INT) AS mc, "
+    "array_join(map_keys(map('x', 1, 'y', 2)), ',') AS mk "
+    "FROM events WHERE event_id < 50 ORDER BY event_id",
+    oracle=(
+        "SELECT event_id, "
+        "element_at(MAP {'et': event_type, 'uid': CAST(user_id AS VARCHAR)}, "
+        "'et')[1] AS et_val, "
+        "CAST(cardinality(map_concat(MAP {'a': 1}, MAP {'b': 2})) AS INT) AS mc, "
+        "array_to_string(map_keys(MAP {'x': 1, 'y': 2}), ',') AS mk "
+        "FROM events WHERE event_id < 50 ORDER BY event_id"
+    ),
+    tables=("events",),
+    tags=("scalar", "map"),
+    doc="§2.9: map merge/lookup/keys battery (config-map semantics analog)",
+)
+
+
 # part-table coverage: LIKE filter + grouped stats (the one fixture table
 # not otherwise exercised)
 sql_query(
