@@ -67,7 +67,11 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(
-    spark: SparkSession, documents: DataFrame, k: int = 8, n: int = 3
+    spark: SparkSession,
+    documents: DataFrame,
+    k: int = 8,
+    n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, perm, minhash) — k-permutation MinHash over n-token shingles.
 
@@ -77,7 +81,10 @@ def minhash_signatures(
     row per doc instead of k — the difference between O(corpus) and
     O(k·corpus) network at 100 TB.
     """
-    ids = doc_shingle_ids(documents, n)
+    base = shingles_df if shingles_df is not None else doc_shingles(documents, n)
+    ids = base.select(
+        "doc_id", (token_id(F.col("s")) % F.lit(HASH_PRIME)).alias("tid")
+    )
     mins = ids.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(HASH_PRIME)).alias(
@@ -98,6 +105,7 @@ def lsh_candidate_pairs(
     k: int = 8,
     rows_per_band: int = 2,
     n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded MinHash signatures.
 
@@ -105,7 +113,7 @@ def lsh_candidate_pairs(
     ordered string-agg (portable + shuffle-friendly: one row per
     (doc, band) enters the self-join).
     """
-    sigs = minhash_signatures(spark, documents, k, n)
+    sigs = minhash_signatures(spark, documents, k, n, shingles_df)
     bands = sigs.groupBy(
         "doc_id", F.floor(F.col("perm") / rows_per_band).alias("band")
     ).agg(
@@ -132,6 +140,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_permille: int = 200,
     candidates: DataFrame | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard_permille) for pairs ≥ threshold.
 
@@ -141,7 +150,7 @@ def ngram_jaccard_pairs(
     verified — the scale path. Without it, the shared-shingle equi-join
     bounds the pair space to docs that overlap at all.
     """
-    d = doc_shingles(documents, n)
+    d = shingles_df if shingles_df is not None else doc_shingles(documents, n)
     if candidates is not None:
         # candidate-driven verify: restrict shingle sets to candidate docs
         # BEFORE the shared-shingle join — the quadratic stage then touches

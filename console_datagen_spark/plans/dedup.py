@@ -114,16 +114,23 @@ df_query(
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, DOCS)["documents"]
+    # materialize the shingle set once — signatures, sizes and the verify
+    # join all reuse it instead of re-exploding the corpus three times
+    sh = D.doc_shingles(docs).persist()
+    sh.count()
     # candidates are consumed twice by the verify stage (doc-set restriction
     # + final semi-join): persist AND materialize the tiny pair set so the
     # LSH DAG runs exactly once — a lazy cache alone leaves both consumers
     # racing to build it and benches ~5x slower.
     cand = D.lsh_candidate_pairs(
-        spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND
+        spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND, shingles_df=sh
     ).persist()
     cand.count()
     return D.ngram_jaccard_pairs(
-        docs, threshold_permille=_JACCARD_PERMILLE, candidates=cand
+        docs,
+        threshold_permille=_JACCARD_PERMILLE,
+        candidates=cand,
+        shingles_df=sh,
     ).orderBy("doc_a", "doc_b")
 
 

@@ -151,3 +151,39 @@ def test_staleness_tiers(spark, now):
     )
     tiers = [r[0] for r in act.select(H.staleness_tier(now)).collect()]
     assert tiers == ["OK", "DEBUG", "INFO", "WARN"]
+
+
+def test_activity_chain_across_rounds(spark, now):
+    """Three snapshot rounds: last_update must carry forward through the
+    prev_activity table exactly like the reference's saved snapshots
+    (CounterProgressCheck.java:124-129)."""
+    startup = now - timedelta(minutes=60)
+    t1, t2 = now + timedelta(minutes=5), now + timedelta(minutes=10)
+    schema = "cluster STRING, topic STRING, partition INT, count LONG"
+    snap0 = spark.createDataFrame([("c", "t", 0, 0), ("c", "t", 1, 0)], schema)
+    snap1 = spark.createDataFrame([("c", "t", 0, 5), ("c", "t", 1, 0)], schema)
+    snap2 = spark.createDataFrame([("c", "t", 0, 5), ("c", "t", 1, 3)], schema)
+
+    act1 = H.activity_from_snapshots(snap0, snap1, None, now, startup)
+    # round 2: partition 0 stalls (keeps round-1 stamp), partition 1 moves
+    act2 = H.activity_from_snapshots(
+        snap1,
+        snap2,
+        act1.select("cluster", "topic", "partition", "last_update"),
+        t1,
+        startup,
+    )
+    rows = {r.partition: r.last_update for r in act2.collect()}
+    assert rows[0] == now  # carried forward from round 1
+    assert rows[1] == t1  # progressed this round
+
+    # round 3: nothing moves — both stamps must survive unchanged
+    act3 = H.activity_from_snapshots(
+        snap2,
+        snap2,
+        act2.select("cluster", "topic", "partition", "last_update"),
+        t2,
+        startup,
+    )
+    rows3 = {r.partition: r.last_update for r in act3.collect()}
+    assert rows3 == {0: now, 1: t1}
