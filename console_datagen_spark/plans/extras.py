@@ -235,6 +235,41 @@ sql_query(
 )
 
 
+# array + higher-order-function battery (§2.9 map/array row; the lambda
+# machinery the dedup/similarity operators are built on). Integer-only so
+# both engines agree exactly; DuckDB spells aggregate as list_aggregate.
+sql_query(
+    "scalar_array_hof_battery",
+    "SELECT event_id, "
+    "CAST(aggregate(transform(sequence(1, CAST(event_id % 5 + 1 AS INT)), "
+    "     x -> x * 2 + 1), 0L, (acc, x) -> acc + x) AS BIGINT) AS hof_sum, "
+    "CAST(size(filter(sequence(1, 10), x -> x % 2 = 0)) AS INT) AS n_even, "
+    "array_join(slice(array('a','b','c','d'), 2, 2), '-') AS sliced, "
+    "CAST(array_contains(array(1, 2, 3), CAST(event_id % 4 AS INT)) AS BOOLEAN) "
+    "AS has_it, "
+    "array_join(array_sort(array('c','a','b')), '') AS sorted_arr, "
+    "CAST(array_position(array('x','y','z'), 'y') AS BIGINT) AS pos_y "
+    "FROM events WHERE event_id < 50 ORDER BY event_id",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(list_aggregate(list_transform(generate_series(1, "
+        "     CAST(event_id % 5 + 1 AS INT)), x -> x * 2 + 1), 'sum') "
+        "     AS BIGINT) AS hof_sum, "
+        "CAST(len(list_filter(generate_series(1, 10), x -> x % 2 = 0)) AS INT) "
+        "AS n_even, "
+        "array_to_string((['a','b','c','d'])[2:3], '-') AS sliced, "
+        "CAST(list_contains([1, 2, 3], CAST(event_id % 4 AS INT)) AS BOOLEAN) "
+        "AS has_it, "
+        "array_to_string(list_sort(['c','a','b']), '') AS sorted_arr, "
+        "CAST(list_position(['x','y','z'], 'y') AS BIGINT) AS pos_y "
+        "FROM events WHERE event_id < 50 ORDER BY event_id"
+    ),
+    tables=("events",),
+    tags=("scalar", "array", "hof"),
+    doc="§2.9: array + lambda (transform/filter/aggregate/slice/sort) battery",
+)
+
+
 # part-table coverage: LIKE filter + grouped stats (the one fixture table
 # not otherwise exercised)
 sql_query(
