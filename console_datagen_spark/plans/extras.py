@@ -5,7 +5,7 @@ is not batch-SQL-expressible, SURVEY §2.10).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register_views
 from ..operators import multimodal as M
@@ -267,6 +267,84 @@ sql_query(
     tables=("events",),
     tags=("scalar", "array", "hof"),
     doc="§2.9: array + lambda (transform/filter/aggregate/slice/sort) battery",
+)
+
+
+_BUCKET_SPARK = (
+    "(CAST(conv(substr(md5(concat('v1:', CAST(doc_id AS STRING))),1,15),16,10) "
+    "AS BIGINT) % 1000)"
+)
+_BUCKET_DUCK = (
+    "(('0x' || substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))),1,15))::BIGINT "
+    "% 1000)"
+)
+
+
+def _sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import deterministic_sample
+
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    return deterministic_sample(docs, "doc_id", permille=200).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+df_query(
+    "sample_deterministic",
+    _sample,
+    oracle=(
+        f"SELECT doc_id, lang FROM documents WHERE {_BUCKET_DUCK} < 200 "
+        "ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("sampling",),
+    doc="stable 20% sample via portable hash bucket (partition-invariant)",
+)
+
+
+def _split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import deterministic_split
+
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    return (
+        deterministic_split(
+            docs, "doc_id", {"train": 800, "val": 100, "test": 100}
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )
+
+
+df_query(
+    "sample_split",
+    _split,
+    oracle=(
+        "SELECT CASE "
+        f"WHEN {_BUCKET_DUCK} < 800 THEN 'train' "
+        f"WHEN {_BUCKET_DUCK} < 900 THEN 'val' "
+        "ELSE 'test' END AS split, COUNT(*) AS n "
+        "FROM documents GROUP BY 1 ORDER BY split"
+    ),
+    tables=("documents",),
+    tags=("sampling", "split"),
+    doc="stable train/val/test split (800/100/100 permille) by hash bucket",
+)
+
+# scalar + correlated subquery battery (the subquery shapes q10's NOT
+# EXISTS doesn't cover): scalar agg subquery, IN, cross-table join of the
+# text and embedding fixtures
+sql_query(
+    "subquery_battery",
+    "SELECT d.lang, COUNT(*) AS n_above, "
+    "CAST(SUM(CASE WHEN d.doc_id IN (SELECT vec_id FROM embeddings "
+    "     WHERE label < 5) THEN 1 ELSE 0 END) AS BIGINT) AS in_low_label "
+    "FROM documents d "
+    "WHERE d.n_chars > (SELECT CAST(median(n_chars) AS DOUBLE) FROM documents) "
+    "GROUP BY d.lang ORDER BY d.lang",
+    tables=("documents", "embeddings"),
+    tags=("subquery",),
+    doc="scalar subquery (median gate) + IN subquery + cross-fixture join",
 )
 
 
