@@ -7,6 +7,7 @@ driver entry point (``__spark_entry__.py``) exposes.
 
 from . import analytics  # noqa: F401
 from . import generator_plans  # noqa: F401
+from . import pipeline  # noqa: F401
 from . import relational  # noqa: F401
 from . import text_analysis  # noqa: F401
 from . import dedup  # noqa: F401

@@ -1,0 +1,70 @@
+"""Composed curation/dq queries + compaction utility."""
+
+import pathlib
+
+from console_datagen_spark.catalog import register_views
+from console_datagen_spark.operators.compaction import (
+    compact_for_write,
+    estimate_bytes,
+)
+from console_datagen_spark.plans import all_queries
+
+
+def test_curation_pipeline_single_scan(spark, sf_dir):
+    df = all_queries()["pipeline_curation"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "curation pipeline should keep a nonempty corpus"
+    assert all(r.docs > 0 for r in rows)
+    # the whole pipeline must compile into ONE plan over one scan family
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # dedup keeper-join + quality read the docs scan a bounded number of
+    # times; anything beyond means a stage materialized outside the plan
+    assert plan.count("FileScan parquet") <= 4
+
+
+def test_dq_checks_clean_fixture(spark, sf_dir):
+    row = all_queries()["dq_checks"].spark(spark, sf_dir).first()
+    # driver fixtures are referentially clean — every violation counter is 0
+    assert row.null_custkeys == 0
+    assert row.dup_orderkeys == 0
+    assert row.orphan_orders == 0
+    assert row.orphan_lineitems == 0
+    assert row.nonpositive_qty == 0
+
+
+def test_dq_checks_detects_violations(spark):
+    orders = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, None), (3, 99)],
+        "o_orderkey LONG, o_custkey LONG",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey LONG")
+    lineitem = spark.createDataFrame(
+        [(1, 5.0), (77, -1.0)], "l_orderkey LONG, l_quantity DOUBLE"
+    )
+    orders.createOrReplaceTempView("orders")
+    customer.createOrReplaceTempView("customer")
+    lineitem.createOrReplaceTempView("lineitem")
+    from console_datagen_spark.plans.registry import get_query
+
+    # run the raw SQL against the synthetic views (bypass register_views)
+    row = spark.sql(get_query("dq_checks").oracle).first()
+    assert row.null_custkeys == 1
+    assert row.dup_orderkeys == 1
+    assert row.orphan_orders == 1  # custkey 99
+    assert row.orphan_lineitems == 1  # orderkey 77
+    assert row.nonpositive_qty == 1
+
+
+def test_compaction_targets_file_count(spark, sf_dir, tmp_path):
+    li = register_views(spark, sf_dir, ("lineitem",))["lineitem"]
+    est = estimate_bytes(li)
+    assert est > 0
+    # tiny target → multiple files; huge target → exactly one
+    many = compact_for_write(li, target_mb=1, compression_ratio=1.0)
+    one = compact_for_write(li, target_mb=10_000)
+    many.write.mode("overwrite").parquet(str(tmp_path / "many"))
+    one.write.mode("overwrite").parquet(str(tmp_path / "one"))
+    n_many = len(list(pathlib.Path(tmp_path / "many").glob("part-*")))
+    n_one = len(list(pathlib.Path(tmp_path / "one").glob("part-*")))
+    assert n_one == 1
+    assert n_many > 1
