@@ -36,6 +36,7 @@ HEADLINE = [
     "q_shipping_priority",
     "q_local_supplier_volume",
     "text_tfidf_topk",
+    "pipeline_curation",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 
