@@ -83,12 +83,48 @@ def _pick(words, prime: int, off: int, dialect: str, id_col: str = "id") -> str:
 
 
 def _digits(fmt: str, parts: list[tuple[int, int, int]], dialect: str, id_col: str = "id") -> str:
-    """printf-formatted digit groups from modular arithmetic."""
+    """printf-formatted digit groups from modular arithmetic.
+
+    Linear-congruence digits are periodic (period = modulus) — fine for
+    address-style fields, NOT for identifiers; see ``_hash_digits``.
+    """
     fn = "format_string" if dialect == "spark" else "printf"
     args = ", ".join(
         f"CAST((({id_col} * {p} + {o}) % {m}) AS BIGINT)" for p, o, m in parts
     )
     return f"{fn}('{fmt}', {args})"
+
+
+def _hash_digits(
+    fmt: str,
+    tag: str,
+    mods: list[int],
+    dialect: str,
+    id_col: str = "id",
+) -> str:
+    """printf digit groups carved from one md5 per (tag, id).
+
+    Full-period entropy (no repeats until the md5 slice space exhausts):
+    the reference's faker id numbers are random per record
+    (DataGenerator.java:474-480), so key cardinality must scale with row
+    count — a 20M-row stress run exposed the lcm=10000 period of the
+    linear-congruence version. One md5 per field keeps the cost at 3
+    hashes/record for the whole key.
+    """
+    fn = "format_string" if dialect == "spark" else "printf"
+    if dialect == "spark":
+        h = f"md5(concat('{tag}:', CAST({id_col} AS STRING)))"
+        slices = [
+            f"CAST(conv(substr({h}, {1 + 6 * i}, 6), 16, 10) AS BIGINT) % {m}"
+            for i, m in enumerate(mods)
+        ]
+    else:
+        h = f"md5(concat('{tag}:', CAST({id_col} AS VARCHAR)))"
+        slices = [
+            f"(('0x' || substr({h}, {1 + 6 * i}, 6))::BIGINT) % {m}"
+            for i, m in enumerate(mods)
+        ]
+    return f"{fn}('{fmt}', {', '.join(slices)})"
 
 
 def _payload(dialect: str, seed: int, id_col: str = "id") -> str:
@@ -165,9 +201,9 @@ def gen_select_exprs(
 
     key = _struct(
         dialect,
-        ("storeId", _digits("%03d-%02d-%04d", [(7, 1, 1000), (11, 3, 100), (13, 7, 10000)], dialect, id_col)),
-        ("operatorId", _digits("%03d-%02d-%04d", [(17, 11, 1000), (19, 13, 100), (23, 17, 10000)], dialect, id_col)),
-        ("messageId", _digits("%03d-%02d-%04d", [(29, 19, 1000), (31, 23, 100), (37, 29, 10000)], dialect, id_col)),
+        ("storeId", _hash_digits("%03d-%02d-%04d", "store", [1000, 100, 10000], dialect, id_col)),
+        ("operatorId", _hash_digits("%03d-%02d-%04d", "op", [1000, 100, 10000], dialect, id_col)),
+        ("messageId", _hash_digits("%03d-%02d-%04d", "msg", [1000, 100, 10000], dialect, id_col)),
     )
     address = _struct(
         dialect,
