@@ -106,3 +106,30 @@ def health_summary(activity: DataFrame, now: datetime) -> DataFrame:
 
 def utcnow() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def render_health_response(checks: list[tuple[str, "DataFrame"]]) -> dict:
+    """Render the reference's health-endpoint JSON shape.
+
+    The reference serves SmallRye-style {status, checks:[{name, status,
+    data}]} from /q/health (Producer/ConsumerProgressCheck.java:27-29 +
+    CounterProgressCheck.java:116-124). Each input pair is (check name,
+    one-row health_summary frame); overall status is UP iff every check
+    is UP.
+    """
+    out_checks = []
+    for name, summary in checks:
+        row = summary.first()
+        data = {
+            "currentCount": row.current_count,
+            "inactivePartitions": row.inactive_partitions,
+            "earliestActivity": (
+                row.earliest_activity.isoformat() if row.earliest_activity else None
+            ),
+            "latestActivity": (
+                row.latest_activity.isoformat() if row.latest_activity else None
+            ),
+        }
+        out_checks.append({"name": name, "status": row.status, "data": data})
+    overall = "UP" if all(c["status"] == "UP" for c in out_checks) else "DOWN"
+    return {"status": overall, "checks": out_checks}

@@ -187,3 +187,27 @@ def test_activity_chain_across_rounds(spark, now):
     )
     rows3 = {r.partition: r.last_update for r in act3.collect()}
     assert rows3 == {0: now, 1: t1}
+
+
+def test_render_health_response_shape(spark, now):
+    fresh = now - timedelta(minutes=1)
+    act_up = spark.createDataFrame(
+        [("c", "t", 0, 100, fresh)],
+        "cluster STRING, topic STRING, partition INT, count LONG, last_update TIMESTAMP",
+    )
+    act_down = act_up.withColumn(
+        "last_update", F.lit(now - timedelta(minutes=10))
+    )
+    resp = H.render_health_response(
+        [
+            ("Records produced", H.health_summary(act_up, now)),
+            ("Records consumed", H.health_summary(act_down, now)),
+        ]
+    )
+    assert resp["status"] == "DOWN"  # one failing check fails the endpoint
+    names = {c["name"]: c["status"] for c in resp["checks"]}
+    assert names == {"Records produced": "UP", "Records consumed": "DOWN"}
+    data = resp["checks"][0]["data"]
+    assert data["currentCount"] == 100
+    assert data["inactivePartitions"] == 0
+    assert data["latestActivity"].startswith("2024-01-01T")
