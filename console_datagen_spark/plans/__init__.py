@@ -13,5 +13,6 @@ from . import text_analysis  # noqa: F401
 from . import dedup  # noqa: F401
 from . import extras  # noqa: F401
 from . import similarity  # noqa: F401
+from . import temporal_plans  # noqa: F401
 from . import windows  # noqa: F401
 from .registry import QuerySpec, all_queries, get_query  # noqa: F401

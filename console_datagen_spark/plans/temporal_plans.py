@@ -1,0 +1,92 @@
+"""Declared as-of / range join queries (SURVEY §2.4 beyond-reference joins).
+
+The Spark side runs the scalable operators (union-sort as-of; binned
+range equi-join); the DuckDB oracle expresses the same semantics in
+window/theta-join SQL — certifying that the optimized shapes preserve
+exact join semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register_views
+from ..operators.temporal import as_of_join, range_join_binned
+from .registry import df_query
+
+EV = ("events",)
+
+
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, EV)["events"]
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = as_of_join(
+        left,
+        right,
+        key="user_id",
+        value_cols=["event_id"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("asof_event_id").alias("last_click_id"),
+    ).orderBy("user_id", "event_id")
+
+
+df_query(
+    "join_asof_last_click",
+    _asof,
+    oracle=(
+        # per purchase: the user's latest click at-or-before the purchase ts
+        # (ties on ts broken toward the highest click event_id)
+        "SELECT p.user_id, p.event_id, "
+        "( SELECT c.event_id FROM events c "
+        "  WHERE c.user_id = p.user_id AND c.event_type = 'click' "
+        "  AND c.ts <= p.ts "
+        "  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id "
+        "FROM events p WHERE p.event_type = 'purchase' "
+        "ORDER BY p.user_id, p.event_id"
+    ),
+    tables=EV,
+    tags=("join", "asof"),
+    doc="as-of join via union-sort carry-forward (one shuffle, no theta join)",
+)
+
+
+def _range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, EV)["events"]
+    bands = spark.createDataFrame(
+        [("tiny", 0, 9), ("low", 10, 49), ("mid", 50, 149), ("high", 150, 999)],
+        "band STRING, lo INT, hi INT",
+    )
+    probe = ev.select(
+        "event_id", F.floor(F.col("value")).cast("int").alias("v")
+    )
+    out = range_join_binned(probe, bands, "v", bin_width=50)
+    return (
+        out.groupBy("band")
+        .agg(F.count("*").alias("n"))
+        .orderBy("band")
+    )
+
+
+df_query(
+    "join_range_bands",
+    _range,
+    oracle=(
+        "WITH bands(band, lo, hi) AS (VALUES "
+        "('tiny', 0, 9), ('low', 10, 49), ('mid', 50, 149), ('high', 150, 999)) "
+        "SELECT band, COUNT(*) AS n FROM events e JOIN bands b "
+        "ON CAST(FLOOR(e.value) AS INT) BETWEEN b.lo AND b.hi "
+        "GROUP BY band ORDER BY band"
+    ),
+    tables=EV,
+    tags=("join", "range"),
+    doc="range join via bin equi-join + residual filter (no nested loop)",
+)
