@@ -55,3 +55,14 @@ def test_dim_joins_broadcast(spark, sf_dir):
     for name in ("q8_inner_join", "q9_left_join_default", "q_local_supplier_volume"):
         plan = _plan(spark, name, sf_dir)
         assert "BroadcastHashJoin" in plan, f"{name} did not broadcast:\n{plan[:1200]}"
+
+
+def test_plan_summary_tool(spark, sf_dir):
+    from console_datagen_spark.tools import plan_summary
+
+    df = all_queries()["q8_inner_join"].spark(spark, sf_dir)
+    s = plan_summary(df)
+    assert "BroadcastHashJoin" in s.joins
+    assert not s.cartesian
+    assert s.scans and any(x["n_cols"] == 2 for x in s.scans)
+    assert "joins=" in s.describe()
