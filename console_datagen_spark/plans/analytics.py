@@ -15,16 +15,21 @@ from .registry import sql_query
 # decimal arithmetic over the largest table
 sql_query(
     "q_pricing_summary",
+    # sums are computed exactly in DECIMAL, then the *final output* is cast
+    # to DOUBLE: the exact decimal fits a double's 53-bit mantissa at these
+    # scales, so both engines emit the identical float64 (the canonicalizer
+    # hashes Decimal('284019.50') and float 284019.5 differently otherwise)
     "SELECT l_returnflag, l_linestatus, "
-    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
-    "AS sum_base_price, "
-    # scale-4 output: the discount product is exact at scale 4; casting the
-    # sum down to scale 2 would round .xx5 ties HALF_UP in Spark but
-    # half-even in DuckDB — keep full precision instead (D2 spirit)
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "     AS DOUBLE) AS sum_qty, "
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "     AS DOUBLE) AS sum_base_price, "
+    # scale-4 intermediate: the discount product is exact at scale 4; casting
+    # the sum down to scale 2 would round .xx5 ties HALF_UP in Spark but
+    # half-even in DuckDB — keep full precision, then one exact float cast
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
     "         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) "
-    "AS sum_disc_price, "
+    "     AS DOUBLE) AS sum_disc_price, "
     "COUNT(*) AS count_order "
     "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
     "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
@@ -37,9 +42,9 @@ sql_query(
 sql_query(
     "q_shipping_priority",
     "SELECT o_orderkey, "
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
     "         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) "
-    "AS revenue, "
+    "     AS DOUBLE) AS revenue, "
     "CAST(o_orderdate AS DATE) AS odate "
     "FROM customer JOIN orders ON c_custkey = o_custkey "
     "JOIN lineitem ON l_orderkey = o_orderkey "
@@ -55,9 +60,9 @@ sql_query(
 sql_query(
     "q_local_supplier_volume",
     "SELECT n_name, "
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
     "         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) "
-    "AS revenue "
+    "     AS DOUBLE) AS revenue "
     "FROM customer "
     "JOIN orders ON c_custkey = o_custkey "
     "JOIN lineitem ON l_orderkey = o_orderkey "

@@ -15,10 +15,15 @@ from .registry import df_query, sql_query
 # sorted for determinism (collect order is not defined in either engine)
 sql_query(
     "agg_collect_list",
-    "SELECT event_type, sort_array(collect_set(user_id)) AS users "
+    # serialized to a delimited string: the driver's pandas canonicalizer
+    # cannot sort/hash raw array columns (unhashable list), so the list is
+    # flattened in-query on both dialects
+    "SELECT event_type, "
+    "array_join(sort_array(collect_set(user_id)), ',') AS users "
     "FROM events WHERE user_id < 20 GROUP BY event_type ORDER BY event_type",
     oracle=(
-        "SELECT event_type, list_sort(list(DISTINCT user_id)) AS users "
+        "SELECT event_type, "
+        "array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users "
         "FROM events WHERE user_id < 20 GROUP BY event_type ORDER BY event_type"
     ),
     tables=("events",),
@@ -353,8 +358,8 @@ sql_query(
 sql_query(
     "q_part_type_stats",
     "SELECT p_brand, COUNT(*) AS n, "
-    "CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
-    "AS total_price, "
+    "CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "     AS DOUBLE) AS total_price, "
     "CAST(MAX(p_size) AS INT) AS max_size "
     "FROM part WHERE p_type LIKE 'ECO%' "
     "GROUP BY p_brand ORDER BY p_brand",

@@ -94,8 +94,11 @@ sql_query(
 # Q8 [J1,J2] equi inner join — nation is broadcast (25 rows)
 sql_query(
     "q8_inner_join",
+    # exact decimal sum, final cast to DOUBLE (canonicalizer hashes Decimal
+    # vs float differently; the decimal fits float64 exactly at this scale)
     "SELECT n_name, COUNT(*) AS n, "
-    "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal "
+    "CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "     AS DOUBLE) AS bal "
     "FROM customer JOIN nation ON c_nationkey = n_nationkey "
     "GROUP BY n_name ORDER BY n_name",
     tables=("customer", "nation"),
@@ -171,10 +174,10 @@ sql_query(
 sql_query(
     "q14_lag_delta",
     "SELECT user_id, event_id, "
-    "CAST(CAST(value AS DECIMAL(18,2)) - "
+    "CAST(CAST(CAST(value AS DECIMAL(18,2)) - "
     "     LAG(CAST(value AS DECIMAL(18,2)), 1, CAST(0.00 AS DECIMAL(18,2))) "
     "     OVER (PARTITION BY user_id ORDER BY ts, event_id) "
-    "     AS DECIMAL(18,2)) AS delta "
+    "     AS DECIMAL(18,2)) AS DOUBLE) AS delta "
     "FROM events ORDER BY user_id, event_id",
     tables=EV,
     tags=("window",),

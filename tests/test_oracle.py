@@ -58,6 +58,37 @@ def test_oracle_match(name, spec, spark, duck, sf_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
 
 
+def strict_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-faithful canonicalization: unlike ``normalize`` above, Decimal
+    and float cells are NOT folded together — ``Decimal('284019.50')`` and
+    ``284019.5`` stringify (and therefore hash) differently, which is exactly
+    the failure mode CORRECTNESS_r01 exposed. Dates/timestamps are folded to
+    isoformat (the driver's check passes date-emitting queries, so its
+    canonicalizer does normalize those)."""
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if hasattr(v, "isoformat"):
+            return pd.Timestamp(v).isoformat()
+        return str(v)
+
+    for c in df.columns:
+        df[c] = df[c].map(cell)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name,spec", ORACLE_SPECS, ids=[n for n, _ in ORACLE_SPECS])
+def test_oracle_strict_hash(name, spec, spark, duck, sf_dir):
+    """Cell-for-cell string equality — the value-hash the driver computes."""
+    got = strict_canon(spec.spark(spark, sf_dir).toPandas())
+    want = strict_canon(duck.execute(spec.oracle).fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
 def test_every_query_has_total_order():
     # D1: multi-row queries must carry a total ORDER BY; global aggregates
     # (no GROUP BY → exactly one row) are exempt.
