@@ -87,9 +87,34 @@ def from_properties(props: dict[str, str] | str) -> DataGenConfig:
 
 
 def fetch_server_cert_pem(host: str, port: int, timeout: float = 10.0) -> str:
-    """Fetch the server's leaf certificate as PEM over an unverified TLS
-    handshake (trust-all bootstrap; the PEM then becomes the truststore)."""
-    return ssl.get_server_certificate((host, port), timeout=timeout)
+    """Fetch the server's certificate chain as PEM over an unverified TLS
+    handshake (trust-all bootstrap; the PEM then becomes the truststore).
+
+    The reference injects the FULL peer chain including the CA
+    (ClientConfigFactory.java:145-184). On Python 3.13+ this does the same
+    via ``SSLSocket.get_unverified_chain``; on older runtimes it falls back
+    to the leaf certificate only — a documented limitation: with per-broker
+    certs from a private CA, a leaf-only truststore validates just the
+    bootstrap broker, and connections to the other brokers fail TLS
+    verification until the CA cert is added.
+    """
+    import socket
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.check_hostname = False
+    ctx.verify_mode = ssl.CERT_NONE
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        with ctx.wrap_socket(sock, server_hostname=host) as ssock:
+            get_chain = getattr(ssock, "get_unverified_chain", None)
+            if get_chain is not None:  # Python 3.13+
+                try:
+                    blocks = [c.public_bytes() for c in get_chain() or []]
+                    if blocks:
+                        return "".join(blocks)
+                except (ssl.SSLError, TypeError):
+                    pass  # fall through to leaf-only
+            der = ssock.getpeercert(binary_form=True)
+    return ssl.DER_cert_to_PEM_cert(der)
 
 
 def inject_truststore(client_config: dict[str, str], pem: str) -> dict[str, str]:

@@ -7,7 +7,10 @@ Reproduces the reference's deterministic namespace exactly
   suffix = base-36 of (t+10), lowercased → "a","b",...,"z","10",...
   name   = topic_pattern % (g, f"{type}-{suffix}")
 - group id  = "console-datagen-group-%s-%d" % (type, g)
-- client id = "console-datagen-{producer|consumer}-%s-%d"
+- client id = "console-datagen-{producer|consumer}-%s-%d-%d" % (type, g, n)
+  where n is a single shared monotonically-increasing client counter
+  (the reference's AtomicInteger clientCount, DataGenerator.java:361,389)
+  — ``ClientCounter`` below reproduces it
 
 Pure Python on the driver (namespace elaboration is config-time, not
 data-path); SQL equivalents where a query needs them:
@@ -56,12 +59,28 @@ def group_id(group_type: str, group: int) -> str:
     return GROUP_ID_PATTERN % (group_type, group)
 
 
-def producer_client_id(group_type: str, group: int) -> str:
-    return f"console-datagen-producer-{group_type}-{group}"
+@dataclass
+class ClientCounter:
+    """Shared client counter — the reference's ``AtomicInteger clientCount``
+    incremented by every producer AND consumer (DataGenerator.java:361,389).
+    Single-threaded here: namespace elaboration happens on the driver."""
+
+    count: int = 0
+
+    def next(self) -> int:
+        self.count += 1
+        return self.count
 
 
-def consumer_client_id(group_type: str, group: int, member: int) -> str:
-    return f"console-datagen-consumer-{group_type}-{group}-{member}"
+def producer_client_id(group_type: str, group: int, client_count: int) -> str:
+    """console-datagen-producer-%s-%d-%d (DataGenerator.java:361)."""
+    return f"console-datagen-producer-{group_type}-{group}-{client_count}"
+
+
+def consumer_client_id(group_type: str, group: int, client_count: int) -> str:
+    """console-datagen-consumer-%s-%d-%d (DataGenerator.java:389); the last
+    segment is the shared client counter, not the member index."""
+    return f"console-datagen-consumer-{group_type}-{group}-{client_count}"
 
 
 @dataclass(frozen=True)

@@ -247,3 +247,60 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_chunk_bounds(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(lo_bit, width) per pigeonhole chunk: (max_hamming+1) chunks cover the
+    fingerprint, so hamming ≤ max_hamming forces at least one chunk equal."""
+    n_chunks = max_hamming + 1
+    return [
+        (i * bits // n_chunks, (i + 1) * bits // n_chunks - i * bits // n_chunks)
+        for i in range(n_chunks)
+    ]
+
+
+def simhash_pairs_banded(
+    spark: SparkSession,
+    documents: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 30,
+    n: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) within the hamming ball — the scale path.
+
+    Pigeonhole banding: split the fingerprint into (max_hamming+1) bit
+    chunks; any pair within distance d ≤ max_hamming agrees on ≥1 chunk,
+    so candidates come from an equi-join on (chunk_idx, chunk_value) —
+    O(colliding docs), never the all-pairs theta join of
+    ``simhash_pairs``. Exact recall (pigeonhole guarantees no misses),
+    exact verify (bit_count on the carried fingerprints).
+    """
+    fp = simhash_fingerprints(spark, documents, bits, n)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.expr(f"shiftright(simhash, {lo}) & {(1 << width) - 1}").alias("cv"),
+        )
+        for i, (lo, width) in enumerate(simhash_chunk_bounds(bits, max_hamming))
+    ]
+    chunks = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("doc_id", "simhash", "c.ci", "c.cv")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

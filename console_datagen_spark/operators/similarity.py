@@ -163,6 +163,9 @@ def kmeans_iterate(
         .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
+    # dim is hoisted OUT of the loop: a .first() inside the iteration is a
+    # driver round-trip per Lloyd step that serializes the whole loop
+    dim = len(embeddings.select("embedding").first()[0])
     for _ in range(iterations):
         scored = n.join(F.broadcast(cent)).select(
             "vec_id",
@@ -176,7 +179,6 @@ def kmeans_iterate(
             .where(F.col("rn") == 1)
             .select("vec_id", "v", F.col("cid").alias("cluster"))
         )
-        dim = len(embeddings.select("embedding").first()[0])
         sums = assigned.groupBy("cluster").agg(
             F.count("*").alias("sz"),
             *[
@@ -203,11 +205,71 @@ def kmeans_iterate(
     )
 
 
-def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """(vec_a, vec_b) with cosine above threshold — embedding near-dup scan.
+DUP_LSH_BANDS: tuple[tuple[int, ...], ...] = (
+    (1, 3, 5),
+    (2, 4, 6),
+    (7, 9, 11),
+    (8, 10, 12),
+)
 
-    Local impl is the exact O(n^2/2) self-join; at scale you run
-    ``lsh_buckets`` first and join within buckets (same verify logic).
+
+def embedding_dup_pairs_lsh(
+    embeddings: DataFrame,
+    bands: tuple[tuple[int, ...], ...] = DUP_LSH_BANDS,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """(vec_a, vec_b) near-dup pairs via multi-band sign-LSH — the scale path.
+
+    Candidate generation is an equi-join on (band, bucket): vectors meet
+    only if some band hashes them to the same bucket (OR across bands for
+    recall), so candidate volume is O(collisions), never the O(n²)
+    cartesian of ``embedding_dup_pairs``. Verification joins the vectors
+    back by id (shuffle on key) and applies the exact cosine threshold.
+    The whole pipeline is deterministic, so the DuckDB oracle replays it
+    bucket-for-bucket.
+
+    Band sizing: sign-LSH collision probability per band is (1-θ/π)^r;
+    at cosine 0.4 (θ≈66°) that is ~0.25 for r=3 planes, so 4 bands give
+    ~68% recall — raise the band count for higher recall, raise r for
+    stronger pruning. Precision is exact (every candidate is verified).
+    """
+    n = with_norm(embeddings)
+    buckets = None
+    for band_id, planes in enumerate(bands):
+        b = lsh_buckets(embeddings, planes).select(
+            "vec_id", F.lit(band_id).alias("band"), "bucket"
+        )
+        buckets = b if buckets is None else buckets.unionByName(b)
+    ba = buckets.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    bb = buckets.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        ba.join(bb, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .where(
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) > threshold
+        )
+        .select("vec_a", "vec_b")
+    )
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """(vec_a, vec_b) with cosine above threshold — exact ground truth.
+
+    This is the exact O(n²/2) self-join, kept as the recall baseline for
+    tests; the registered query and any at-scale use go through
+    ``embedding_dup_pairs_lsh`` (bucketed candidates, no cartesian).
     """
     n = with_norm(embeddings)
     a = n.select(

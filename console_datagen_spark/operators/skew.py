@@ -76,7 +76,18 @@ def salted_join(
     Use when the dim side exceeds the broadcast threshold but a handful of
     fact keys dominate the shuffle. Cost: dim is duplicated salt_buckets
     times — keep buckets modest.
+
+    Only fact-preserving join types are valid: with right/full outer
+    joins every unmatched replicated dim row would survive once per salt
+    value, yielding salt_buckets duplicates.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "semi", "left_semi", "leftsemi",
+                   "anti", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            "replicated dim rows would duplicate right/full outer output"
+        )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(salt_buckets - 1))
     ).alias(SALT_COL)

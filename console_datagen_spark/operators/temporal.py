@@ -41,12 +41,19 @@ def as_of_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    # all value columns are carried as ONE struct so every asof_* output
+    # comes from the same (latest) right row — carrying each column
+    # independently with last(ignorenulls) would mix columns from
+    # different right rows whenever a value column is NULL
+    rv_type = right.select(
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rv")
+    ).schema["_rv"].dataType
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(rv_type).alias("_rv"),
         (
             F.lit(None).cast(right.schema[tiebreak].dataType)
             if tiebreak
@@ -58,7 +65,7 @@ def as_of_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
     )
     # right rows sort before left rows at the same _ts (side 0 < 1), so a
@@ -70,15 +77,11 @@ def as_of_join(
     )
     unioned = l_tag.unionByName(r_tag)
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_carr_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_rv", ignorenulls=True).over(w).alias("_carr")
     ).where(F.col("_side") == 1)
     return carried.select(
         F.col("_l.*"),
-        *[F.col(f"_carr_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col(f"_carr.{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
 

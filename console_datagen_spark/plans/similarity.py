@@ -130,22 +130,49 @@ df_query(
 )
 
 
+_DUP_BANDS = S.DUP_LSH_BANDS
+
+
 def _emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = register_views(spark, sf_dir, EMB)["embeddings"]
-    return S.embedding_dup_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+    return S.embedding_dup_pairs_lsh(emb, bands=_DUP_BANDS, threshold=0.4).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+# bit index per plane = rank of the plane's vec_id within its band — the
+# same stable ordering lsh_buckets derives with dense_rank over pid
+_DUCK_BAND_PLANES = " UNION ALL ".join(
+    f"SELECT {i} AS band, vec_id AS pid, v AS pv, "
+    "ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS bit "
+    f"FROM n WHERE vec_id IN {planes}"
+    for i, planes in enumerate(_DUP_BANDS)
+)
 
 
 df_query(
     "dedup_embedding",
     _emb_dups,
     oracle=(
-        f"WITH {_DUCK_NORM} "
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM n a, n b "
-        "WHERE a.vec_id < b.vec_id "
-        "AND list_inner_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4 "
+        f"WITH {_DUCK_NORM}, "
+        f"planes AS ({_DUCK_BAND_PLANES}), "
+        "signs AS (SELECT n.vec_id, band, bit, "
+        "          CASE WHEN list_inner_product(n.v, pv) > 0 THEN 1 ELSE 0 END "
+        "          AS sgn FROM n, planes), "
+        "buckets AS (SELECT vec_id, band, "
+        "            CAST(SUM(CAST(sgn AS BIGINT) << bit) AS BIGINT) AS bucket "
+        "            FROM signs GROUP BY vec_id, band), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "         FROM buckets a JOIN buckets b "
+        "         ON a.band = b.band AND a.bucket = b.bucket "
+        "         WHERE a.vec_id < b.vec_id) "
+        "SELECT vec_a, vec_b FROM cand "
+        "JOIN n na ON na.vec_id = cand.vec_a "
+        "JOIN n nb ON nb.vec_id = cand.vec_b "
+        "WHERE list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm) > 0.4 "
         "ORDER BY vec_a, vec_b"
     ),
     tables=EMB,
-    tags=("dedup", "similarity"),
-    doc="embedding-cosine near-dup pairs (exact scan; LSH-prefilter at scale)",
+    tags=("dedup", "similarity", "lsh"),
+    doc="embedding near-dup pairs via 2-band sign-LSH candidates + exact verify",
 )

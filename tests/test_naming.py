@@ -26,11 +26,18 @@ def test_topic_name_default_pattern():
 def test_group_and_client_ids():
     assert naming.group_id("consumer", 3) == "console-datagen-group-consumer-3"
     assert naming.group_id("streams", 0) == "console-datagen-group-streams-0"
-    assert naming.producer_client_id("share", 2) == "console-datagen-producer-share-2"
+    # client ids carry the shared monotone counter as the last segment,
+    # matching the reference's AtomicInteger (DataGenerator.java:361,389)
+    ctr = naming.ClientCounter()
     assert (
-        naming.consumer_client_id("consumer", 1, 4)
-        == "console-datagen-consumer-consumer-1-4"
+        naming.producer_client_id("share", 2, ctr.next())
+        == "console-datagen-producer-share-2-1"
     )
+    assert (
+        naming.consumer_client_id("consumer", 1, ctr.next())
+        == "console-datagen-consumer-consumer-1-2"
+    )
+    assert ctr.count == 2
 
 
 def test_all_topic_names_default_config():

@@ -18,7 +18,6 @@ CARTESIAN_OK = {
     "dedup_minhash_sigs",
     "dedup_minhash_pairs",
     "dedup_simhash",
-    "dedup_embedding",
     "sim_topk_brute",
     "sim_ivf_topk",
     "sim_lsh_buckets",
@@ -55,6 +54,25 @@ def test_dim_joins_broadcast(spark, sf_dir):
     for name in ("q8_inner_join", "q9_left_join_default", "q_local_supplier_volume"):
         plan = _plan(spark, name, sf_dir)
         assert "BroadcastHashJoin" in plan, f"{name} did not broadcast:\n{plan[:1200]}"
+
+
+def test_dedup_embedding_is_bucketed_not_allpairs(spark, sf_dir):
+    # the registered near-dup query must be the LSH-candidate shape: no
+    # CartesianProduct; the only nested-loop joins are the bounded
+    # broadcast of the 4-row hyperplane set
+    from console_datagen_spark.tools import plan_summary
+
+    df = all_queries()["dedup_embedding"].spark(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s.cartesian, s.raw[:1500]
+
+
+def test_dedup_simhash_pairs_is_banded(spark, sf_dir):
+    from console_datagen_spark.tools import plan_summary
+
+    df = all_queries()["dedup_simhash_pairs"].spark(spark, sf_dir)
+    s = plan_summary(df)
+    assert not s.cartesian, s.raw[:1500]
 
 
 def test_plan_summary_tool(spark, sf_dir):

@@ -76,6 +76,59 @@ def embeddings(spark, sf_dir):
     return register_views(spark, sf_dir, ("embeddings",))["embeddings"]
 
 
+def test_kmeans_plan_building_triggers_one_driver_action(spark, embeddings, monkeypatch):
+    # the dim lookup is hoisted: building the iterative plan must hit the
+    # driver exactly once (.first() for the vector dim), never per iteration
+    cls = type(embeddings)  # the concrete (classic) DataFrame class
+    calls = []
+    orig_first = cls.first
+    monkeypatch.setattr(
+        cls, "first", lambda self: (calls.append(1), orig_first(self))[1]
+    )
+    kmeans_iterate(embeddings, k=5, iterations=3)
+    assert len(calls) == 1
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark, embeddings):
+    from console_datagen_spark.operators.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b) for r in embedding_dup_pairs(embeddings, 0.4).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_dup_pairs_lsh(embeddings, threshold=0.4).collect()
+    }
+    # every LSH pair passes the same exact-cosine verify → subset; and the
+    # banding must actually recall a usable fraction of the true pairs
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) >= len(exact) * 0.3, (len(lsh), len(exact))
+
+
+def test_simhash_banded_equals_allpairs(spark, sf_dir):
+    from console_datagen_spark.catalog import register_views as rv
+    from console_datagen_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_banded,
+    )
+
+    docs = rv(spark, sf_dir, ("documents",))["documents"]
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(spark, docs, max_hamming=6).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_banded(spark, docs, max_hamming=6).collect()
+    }
+    # pigeonhole banding is lossless within the hamming ball
+    assert banded == brute
+
+
 def test_kmeans_assignments(spark, embeddings):
     out = kmeans_iterate(embeddings, k=5, iterations=2)
     rows = out.collect()

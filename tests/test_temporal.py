@@ -25,6 +25,32 @@ def test_asof_basic_semantics(spark):
     assert out["L3"] is None  # no right row for v at all
 
 
+def test_asof_null_value_cols_come_from_same_row(spark):
+    # a NULL in one value column of the latest right row must surface as
+    # NULL, not be backfilled from an older right row (all carried columns
+    # come from ONE struct — the latest as-of row)
+    left = spark.createDataFrame([("u", 300, "L1")], "k STRING, ts LONG, lbl STRING")
+    right = spark.createDataFrame(
+        [("u", 100, "old-a", "old-b"), ("u", 200, "new-a", None)],
+        "k STRING, ts LONG, a STRING, b STRING",
+    )
+    row = as_of_join(left, right, "k", value_cols=["a", "b"]).collect()[0]
+    assert row.asof_a == "new-a"
+    assert row.asof_b is None  # NOT "old-b"
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    from console_datagen_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "x")], "k LONG, a STRING")
+    dim = spark.createDataFrame([(1, "y")], "k LONG, b STRING")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(fact, dim, ["k"], how="full")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(fact, dim, ["k"], how="right")
+    assert salted_join(fact, dim, ["k"], how="left").count() == 1
+
+
 def test_asof_matches_theta_join_on_fixture(spark, sf_dir):
     ev = register_views(spark, sf_dir, ("events",))["events"]
     left = ev.where("event_type = 'purchase'").select("user_id", "event_id", "ts")

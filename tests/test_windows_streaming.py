@@ -130,6 +130,75 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert ("2024-01-01T00:00:00", "a") not in out2
 
 
+def test_session_window_late_data_parity(spark, tmp_path):
+    """Session windows + watermark, out-of-order replay: the streaming
+    output must equal the batch session result over the ON-TIME subset, and
+    a late event behind the restored watermark is dropped — it neither
+    reopens nor corrects the already-emitted session (VERDICT r1 item 8).
+    """
+    from console_datagen_spark.streaming.windows import session_counts
+
+    src_dir = tmp_path / "sess_src"
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def write_chunk(rows):
+        (
+            spark.createDataFrame(rows, "ts STRING, k STRING")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src_dir))
+        )
+
+    def run_once():
+        emitted: list = []
+
+        def grab(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        stream = spark.readStream.schema("ts TIMESTAMP, k STRING").parquet(
+            str(src_dir)
+        )
+        q = (
+            session_counts(stream, gap="30 minutes", key="k", watermark="1 hour")
+            .writeStream.foreachBatch(grab)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.k, r.ss.isoformat(), r.n) for r in emitted}
+
+    # run 1 (out-of-order within the batch): a 2-event session for "a"
+    # ([00:00, 00:40) with 30 min gap) + a watermark driver at 03:00
+    write_chunk(
+        [("2024-01-01 00:10:00", "a"), ("2024-01-01 00:00:00", "a"),
+         ("2024-01-01 03:00:00", "b")]
+    )
+    out1 = run_once()
+    # watermark 03:00-1h=02:00 passed the session end → "a" session emitted;
+    # "b"'s session (ends 03:30) is still open, not emitted
+    assert out1 == {("a", "2024-01-01T00:00:00", 2)}
+
+    # batch parity on the on-time subset
+    on_time = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a"), ("2024-01-01 00:00:00", "a")],
+        "ts STRING, k STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = {
+        (r.k, r.ss.isoformat(), r.n)
+        for r in session_counts(on_time, gap="30 minutes", key="k").collect()
+    }
+    assert batch == out1
+
+    # run 2: a late event inside the closed session, behind the restored
+    # watermark → dropped; nothing new is emitted
+    write_chunk([("2024-01-01 00:05:00", "a")])
+    out2 = run_once()
+    assert out2 == set()
+
+
 def test_rate_per_bucket_shape(spark):
     """Sawtooth observable: per-10s buckets over a synthetic generated
     minute must show the {10,110,210,310,410} plateau shape."""
