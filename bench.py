@@ -29,7 +29,10 @@ HEADLINE = [
     "q17_json_extract",
     "text_quality",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_embedding",
     "sim_topk_brute",
+    "sim_ivf_multiprobe",
     "win_tumbling_hour",
     "win_session_30m",
     "q_pricing_summary",
@@ -52,13 +55,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     for name in HEADLINE:
+        # the timer covers query CONSTRUCTION too: several dedup plans
+        # persist+materialize intermediate frames while building, and that
+        # work belongs in the measurement
+        t0 = time.perf_counter()
         if name == "gen_records_1m":
             from console_datagen_spark.sources.generator import generate_batch
 
             df = generate_batch(spark, GEN_BENCH_N)
         else:
             df = registry[name].spark(spark, SF_DIR)
-        t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         if name == "gen_records_1m":

@@ -72,6 +72,7 @@ def minhash_signatures(
     k: int = 8,
     n: int = 3,
     shingles_df: DataFrame | None = None,
+    ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, perm, minhash) — k-permutation MinHash over n-token shingles.
 
@@ -81,10 +82,13 @@ def minhash_signatures(
     row per doc instead of k — the difference between O(corpus) and
     O(k·corpus) network at 100 TB.
     """
-    base = shingles_df if shingles_df is not None else doc_shingles(documents, n)
-    ids = base.select(
-        "doc_id", (token_id(F.col("s")) % F.lit(HASH_PRIME)).alias("tid")
-    )
+    if ids_df is not None:
+        ids = ids_df
+    else:
+        base = shingles_df if shingles_df is not None else doc_shingles(documents, n)
+        ids = base.select(
+            "doc_id", (token_id(F.col("s")) % F.lit(HASH_PRIME)).alias("tid")
+        )
     mins = ids.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(HASH_PRIME)).alias(
@@ -106,6 +110,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     n: int = 3,
     shingles_df: DataFrame | None = None,
+    ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded MinHash signatures.
 
@@ -113,7 +118,7 @@ def lsh_candidate_pairs(
     ordered string-agg (portable + shuffle-friendly: one row per
     (doc, band) enters the self-join).
     """
-    sigs = minhash_signatures(spark, documents, k, n, shingles_df)
+    sigs = minhash_signatures(spark, documents, k, n, shingles_df, ids_df)
     bands = sigs.groupBy(
         "doc_id", F.floor(F.col("perm") / rows_per_band).alias("band")
     ).agg(
@@ -141,6 +146,7 @@ def ngram_jaccard_pairs(
     threshold_permille: int = 200,
     candidates: DataFrame | None = None,
     shingles_df: DataFrame | None = None,
+    ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard_permille) for pairs ≥ threshold.
 
@@ -149,8 +155,21 @@ def ngram_jaccard_pairs(
     When ``candidates`` is given (e.g. from LSH), only those pairs are
     verified — the scale path. Without it, the shared-shingle equi-join
     bounds the pair space to docs that overlap at all.
+
+    Set operations run over the 60-bit integer shingle ids, not the
+    shingle strings: the shared-element self-join shuffles and compares
+    fixed-width BIGINTs instead of multi-token strings (the oracle hashes
+    identically, so intersection/size counts match bit-for-bit; a within-
+    pair hash collision would need ~2^60 shingles).
     """
-    d = shingles_df if shingles_df is not None else doc_shingles(documents, n)
+    if ids_df is not None:
+        d = ids_df
+    elif shingles_df is not None:
+        d = shingles_df.select(
+            "doc_id", (token_id(F.col("s")) % F.lit(HASH_PRIME)).alias("tid")
+        )
+    else:
+        d = doc_shingle_ids(documents, n)
     if candidates is not None:
         # candidate-driven verify: restrict shingle sets to candidate docs
         # BEFORE the shared-shingle join — the quadratic stage then touches
@@ -170,7 +189,8 @@ def ngram_jaccard_pairs(
     pairs = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.tid") == F.col("b.tid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -200,28 +220,29 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(doc_id, simhash) — sign-aggregated bit fingerprint over shingles.
 
-    Two-level agg: per (doc, bit) sum of ±1 contributions, then per doc
-    the positive bits OR'd into an int64. Both aggs are partial+final
-    hash aggs; the doc×bits expansion is a broadcast join.
+    ONE aggregation pass: per doc, ``bits`` conditional sums (ones count
+    per bit position) plus the shingle count; bit b of the fingerprint is
+    set iff 2·ones_b > count — identical to the textbook Σ(±1) > 0 rule
+    (Σ(±1) = 2·ones − count), but without materializing the doc×bits row
+    explosion the two-level form shuffles. The shuffle carries one row
+    per doc with ``bits`` small columns.
     """
     ids = doc_shingle_ids(documents, n)
-    bdf = spark.createDataFrame([(b,) for b in range(bits)], "b INT")
-    contrib = (
-        ids.join(F.broadcast(bdf))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.when(F.expr("(shiftright(tid, b) & 1) = 1"), 1).otherwise(-1)
-            ).alias("s")
-        )
+    ones = ids.groupBy("doc_id").agg(
+        F.count("*").alias("_cnt"),
+        *[
+            F.sum(F.expr(f"shiftright(tid, {b}) & 1")).alias(f"_o{b}")
+            for b in range(bits)
+        ],
     )
-    return contrib.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(
+            2 * F.col(f"_o{b}") > F.col("_cnt"),
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return ones.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_pairs(
@@ -265,6 +286,7 @@ def simhash_pairs_banded(
     max_hamming: int = 6,
     bits: int = 30,
     n: int = 3,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) within the hamming ball — the scale path.
 
@@ -274,8 +296,15 @@ def simhash_pairs_banded(
     O(colliding docs), never the all-pairs theta join of
     ``simhash_pairs``. Exact recall (pigeonhole guarantees no misses),
     exact verify (bit_count on the carried fingerprints).
+
+    Pass a persisted ``fingerprints`` frame to keep the chunk self-join
+    from rebuilding the fingerprint aggregation once per branch.
     """
-    fp = simhash_fingerprints(spark, documents, bits, n)
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(spark, documents, bits, n)
+    )
     chunk_structs = [
         F.struct(
             F.lit(i).alias("ci"),

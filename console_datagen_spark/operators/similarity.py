@@ -102,14 +102,42 @@ def ivf_topk(
     k: int = 3,
     max_query_id: int = 20,
     centroid_mod: int = 25,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's own cluster (nprobe=1)."""
+    """Approximate top-k: search the query's ``nprobe`` nearest clusters.
+
+    nprobe=1 searches only the query's own cluster; raising it trades
+    candidate volume for recall (the standard IVF knob). Each corpus
+    vector lives in exactly one cluster, so a (query, neighbor) pair is
+    produced at most once regardless of nprobe — no dedup needed. The
+    probe set stays a broadcast (nprobe × queries rows); the corpus side
+    is only ever touched via the cluster equi-join, which a persistent
+    deployment turns into partition pruning (operators/ivf_index.py).
+    """
     assigned = assign_clusters(embeddings, centroid_mod)
-    q = assigned.where(F.col("vec_id") < max_query_id).select(
+    n = with_norm(embeddings)
+    cent = n.where(F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    qbase = n.where(F.col("vec_id") < max_query_id).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        "cluster",
+    )
+    qscored = qbase.join(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "cid",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    q = (
+        qscored.withColumn("rn", F.row_number().over(qw))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cid").alias("cluster"))
     )
     scored = (
         assigned.join(F.broadcast(q), "cluster")
@@ -213,10 +241,68 @@ DUP_LSH_BANDS: tuple[tuple[int, ...], ...] = (
 )
 
 
+def lsh_buckets_multi(
+    embeddings: DataFrame, bands: tuple[tuple[int, ...], ...]
+) -> DataFrame:
+    """(vec_id, band, bucket) for every band in ONE narrow projection.
+
+    The hyperplane vectors are collected to the driver (one tiny collect —
+    #bands × #planes rows, the same O(small) class as k-means centroids)
+    and inlined as literal arrays, so every band's bucket is a plain
+    column expression: one corpus scan, zero joins, zero shuffles. The
+    per-band rows come from exploding a literal-built struct array.
+    Bucket values are identical to ``lsh_buckets`` — same planes, same
+    bit order (plane position within its band), same sign rule.
+    """
+    n = with_norm(embeddings)
+    all_pids = sorted({p for planes in bands for p in planes})
+    plane_vec = {
+        r["vec_id"]: r["v"]
+        for r in n.where(F.col("vec_id").isin(all_pids))
+        .select("vec_id", "v")
+        .collect()
+    }
+    missing = [p for p in all_pids if p not in plane_vec]
+    if missing:
+        raise ValueError(f"hyperplane vec_ids not in corpus: {missing}")
+
+    def band_bucket(planes: tuple[int, ...]):
+        bucket = F.lit(0).cast("long")
+        for bit, pid in enumerate(planes):
+            lit_plane = F.array(*[F.lit(float(x)) for x in plane_vec[pid]])
+            sgn = F.when(dot(F.col("v"), lit_plane) > 0, 1 << bit).otherwise(0)
+            bucket = bucket + sgn.cast("long")
+        return bucket
+
+    band_structs = [
+        F.struct(F.lit(i).alias("band"), band_bucket(planes).alias("bucket"))
+        for i, planes in enumerate(bands)
+    ]
+    return n.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+
+
+def candidate_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
+    """Distinct (vec_a, vec_b) colliding in ≥1 band — equi-join on
+    (band, bucket), never all-pairs. Callers should persist+materialize
+    the result when it feeds a verify join (the self-join otherwise
+    rebuilds the bucket pipeline once per branch)."""
+    ba = buckets.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    bb = buckets.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    return (
+        ba.join(bb, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
 def embedding_dup_pairs_lsh(
     embeddings: DataFrame,
     bands: tuple[tuple[int, ...], ...] = DUP_LSH_BANDS,
     threshold: float = 0.4,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b) near-dup pairs via multi-band sign-LSH — the scale path.
 
@@ -232,21 +318,17 @@ def embedding_dup_pairs_lsh(
     at cosine 0.4 (θ≈66°) that is ~0.25 for r=3 planes, so 4 bands give
     ~68% recall — raise the band count for higher recall, raise r for
     stronger pruning. Precision is exact (every candidate is verified).
+
+    Pass a persisted ``candidates`` frame (from
+    ``candidate_pairs_from_buckets``) to stop the verify join from
+    re-deriving the whole bucket pipeline — the pattern the registered
+    query uses (plans/similarity.py), mirroring the MinHash path.
     """
     n = with_norm(embeddings)
-    buckets = None
-    for band_id, planes in enumerate(bands):
-        b = lsh_buckets(embeddings, planes).select(
-            "vec_id", F.lit(band_id).alias("band"), "bucket"
-        )
-        buckets = b if buckets is None else buckets.unionByName(b)
-    ba = buckets.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
-    bb = buckets.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     cand = (
-        ba.join(bb, ["band", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+        candidates
+        if candidates is not None
+        else candidate_pairs_from_buckets(lsh_buckets_multi(embeddings, bands))
     )
     va = n.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")

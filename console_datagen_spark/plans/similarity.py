@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register_views
 from ..operators import similarity as S
-from .registry import df_query, sql_query
+from .registry import CacheSlot, df_query, sql_query
 
 EMB = ("embeddings",)
 
@@ -98,6 +98,51 @@ df_query(
 )
 
 
+def _ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    return S.ivf_topk(emb, k=3, max_query_id=20, centroid_mod=25, nprobe=2).orderBy(
+        "query_id", "rnk"
+    )
+
+
+df_query(
+    "sim_ivf_multiprobe",
+    _ivf_multiprobe,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        "cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n "
+        "         WHERE vec_id % 25 = 0), "
+        "ascore AS (SELECT n.vec_id, n.v, n.nrm, cid, "
+        "           list_inner_product(n.v, cv) / (n.nrm * cn) AS cos "
+        "           FROM n, cent), "
+        "assigned AS (SELECT vec_id, v, nrm, cid AS cluster FROM "
+        "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "   ORDER BY cos DESC, cid) AS rn FROM ascore) t WHERE rn = 1), "
+        "qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n "
+        "       WHERE vec_id < 20), "
+        "qscore AS (SELECT query_id, qv, qn, cid, "
+        "           list_inner_product(qv, cv) / (qn * cn) AS cos "
+        "           FROM qs, cent), "
+        "probes AS (SELECT query_id, qv, qn, cid AS cluster FROM "
+        "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "   ORDER BY cos DESC, cid) AS rn FROM qscore) t WHERE rn <= 2), "
+        "scored AS (SELECT query_id, a.vec_id AS neighbor_id, "
+        "           list_inner_product(qv, a.v) / (qn * a.nrm) AS cos "
+        "           FROM assigned a JOIN probes USING (cluster) "
+        "           WHERE a.vec_id <> query_id), "
+        "r AS (SELECT query_id, neighbor_id, "
+        "      ROW_NUMBER() OVER (PARTITION BY query_id "
+        "                         ORDER BY cos DESC, neighbor_id) AS rnk "
+        "      FROM scored) "
+        "SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM r "
+        "WHERE rnk <= 3 ORDER BY query_id, rnk"
+    ),
+    tables=EMB,
+    tags=("similarity", "ivf"),
+    doc="IVF top-3 with nprobe=2: two nearest clusters probed per query",
+)
+
+
 def _lsh_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = register_views(spark, sf_dir, EMB)["embeddings"]
     return (
@@ -132,12 +177,20 @@ df_query(
 
 _DUP_BANDS = S.DUP_LSH_BANDS
 
+_emb_cache = CacheSlot()
+
 
 def _emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _emb_cache.release()
     emb = register_views(spark, sf_dir, EMB)["embeddings"]
-    return S.embedding_dup_pairs_lsh(emb, bands=_DUP_BANDS, threshold=0.4).orderBy(
-        "vec_a", "vec_b"
-    )
+    # bucket + candidate frames are consumed by multiple branches (bucket
+    # self-join; candidate verify join): persist AND materialize each so
+    # the sign/bucket pipeline runs exactly once
+    buckets = _emb_cache.hold(S.lsh_buckets_multi(emb, _DUP_BANDS))
+    cand = _emb_cache.hold(S.candidate_pairs_from_buckets(buckets))
+    return S.embedding_dup_pairs_lsh(
+        emb, bands=_DUP_BANDS, threshold=0.4, candidates=cand
+    ).orderBy("vec_a", "vec_b")
 
 
 # bit index per plane = rank of the plane's vec_id within its band — the

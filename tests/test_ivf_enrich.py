@@ -48,6 +48,29 @@ def test_probe_matches_inmemory_ivf(spark, embeddings, index_path):
     assert got == want
 
 
+def test_multiprobe_recall_dominates_single_probe(spark, embeddings):
+    from console_datagen_spark.operators.similarity import brute_force_topk
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(embeddings, k=3, max_query_id=20).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                embeddings, k=3, max_query_id=20, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    # probing more clusters can only widen the candidate set
+    assert r2 >= r1
+    assert r2 > 0.3  # and must find a usable fraction of true neighbors
+
+
 def test_probe_prunes_partitions(spark, embeddings, index_path):
     q = query_vectors(embeddings, max_query_id=5)
     clusters = [r.cluster for r in q.select("cluster").distinct().collect()]

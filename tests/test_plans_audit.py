@@ -20,6 +20,7 @@ CARTESIAN_OK = {
     "dedup_simhash",
     "sim_topk_brute",
     "sim_ivf_topk",
+    "sim_ivf_multiprobe",
     "sim_lsh_buckets",
     "text_tfidf_topk",  # CROSS JOIN with the 1-row n_docs count
 }

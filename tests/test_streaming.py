@@ -189,6 +189,54 @@ def test_activity_chain_across_rounds(spark, now):
     assert rows3 == {0: now, 1: t1}
 
 
+def test_health_http_endpoint(spark, now):
+    """/q/health binds a real port and mirrors Quarkus semantics: SmallRye
+    JSON body, 200 when UP, 503 when DOWN, 404 elsewhere."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from console_datagen_spark.streaming.health_server import HealthServer
+
+    fresh = now - timedelta(minutes=1)
+    act_up = spark.createDataFrame(
+        [("c", "t", 0, 100, fresh)],
+        "cluster STRING, topic STRING, partition INT, count LONG, last_update TIMESTAMP",
+    )
+    state = {"frames": [("Records produced", H.health_summary(act_up, now))]}
+    server = HealthServer(lambda: H.render_health_response(state["frames"]))
+    host, port = server.start()
+    try:
+        with urllib.request.urlopen(f"http://{host}:{port}/q/health") as r:
+            assert r.status == 200
+            body = json.loads(r.read())
+        assert body["status"] == "UP"
+        assert body["checks"][0]["data"]["currentCount"] == 100
+        # live/ready aliases serve the same payload
+        with urllib.request.urlopen(f"http://{host}:{port}/q/health/ready") as r:
+            assert r.status == 200
+
+        # flip to DOWN: stale partition ⇒ 503 with the DOWN body
+        act_down = act_up.withColumn(
+            "last_update", F.lit(now - timedelta(minutes=10))
+        )
+        state["frames"] = [("Records produced", H.health_summary(act_down, now))]
+        try:
+            urllib.request.urlopen(f"http://{host}:{port}/q/health")
+            raise AssertionError("expected HTTP 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert json.loads(e.read())["status"] == "DOWN"
+
+        try:
+            urllib.request.urlopen(f"http://{host}:{port}/other")
+            raise AssertionError("expected HTTP 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.stop()
+
+
 def test_render_health_response_shape(spark, now):
     fresh = now - timedelta(minutes=1)
     act_up = spark.createDataFrame(
