@@ -1,0 +1,35 @@
+"""Bounded per-pipeline caching for multi-consumer intermediate frames.
+
+Several pipelines (MinHash verify, LSH buckets, SimHash fingerprints,
+connected-components labels) build an intermediate that multiple plan
+branches consume; without persist+materialize each branch re-runs the
+whole upstream DAG. A CacheSlot persists those frames AND releases the
+previous run's frames on the next run, so long sessions (bench loops,
+repeated driver checks) hold at most one run's worth of cache per
+pipeline instead of accumulating forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class CacheSlot:
+    def __init__(self) -> None:
+        self._frames: list[DataFrame] = []
+
+    def hold(self, df: DataFrame) -> DataFrame:
+        """Persist + materialize ``df`` and track it for release."""
+        df.persist()
+        df.count()
+        self._frames.append(df)
+        return df
+
+    def adopt(self, df: DataFrame) -> DataFrame:
+        """Track an already-persisted frame for release."""
+        self._frames.append(df)
+        return df
+
+    def release(self) -> None:
+        while self._frames:
+            self._frames.pop().unpersist(blocking=False)

@@ -11,6 +11,29 @@ def tokens(col: Column | str) -> Column:
     return F.split(c, " ")
 
 
+# PII patterns, ordered so broader shapes don't eat narrower ones: the
+# email must go before the bare-number rule, the dotted IP before both.
+# Kept ERE-portable: identical semantics in Spark (global by default) and
+# DuckDB (with the 'g' flag).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact common PII shapes (emails, IPs, phone numbers, long digit
+    runs) with typed placeholder tokens — the standard scrub pass before
+    text lands in a training corpus. Pure chained ``regexp_replace``:
+    whole-stage codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Array of n-token shingles joined by single spaces.
 

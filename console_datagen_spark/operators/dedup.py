@@ -215,6 +215,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, component) for every id in ``pairs`` — near-dup clusters.
+
+    Min-label propagation to a fixpoint: every node starts labelled with
+    its own id; each round takes the min of its label and its neighbors'
+    labels. Converges in ≤ diameter rounds to the exact minimum reachable
+    id, so the label IS the cluster keeper (min doc_id) and every
+    non-label member is the drop list. Deterministic → replayable by the
+    oracle's recursive CTE.
+
+    Scale shape: each round is one equi-join + one min-agg on the edge
+    list (the standard distributed connected-components kernel, à la
+    GraphX/Pregel). Labels are eagerly ``localCheckpoint``ed per round —
+    persist alone does NOT truncate the logical plan, and a self-
+    referencing loop otherwise doubles the plan every round until
+    analysis itself OOMs (observed at ~12 rounds). On a real cluster with
+    flaky executors, swap in reliable ``checkpoint`` with a checkpoint
+    dir. The only driver action per round is the O(1) convergence count.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["id"] == nb_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["component"],
+                    F.coalesce(F.col("nb_min"), labels["component"]),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
 def simhash_fingerprints(
     spark: SparkSession, documents: DataFrame, bits: int = 30, n: int = 3
 ) -> DataFrame:

@@ -138,34 +138,69 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# the full LSH→verify pipeline as a CTE chain ending in ``pairs`` — the
+# pairs query selects from it directly; the components query recurses on it
+_DUCK_PAIRS = (
+    f"{_DUCK_SIG}, "
+    f"bands AS (SELECT doc_id, perm // {_ROWS_PER_BAND} AS band, "
+    f"          SUM((perm % {_ROWS_PER_BAND} + 1) * minhash) % {HASH_PRIME} AS bh "
+    f"          FROM sig GROUP BY doc_id, perm // {_ROWS_PER_BAND}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "         FROM bands a JOIN bands b "
+    "         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter "
+    "          FROM ids a JOIN ids b ON a.tid = b.tid AND a.doc_id < b.doc_id "
+    "          GROUP BY 1, 2), "
+    "pairs AS (SELECT i.doc_a, i.doc_b, "
+    "          CAST(i.inter * 1000 // (sa.sz + sb.sz - i.inter) AS BIGINT) "
+    "          AS jaccard_permille "
+    "          FROM inter i "
+    "          JOIN sizes sa ON i.doc_a = sa.doc_id "
+    "          JOIN sizes sb ON i.doc_b = sb.doc_id "
+    "          JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b "
+    f"         WHERE i.inter * 1000 // (sa.sz + sb.sz - i.inter) "
+    f"               >= {_JACCARD_PERMILLE})"
+)
+
 df_query(
     "dedup_minhash_pairs",
     _minhash_pairs,
     oracle=(
-        f"WITH {_DUCK_SIG}, "
-        f"bands AS (SELECT doc_id, perm // {_ROWS_PER_BAND} AS band, "
-        f"          SUM((perm % {_ROWS_PER_BAND} + 1) * minhash) % {HASH_PRIME} AS bh "
-        f"          FROM sig GROUP BY doc_id, perm // {_ROWS_PER_BAND}), "
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "         FROM bands a JOIN bands b "
-        "         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), "
-        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id), "
-        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter "
-        "          FROM ids a JOIN ids b ON a.tid = b.tid AND a.doc_id < b.doc_id "
-        "          GROUP BY 1, 2) "
-        "SELECT i.doc_a, i.doc_b, "
-        "CAST(i.inter * 1000 // (sa.sz + sb.sz - i.inter) AS BIGINT) "
-        "AS jaccard_permille "
-        "FROM inter i "
-        "JOIN sizes sa ON i.doc_a = sa.doc_id "
-        "JOIN sizes sb ON i.doc_b = sb.doc_id "
-        "JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b "
-        f"WHERE i.inter * 1000 // (sa.sz + sb.sz - i.inter) >= {_JACCARD_PERMILLE} "
-        "ORDER BY i.doc_a, i.doc_b"
+        f"WITH {_DUCK_PAIRS} "
+        "SELECT doc_a, doc_b, jaccard_permille FROM pairs "
+        "ORDER BY doc_a, doc_b"
     ),
     tables=DOCS,
     tags=("dedup", "minhash", "lsh"),
     doc="MinHash+LSH near-dup pairs: band → bucket-join → exact-Jaccard verify",
+)
+
+
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(spark, sf_dir)
+    return D.dup_components(pairs).orderBy("doc_id")
+
+
+df_query(
+    "dedup_components",
+    _components,
+    oracle=(
+        # min reachable id per node = the component's keeper doc
+        f"WITH RECURSIVE {_DUCK_PAIRS}, "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(id, r) AS ("
+        "  SELECT src, src FROM edges "
+        "  UNION "
+        "  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) "
+        "SELECT id AS doc_id, MIN(r) AS component FROM reach "
+        "GROUP BY id ORDER BY doc_id"
+    ),
+    tables=DOCS,
+    tags=("dedup", "components", "iterative"),
+    doc="near-dup clusters: min-label propagation to a fixpoint; the label "
+    "IS the keeper (min doc_id), non-label members are the drop list",
 )
 
 

@@ -32,25 +32,7 @@ class QuerySpec:
     tables: tuple[str, ...] = field(default=())
 
 
-class CacheSlot:
-    """Bounded per-query cache: persists+materializes frames consumed by
-    multiple plan branches, releasing the PREVIOUS run's frames first so a
-    long session (bench loops, repeated driver checks) holds at most one
-    run's worth of cache per query."""
-
-    def __init__(self) -> None:
-        self._frames: list[DataFrame] = []
-
-    def hold(self, df: DataFrame) -> DataFrame:
-        df.persist()
-        df.count()
-        self._frames.append(df)
-        return df
-
-    def release(self) -> None:
-        while self._frames:
-            self._frames.pop().unpersist(blocking=False)
-
+from ..caching import CacheSlot  # re-export for plan modules  # noqa: E402
 
 _REGISTRY: dict[str, QuerySpec] = {}
 

@@ -14,7 +14,10 @@ tiebreak) is what's certified here.
 
 from __future__ import annotations
 
-from .registry import sql_query
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register_views
+from .registry import df_query, sql_query
 
 DOCS = ("documents",)
 
@@ -136,4 +139,82 @@ sql_query(
     tables=DOCS,
     tags=("text", "hash"),
     doc="document fingerprint (content hash prefix; md5 is cross-engine)",
+)
+
+
+def _scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import scrub_pii
+
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    # the fixture corpus is PII-free, so deterministic PII is synthesized
+    # per doc (email + IP + phone + long account number) and the scrub is
+    # certified by replaying the identical construction+redaction in SQL
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10.20."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".9 call 555-867-5309 acct 9000000"),
+            F.col("doc_id").cast("string"),
+        ).alias("raw"),
+    )
+    return raw.select("doc_id", scrub_pii("raw").alias("scrubbed")).orderBy(
+        "doc_id"
+    )
+
+
+def _scrub_oracle() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    expr = "raw"
+    for pattern, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
+    return (
+        "WITH r AS (SELECT doc_id, "
+        "SUBSTR(text, 1, 40) || ' reach user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com or 10.20.' || CAST(doc_id % 200 AS VARCHAR) || "
+        "'.9 call 555-867-5309 acct 9000000' || CAST(doc_id AS VARCHAR) AS raw "
+        "FROM documents) "
+        f"SELECT doc_id, {expr} AS scrubbed FROM r ORDER BY doc_id"
+    )
+
+
+df_query(
+    "text_scrub_pii",
+    _scrub,
+    oracle=_scrub_oracle(),
+    tables=DOCS,
+    tags=("text", "pii"),
+    doc="PII redaction: email/IP/phone/account-number → typed placeholders "
+    "(chained regexp_replace, codegen; north-star curation pass)",
+)
+
+
+# mean token rarity: rarity(tok) = n_docs*1000 DIV doc-frequency (integer
+# permille); a doc full of corpus-rare tokens scores high. The doc-level
+# mean uses SUM DIV COUNT so both engines agree bit-for-bit.
+_RARITY_CORE = (
+    "WITH toks AS (SELECT doc_id, {unnest} AS tok FROM documents), "
+    "df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok), "
+    "nd AS (SELECT COUNT(*) AS n_docs FROM documents), "
+    "scored AS (SELECT doc_id, "
+    "           CAST(n_docs * 1000 {idiv} df AS BIGINT) AS rar "
+    "           FROM toks JOIN df USING (tok) CROSS JOIN nd) "
+    "SELECT doc_id, CAST(SUM(rar) {idiv} COUNT(*) AS BIGINT) "
+    "AS rarity_permille "
+    "FROM scored GROUP BY doc_id ORDER BY doc_id"
+)
+
+sql_query(
+    "text_rarity_score",
+    _RARITY_CORE.format(unnest="explode(split(text, ' '))", idiv="DIV"),
+    oracle=_RARITY_CORE.format(
+        unnest="unnest(string_split(text, ' '))", idiv="//"
+    ),
+    tables=DOCS,
+    tags=("text", "quality"),
+    doc="doc-level mean token rarity (integer permille; df-based novelty score)",
 )

@@ -88,3 +88,30 @@ df_query(
     tags=("window", "streaming", "session"),
     doc="W2: session windows (30m gap) via session_window(); oracle is gaps-and-islands",
 )
+
+from .registry import sql_query  # noqa: E402  (module groups df+sql queries)
+
+# the analytic-function classes q12/q14/q15 don't reach: distribution
+# ranks (ntile/percent_rank/cume_dist — rational outputs are exact k/n
+# double divisions, identical in both engines) and value-picking
+# (first/last/nth_value with an explicit full-partition frame)
+sql_query(
+    "win_analytic_battery",
+    "SELECT user_id, event_id, "
+    "CAST(NTILE(4) OVER w AS INT) AS quartile, "
+    "CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pr, "
+    "CAST(CUME_DIST() OVER w AS DOUBLE) AS cd, "
+    "FIRST_VALUE(event_id) OVER w2 AS first_ev, "
+    "LAST_VALUE(event_id) OVER w2 AS last_ev, "
+    "NTH_VALUE(event_id, 2) OVER w2 AS second_ev, "
+    "LEAD(event_id, 1, CAST(-1 AS BIGINT)) OVER w AS next_ev "
+    "FROM events WHERE user_id < 8 "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id), "
+    "       w2 AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+    "ORDER BY user_id, event_id",
+    tables=EV,
+    tags=("window", "analytic"),
+    doc="analytic battery: ntile/percent_rank/cume_dist + first/last/nth_value "
+    "over explicit frames (§2.7 extension)",
+)

@@ -109,6 +109,31 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, embeddings):
         assert len(lsh) >= len(exact) * 0.3, (len(lsh), len(exact))
 
 
+def test_dup_components_min_label(spark):
+    from console_datagen_spark.operators.dedup import dup_components
+
+    # two chains and an isolated pair: {1,2,3,4} via 1-2,2-3,3-4; {9,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 11)], "doc_a LONG, doc_b LONG"
+    )
+    got = {
+        (r.doc_id, r.component) for r in dup_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (9, 9), (11, 9)}
+
+
+def test_dup_components_converges_on_long_chain(spark):
+    from console_datagen_spark.operators.dedup import dup_components
+
+    # a 12-node path needs ~log-to-diameter rounds; must still hit the
+    # exact min-id fixpoint within max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "doc_a LONG, doc_b LONG"
+    )
+    comps = {r.component for r in dup_components(pairs).collect()}
+    assert comps == {100}
+
+
 def test_simhash_banded_equals_allpairs(spark, sf_dir):
     from console_datagen_spark.catalog import register_views as rv
     from console_datagen_spark.operators.dedup import (
