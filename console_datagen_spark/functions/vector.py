@@ -36,3 +36,21 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def absmax_scale(v: Column) -> Column:
+    """Per-vector max-abs — the int8 quantization scale."""
+    return F.array_max(F.transform(v, F.abs))
+
+
+def quantize_int8(v: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: floor(x·127/scale) per element.
+
+    FLOOR (not round) keeps both engines bit-identical — round-half
+    tie-breaking differs across engines, floor of the identical IEEE
+    double does not. Callers guard scale > 0 (an all-zero vector has no
+    meaningful scale). Dequantization error is bounded by scale/127 per
+    element; at 100 TB this is the cheap ANN-index storage format (4x
+    smaller vectors, integer SIMD distance kernels).
+    """
+    return F.transform(v, lambda x: F.floor(x * 127 / scale).cast("int"))

@@ -33,7 +33,8 @@ _DUCK_SHINGLES = (
 
 _DUCK_IDS = (
     f"{_DUCK_SHINGLES}, "
-    "ids AS (SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT "
+    # DISTINCT post-hash, matching the engine (which dedups on hashed ids)
+    "ids AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT "
     f"        % {HASH_PRIME} AS tid FROM d)"
 )
 

@@ -143,6 +143,39 @@ df_query(
 )
 
 
+def _quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import absmax_scale, quantize_int8, to_double_vec
+
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    v = to_double_vec("embedding")
+    scale = absmax_scale(v)
+    q = quantize_int8(v, scale)
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q"),
+    ).orderBy("vec_id")
+
+
+df_query(
+    "sim_quantize_int8",
+    _quantize,
+    oracle=(
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "s AS (SELECT vec_id, v, "
+        "      list_max(list_transform(v, x -> abs(x))) AS scale FROM e) "
+        "SELECT vec_id, CAST(scale AS DOUBLE) AS scale, "
+        "array_to_string(list_transform(v, "
+        "  x -> CAST(CAST(FLOOR(x * 127 / scale) AS INT) AS VARCHAR)), ',') AS q "
+        "FROM s ORDER BY vec_id"
+    ),
+    tables=EMB,
+    tags=("similarity", "quantize"),
+    doc="symmetric int8 vector quantization (floor, max-abs scale) — the "
+    "compact ANN storage format; exact cross-engine by floor-not-round",
+)
+
+
 def _lsh_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = register_views(spark, sf_dir, EMB)["embeddings"]
     return (
