@@ -34,6 +34,29 @@ def scrub_pii(col: Column | str) -> Column:
     return c
 
 
+def winnow_fingerprint(
+    toks: Column, hash_fn, n: int = 3, window: int = 4
+) -> Column:
+    """MOSS-style winnowing fingerprint set over token shingles.
+
+    Ordered n-token shingle hashes → min of every ``window`` consecutive
+    hashes → distinct sorted mins. Guarantees any shared run of
+    window+n-1 tokens between two documents shares a fingerprint, at
+    ~1/window the storage of the full shingle set. ``hash_fn`` maps a
+    shingle-string Column to an int64 Column (the portable md5 hash, so
+    the oracle replays it). Caller guarantees size(toks) >= n+window-1.
+    """
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(hashes) - (window - 1)),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Array of n-token shingles joined by single spaces.
 

@@ -208,6 +208,95 @@ _RARITY_CORE = (
     "FROM scored GROUP BY doc_id ORDER BY doc_id"
 )
 
+_WINNOW_N, _WINNOW_W = 3, 4
+
+
+def _winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import HASH_PRIME, token_id
+    from ..functions.text import tokens, winnow_fingerprint
+
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    tk = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") >= _WINNOW_N + _WINNOW_W - 1
+    )
+    fp = winnow_fingerprint(
+        F.col("toks"),
+        lambda s: token_id(s) % F.lit(HASH_PRIME),
+        n=_WINNOW_N,
+        window=_WINNOW_W,
+    )
+    return tk.select(
+        "doc_id",
+        F.array_join(
+            F.transform(fp, lambda x: x.cast("string")), ","
+        ).alias("fp"),
+        F.size(fp).alias("n_fp"),
+    ).orderBy("doc_id")
+
+
+def _winnow_oracle() -> str:
+    from ..functions.hashing import HASH_PRIME
+
+    n, w = _WINNOW_N, _WINNOW_W
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        f"FROM documents WHERE len(string_split(text, ' ')) >= {n + w - 1}), "
+        "h AS (SELECT doc_id, "
+        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> ('0x' || substr(md5(array_to_string(toks[i:i+{n - 1}], ' ')), "
+        f"1, 15))::BIGINT % {HASH_PRIME}) AS hs FROM t), "
+        "m AS (SELECT doc_id, list_sort(list_distinct("
+        f"list_transform(generate_series(1, len(hs) - {w - 1}), "
+        f"i -> list_min(hs[i:i+{w - 1}])))) AS fps FROM h) "
+        "SELECT doc_id, "
+        "array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',') "
+        "AS fp, "
+        "CAST(len(fps) AS INT) AS n_fp "
+        "FROM m ORDER BY doc_id"
+    )
+
+
+df_query(
+    "text_winnow",
+    _winnow,
+    oracle=_winnow_oracle(),
+    tables=DOCS,
+    tags=("text", "fingerprint", "winnowing"),
+    doc="winnowing fingerprint sets (rolling min over shingle hashes, "
+    "MOSS-style): guaranteed detection of shared token runs at ~1/w storage",
+)
+
+
+# BPE-ish sub-word segmentation: letter runs / digit runs / single
+# punctuation as separate pieces (the pre-tokenization regex shape GPT-2
+# style BPE uses before merges). Pure POSIX classes so Spark (Java regex)
+# and DuckDB (RE2) agree.
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+sql_query(
+    "text_token_bpe",
+    "SELECT doc_id, "
+    f"CAST(size(regexp_extract_all(text, '{_BPE_PAT}', 0)) AS BIGINT) "
+    "AS n_pieces, "
+    "CAST(size(split(text, ' ')) AS BIGINT) AS n_words, "
+    f"CAST(size(regexp_extract_all(text, '{_BPE_PAT}', 0)) * 1000 "
+    "     DIV size(split(text, ' ')) AS BIGINT) AS pieces_per_kword "
+    "FROM documents ORDER BY doc_id",
+    oracle=(
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) "
+        "AS n_pieces, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+        f"CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) * 1000 "
+        "     // len(string_split(text, ' ')) AS BIGINT) AS pieces_per_kword "
+        "FROM documents ORDER BY doc_id"
+    ),
+    tables=DOCS,
+    tags=("text", "tokenize"),
+    doc="BPE-ish sub-word piece counting (regex pre-tokenizer; north-star "
+    "token-counting tier alongside the whitespace counter)",
+)
+
 sql_query(
     "text_rarity_score",
     _RARITY_CORE.format(unnest="explode(split(text, ' '))", idiv="DIV"),
