@@ -180,35 +180,42 @@ def ngram_jaccard_pairs(
         )
     else:
         d = doc_shingle_ids(documents, n)
-    if candidates is not None:
-        # candidate-driven verify: restrict shingle sets to candidate docs
-        # BEFORE the shared-shingle join — the quadratic stage then touches
-        # only O(candidate) docs instead of every overlapping pair. This is
-        # what makes LSH + verify scale: candidate volume, not corpus size,
-        # drives the cost.
-        cdocs = (
-            candidates.select(F.col("doc_a").alias("doc_id"))
-            .union(candidates.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        d_pairs = d.join(F.broadcast(cdocs), "doc_id", "left_semi")
-    else:
-        d_pairs = d
     sizes = d.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = d_pairs.alias("a"), d_pairs.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.tid") == F.col("b.tid"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        pairs = pairs.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
+        # candidate-driven verify: intersections are computed PER CANDIDATE
+        # PAIR — candidates fan out to (doc_a, doc_b, tid) over doc_a's
+        # shingles, then an equi-join on (doc_b, tid) keeps exactly the
+        # shared ids. The co-shingle pair explosion (a hot shingle shared
+        # by k docs → k²/2 rows) never happens; cost is
+        # Σ|shingles(doc_a)| over candidates, i.e. candidate volume — not
+        # corpus overlap — drives the verify. This is what makes LSH +
+        # verify scale.
+        fan = F.broadcast(candidates.select("doc_a", "doc_b")).join(
+            d.select(F.col("doc_id").alias("doc_a"), "tid"), "doc_a"
+        )
+        pairs = (
+            fan.join(
+                d.select(F.col("doc_id").alias("doc_b"), "tid"),
+                ["doc_b", "tid"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        # no candidate set: the shared-shingle equi-join bounds the pair
+        # space to docs that overlap at all
+        a, b = d.alias("a"), d.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.tid") == F.col("b.tid"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (
