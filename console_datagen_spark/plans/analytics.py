@@ -123,3 +123,35 @@ sql_query(
     tags=("text", "tfidf"),
     doc="tf-idf-style distinctive-term ranking (integer-exact tf*N/df weight)",
 )
+
+# forecast-revenue scan (classic Q6 shape): tight range predicates that must
+# reach the parquet scan as PushedFilters; single global decimal aggregate
+sql_query(
+    "q_forecast_revenue",
+    "SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "         CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(20,4)) "
+    "     AS DOUBLE) AS revenue "
+    "FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24",
+    tables=("lineitem",),
+    tags=("agg", "pushdown"),
+    doc="Q6 shape: range-predicate pushdown + single decimal aggregate",
+)
+
+# order-priority lineitem counts (classic Q12 shape): fact-to-fact join with
+# conditional aggregation over the joined dimension attribute
+sql_query(
+    "q_priority_lineitems",
+    "SELECT l_returnflag, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+    tables=("orders", "lineitem"),
+    tags=("join", "conditional_agg"),
+    doc="Q12 shape: join + priority-conditional counts",
+)

@@ -400,3 +400,75 @@ df_query(
     tags=("multimodal",),
     doc="multimodal decode+feature-extract via mapInPandas (stubbed codec)",
 )
+
+
+# §2.5 grouping-set tier beyond q7's ROLLUP: explicit GROUPING SETS incl.
+# the grand total, with grouping() markers disambiguating "NULL because
+# aggregated away" from data NULLs and a grouping_id-style composite key.
+# Portable verbatim: both engines implement SQL:1999 GROUPING SETS.
+sql_query(
+    "agg_grouping_sets",
+    "SELECT "
+    "CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS et, "
+    "CASE WHEN GROUPING(bucket) = 1 THEN -1 ELSE bucket END AS bucket, "
+    "CAST(GROUPING(event_type) * 2 + GROUPING(bucket) AS BIGINT) AS gid, "
+    "COUNT(*) AS n "
+    "FROM (SELECT event_type, CAST(user_id % 5 AS BIGINT) AS bucket "
+    "      FROM events) t "
+    "GROUP BY GROUPING SETS ((event_type, bucket), (event_type), (bucket), ()) "
+    "ORDER BY gid, et, bucket",
+    tables=("events",),
+    tags=("agg", "grouping_sets"),
+    doc="GROUPING SETS + grouping() markers (§2.5 grouping-set tier)",
+)
+
+# §2.5 CUBE: all 4 grouping combinations over two low-cardinality dims
+sql_query(
+    "agg_cube",
+    "SELECT "
+    "CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END "
+    "AS status, "
+    "CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END "
+    "AS priority, "
+    "COUNT(*) AS n, "
+    "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "     AS DOUBLE) AS total "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) "
+    "ORDER BY status, priority",
+    tables=("orders",),
+    tags=("agg", "cube"),
+    doc="CUBE over two dims with decimal-exact totals (§2.5 grouping-set tier)",
+)
+
+# §2.7/relational breadth: UNPIVOT (wide metrics -> long form). Spark uses
+# the native UNPIVOT clause (stack() under the hood); the DuckDB oracle
+# spells the same relation as a UNION ALL stack — identical rows either way.
+_UNPIVOT_WIDE = (
+    "SELECT o_orderpriority, "
+    "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "     AS DOUBLE) AS total, "
+    "CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+    "     AS DOUBLE) AS maxp, "
+    "CAST(COUNT(*) AS DOUBLE) AS n "
+    "FROM orders GROUP BY o_orderpriority"
+)
+
+sql_query(
+    "unpivot_metrics",
+    f"SELECT o_orderpriority, metric, val FROM ({_UNPIVOT_WIDE}) w "
+    "UNPIVOT (val FOR metric IN (total, maxp, n)) "
+    "ORDER BY o_orderpriority, metric",
+    oracle=(
+        f"WITH w AS ({_UNPIVOT_WIDE}) "
+        "SELECT o_orderpriority, metric, val FROM ("
+        "  SELECT o_orderpriority, 'total' AS metric, total AS val FROM w "
+        "  UNION ALL "
+        "  SELECT o_orderpriority, 'maxp' AS metric, maxp AS val FROM w "
+        "  UNION ALL "
+        "  SELECT o_orderpriority, 'n' AS metric, n AS val FROM w) u "
+        "ORDER BY o_orderpriority, metric"
+    ),
+    tables=("orders",),
+    tags=("reshape", "unpivot"),
+    doc="UNPIVOT wide->long metrics (stack); oracle is the UNION ALL spelling",
+)
