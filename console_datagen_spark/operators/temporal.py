@@ -114,3 +114,37 @@ def range_join_binned(
         .where(F.col(value_col).between(F.col(lo_col), F.col(hi_col)))
         .drop("_bin")
     )
+
+
+def gapfill_time_grid(
+    events: DataFrame,
+    bucket: str = "hour",
+    keys: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Zero-filled time-bucket counts (hypertable-rollup gap fill).
+
+    Builds the dense (bucket x key) grid declaratively — a one-row
+    min/max aggregate exploded via ``sequence()`` cross-joined with the
+    distinct key set — then left-joins the *pre-aggregated* per-bucket
+    counts and coalesces absent buckets to 0. The fact table is touched
+    by exactly two aggregations (bounds, counts); the grid is tiny
+    (buckets x distinct keys) however large the corpus, so the final
+    join broadcasts. No driver-side collect anywhere.
+    """
+    step = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY"}[bucket]
+    b = F.date_trunc(bucket, F.col(ts_col))
+    bounds = events.agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("lo"),
+        F.date_trunc(bucket, F.max(ts_col)).alias("hi"),
+    )
+    grid_ts = bounds.select(
+        F.explode(F.expr(f"sequence(lo, hi, {step})")).alias("ws")
+    )
+    grid = grid_ts.crossJoin(events.select(*keys).distinct())
+    counts = (
+        events.groupBy(b.alias("ws"), *keys).agg(F.count("*").alias("n"))
+    )
+    return grid.join(counts, ["ws", *keys], "left").select(
+        "ws", *keys, F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )

@@ -326,3 +326,52 @@ df_query(
     tags=("dedup", "simhash", "lsh"),
     doc="SimHash near-dup pairs: pigeonhole bit-chunk banding + exact hamming verify",
 )
+
+
+def _edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact edit distance (fuzzy-dedup tier).
+
+    Candidate generation is the same banded MinHash equi-join as
+    dedup_minhash_pairs — O(colliding pairs), never all-pairs — and the
+    quadratic levenshtein kernel runs only on those pairs' texts.
+    """
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    cand = D.lsh_candidate_pairs(
+        spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").alias("edit_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+df_query(
+    "dedup_edit_distance",
+    _edit_distance,
+    oracle=(
+        f"WITH {_DUCK_SIG}, "
+        f"bands AS (SELECT doc_id, perm // {_ROWS_PER_BAND} AS band, "
+        f"          SUM((perm % {_ROWS_PER_BAND} + 1) * minhash) % {HASH_PRIME} AS bh "
+        f"          FROM sig GROUP BY doc_id, perm // {_ROWS_PER_BAND}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "         FROM bands a JOIN bands b "
+        "         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id) "
+        "SELECT c.doc_a, c.doc_b, "
+        "CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist "
+        "FROM cand c "
+        "JOIN documents da ON c.doc_a = da.doc_id "
+        "JOIN documents db ON c.doc_b = db.doc_id "
+        "ORDER BY c.doc_a, c.doc_b"
+    ),
+    tables=DOCS,
+    tags=("dedup", "fuzzy", "lsh"),
+    doc="fuzzy dedup: LSH candidates verified by exact levenshtein distance",
+)

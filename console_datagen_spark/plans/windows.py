@@ -115,3 +115,60 @@ sql_query(
     doc="analytic battery: ntile/percent_rank/cume_dist + first/last/nth_value "
     "over explicit frames (§2.7 extension)",
 )
+
+
+def _gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import gapfill_time_grid
+
+    ev = register_views(spark, sf_dir, EV)["events"]
+    return gapfill_time_grid(ev, bucket="hour", keys=("event_type",)).orderBy(
+        "ws", "event_type"
+    )
+
+
+df_query(
+    "win_gapfill_hours",
+    _gapfill,
+    oracle=(
+        "WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo, "
+        "                       date_trunc('hour', MAX(ts)) AS hi FROM events), "
+        "hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws "
+        "          FROM bounds), "
+        "keys AS (SELECT DISTINCT event_type FROM events), "
+        "counts AS (SELECT date_trunc('hour', ts) AS ws, event_type, "
+        "           COUNT(*) AS n FROM events GROUP BY 1, 2) "
+        "SELECT h.ws, k.event_type, COALESCE(c.n, 0) AS n "
+        "FROM hours h CROSS JOIN keys k "
+        "LEFT JOIN counts c ON c.ws = h.ws AND c.event_type = k.event_type "
+        "ORDER BY h.ws, k.event_type"
+    ),
+    tables=EV,
+    tags=("window", "gapfill"),
+    doc="zero-filled hourly grid (hypertable-rollup gap fill; dense sequence "
+    "cross key set, left join pre-aggregated counts)",
+)
+
+# rolling range-frame window: per-user trailing 1-hour count/sum. The frame
+# is defined on integer epoch-microseconds so both engines evaluate the
+# identical numeric RANGE predicate (DuckDB's epoch() is fractional DOUBLE,
+# epoch_us matches Spark's unix_micros exactly).
+_RANGE_FRAME_CORE = (
+    "SELECT user_id, event_id, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h, "
+    "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(20,2)) "
+    "     AS DOUBLE) AS sum_1h "
+    "FROM (SELECT user_id, event_id, value, {epoch_us} AS eus "
+    "      FROM events WHERE user_id < 50) t "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY eus "
+    "             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) "
+    "ORDER BY user_id, event_id"
+)
+
+sql_query(
+    "win_range_frame",
+    _RANGE_FRAME_CORE.format(epoch_us="unix_micros(ts)"),
+    oracle=_RANGE_FRAME_CORE.format(epoch_us="epoch_us(ts)"),
+    tables=EV,
+    tags=("window", "range_frame"),
+    doc="trailing-1h RANGE frame per user (rolling count + exact decimal sum)",
+)
