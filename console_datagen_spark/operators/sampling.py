@@ -77,3 +77,25 @@ def stratified_sample(
         default_permille
     )
     return df.where(bucket < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_cols: tuple[str, ...],
+    permille: dict[str, int],
+    default_permille: int = 0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample dominant languages).
+
+    The keep decision is still a pure function of (id, salt) — a scan-level
+    filter with no shuffle — but the threshold varies by stratum value, the
+    standard shape for language/source rebalancing of a training corpus.
+    ``permille`` maps the *first* stratum column's value to its rate.
+    """
+    col = F.col(stratum_cols[0])
+    rate: Column = F.lit(default_permille)
+    for value, p in sorted(permille.items()):
+        rate = F.when(col == value, F.lit(p)).otherwise(rate)
+    return df.where(hash_bucket(id_col, salt) < rate)

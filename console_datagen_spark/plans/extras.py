@@ -472,3 +472,61 @@ sql_query(
     tags=("reshape", "unpivot"),
     doc="UNPIVOT wide->long metrics (stack); oracle is the UNION ALL spelling",
 )
+
+
+def _stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    # rebalance: downsample dominant 'en', keep most of the rest
+    out = stratified_sample(
+        docs,
+        "doc_id",
+        ("lang",),
+        permille={"en": 300, "zh": 800},
+        default_permille=600,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+df_query(
+    "sample_stratified",
+    _stratified,
+    oracle=(
+        "SELECT doc_id, lang FROM documents "
+        "WHERE (('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),1,15))"
+        "::BIGINT) % 1000 < "
+        "CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 800 ELSE 600 END "
+        "ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("sampling", "stratified"),
+    doc="per-stratum deterministic rates (language rebalancing; scan-level "
+    "filter, no shuffle)",
+)
+
+# normalize-then-hash dedup (the C4/RefinedWeb-style canonicalization tier):
+# case-fold, strip non-alphanumerics, collapse whitespace, THEN exact-hash.
+# Catches trivially-reformatted duplicates exact dedup misses, with exact
+# dedup's one-shuffle groupBy cost.
+_NORM_SPARK = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ''), ' +', ' ')))"
+)
+_NORM_DUCK = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+)
+
+sql_query(
+    "dedup_normalized",
+    f"SELECT {_NORM_SPARK} AS h, MIN(doc_id) AS keeper, COUNT(*) AS n "
+    "FROM documents GROUP BY 1 ORDER BY h",
+    oracle=(
+        f"SELECT {_NORM_DUCK} AS h, MIN(doc_id) AS keeper, COUNT(*) AS n "
+        "FROM documents GROUP BY 1 ORDER BY h"
+    ),
+    tables=("documents",),
+    tags=("dedup", "normalize"),
+    doc="canonicalize-then-hash dedup (case/punct/whitespace-insensitive)",
+)

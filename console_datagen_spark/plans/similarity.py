@@ -262,3 +262,77 @@ df_query(
     tags=("dedup", "similarity", "lsh"),
     doc="embedding near-dup pairs via 2-band sign-LSH candidates + exact verify",
 )
+
+
+def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF(nprobe=1) against the exact brute-force truth.
+
+    The quality gauge every ANN deployment needs: both pipelines run as
+    declarative plans and a left join + non-null count scores each query.
+    """
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    brute = S.brute_force_topk(emb, k=5, max_query_id=20).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = (
+        S.ivf_topk(emb, k=5, max_query_id=20, centroid_mod=25)
+        .select("query_id", "neighbor_id")
+        .withColumn("m", F.lit(1))
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("m").alias("hits"))
+        .select(
+            "query_id",
+            F.col("hits").cast("long").alias("hits"),
+            (F.col("hits") * 200).cast("long").alias("recall_permille"),
+        )
+        .orderBy("query_id")
+    )
+
+
+df_query(
+    "sim_ivf_recall",
+    _ivf_recall,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n "
+        "      WHERE vec_id < 20), "
+        "bscored AS (SELECT query_id, c.vec_id AS neighbor_id, "
+        "            list_inner_product(qv, c.v) / (qn * c.nrm) AS cos "
+        "            FROM n c, q WHERE c.vec_id <> query_id), "
+        "brute AS (SELECT query_id, neighbor_id FROM "
+        "  (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk "
+        "   FROM bscored) t WHERE rnk <= 5), "
+        "cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n "
+        "         WHERE vec_id % 25 = 0), "
+        "ascore AS (SELECT n.vec_id, n.v, n.nrm, cid, "
+        "           list_inner_product(n.v, cv) / (n.nrm * cn) AS cos "
+        "           FROM n, cent), "
+        "assigned AS (SELECT vec_id, v, nrm, cid AS cluster FROM "
+        "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "   ORDER BY cos DESC, cid) AS rn FROM ascore) t WHERE rn = 1), "
+        "iq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cluster "
+        "       FROM assigned WHERE vec_id < 20), "
+        "iscored AS (SELECT query_id, a.vec_id AS neighbor_id, "
+        "            list_inner_product(qv, a.v) / (qn * a.nrm) AS cos "
+        "            FROM assigned a JOIN iq USING (cluster) "
+        "            WHERE a.vec_id <> query_id), "
+        "ivf AS (SELECT query_id, neighbor_id FROM "
+        "  (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk "
+        "   FROM iscored) t WHERE rnk <= 5), "
+        "hits AS (SELECT b.query_id, COUNT(i.neighbor_id) AS hits "
+        "         FROM brute b LEFT JOIN ivf i "
+        "         ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id "
+        "         GROUP BY b.query_id) "
+        "SELECT query_id, CAST(hits AS BIGINT) AS hits, "
+        "CAST(hits * 200 AS BIGINT) AS recall_permille "
+        "FROM hits ORDER BY query_id"
+    ),
+    tables=EMB,
+    tags=("similarity", "recall"),
+    doc="recall@5 of IVF nprobe=1 vs exact brute force, per query vector",
+)

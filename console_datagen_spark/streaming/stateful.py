@@ -70,3 +70,57 @@ def stateful_counts(envelopes: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---- transformWithState variant (Spark 4 stateful-processor API) ----------
+#
+# Same counter semantics on the successor API: explicit named state
+# variables on a StatefulProcessorHandle, RocksDB-backed state store,
+# and room for timers / TTL / multiple state vars that GroupState lacks.
+# Requires spark.sql.streaming.stateStore.providerClass =
+# RocksDBStateStoreProvider (transformWithState is RocksDB-only).
+
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+
+class CounterProcessor(StatefulProcessor):
+    """Per-(topic, partition) running count + 5000-boundary crossings."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._count = handle.getValueState("count", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        topic, partition = key
+        got = self._count.get() if self._count.exists() else None
+        prev = got[0] if got is not None else 0
+        seen = sum(len(pdf) for pdf in rows)
+        cur = prev + seen
+        self._count.update((cur,))
+        yield pd.DataFrame(
+            {
+                "topic": [topic],
+                "partition": [partition],
+                "count": [cur],
+                "delta": [seen],
+                "thresholds_crossed": [cur // CHECK_EVERY - prev // CHECK_EVERY],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_counts_tws(envelopes: DataFrame) -> DataFrame:
+    """transformWithStateInPandas spelling of ``stateful_counts``."""
+    return (
+        envelopes.select("topic", "partition")
+        .groupBy("topic", "partition")
+        .transformWithStateInPandas(
+            statefulProcessor=CounterProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -1,5 +1,6 @@
 """applyInPandasWithState counter: state persistence + threshold crossings."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from console_datagen_spark.streaming.stateful import stateful_counts
@@ -70,3 +71,55 @@ def test_keys_isolated(spark, tmp_path):
         (r.topic, r.partition): r["count"] for _, r in _run(spark, src, ckpt)
     }
     assert out == {("a", 0): 10, ("a", 1): 20, ("b", 0): 30}
+
+
+def _run_tws(spark, src_dir, ckpt):
+    # transformWithState's Python state-server protocol speaks protobuf;
+    # the container has no protobuf wheel, so this runs only where the
+    # dependency exists (same honest-gap policy as the Kafka connector jar)
+    pytest.importorskip("google.protobuf")
+    from console_datagen_spark.streaming.stateful import stateful_counts_tws
+
+    emitted = []
+
+    def grab(batch_df, batch_id):
+        emitted.extend((batch_id, r) for r in batch_df.collect())
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema("topic STRING, partition INT").parquet(
+            str(src_dir)
+        )
+        q = (
+            stateful_counts_tws(stream)
+            .writeStream.foreachBatch(grab)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return emitted
+
+
+def test_tws_counter_matches_applyinpandas_semantics(spark, tmp_path):
+    """transformWithState spelling: same counts, deltas and crossings,
+    state durable across a checkpointed restart."""
+    src, ckpt = tmp_path / "src3", tmp_path / "ckpt3"
+    _write(spark, src, [("t3", 0)] * 6000 + [("t3", 1)] * 10)
+    out1 = {(r.topic, r.partition): r for _, r in _run_tws(spark, src, ckpt)}
+    assert out1[("t3", 0)]["count"] == 6000
+    assert out1[("t3", 0)].thresholds_crossed == 1
+    assert out1[("t3", 1)]["count"] == 10
+
+    _write(spark, src, [("t3", 0)] * 4500)
+    out2 = {(r.topic, r.partition): r for _, r in _run_tws(spark, src, ckpt)}
+    r = out2[("t3", 0)]
+    assert r["count"] == 10500
+    assert r.delta == 4500
+    assert r.thresholds_crossed == 1  # 6000 -> 10500 crosses 10000 once
