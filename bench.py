@@ -35,6 +35,10 @@ HEADLINE = [
     "sim_ivf_multiprobe",
     "win_tumbling_hour",
     "win_session_30m",
+    "win_gapfill_hours",
+    "win_range_frame",
+    "dedup_edit_distance",
+    "text_decontaminate",
     "q_pricing_summary",
     "q_shipping_priority",
     "q_local_supplier_volume",

@@ -307,3 +307,66 @@ sql_query(
     tags=("text", "quality"),
     doc="doc-level mean token rarity (integer permille; df-based novelty score)",
 )
+
+
+# within-doc repetition ratio (Gopher/RefinedWeb-style quality gate): the
+# fraction of tokens that are repeats of an earlier token in the same doc.
+# High permille = templated/spammy text. Pure array built-ins, no explode:
+# one scan, no shuffle at all.
+sql_query(
+    "text_rep_ratio",
+    "SELECT doc_id, "
+    "CAST((size(l) - size(array_distinct(l))) * 1000 DIV size(l) AS BIGINT) "
+    "AS rep_permille "
+    "FROM (SELECT doc_id, split(text, ' ') AS l FROM documents) t "
+    "ORDER BY doc_id",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST((len(l) - len(list_distinct(l))) * 1000 // len(l) AS BIGINT) "
+        "AS rep_permille "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t "
+        "ORDER BY doc_id"
+    ),
+    tables=DOCS,
+    tags=("text", "quality"),
+    doc="within-doc token-repetition permille (templated-text quality gate; "
+    "shuffle-free array built-ins)",
+)
+
+# benchmark decontamination: flag corpus docs sharing any 8-token run with
+# the holdout set (doc_id % 10 == 0 stands in for the benchmark). The
+# holdout shingle-hash set is orders of magnitude smaller than the corpus,
+# so the membership probe is a broadcast-able semi-join keyed on the hash —
+# at 100 TB the corpus side streams through one equi-join, never a scan of
+# holdout text per doc.
+_DECON_SPARK = (
+    "WITH toks AS (SELECT doc_id, split(text, ' ') AS l FROM documents "
+    "              WHERE size(split(text, ' ')) >= 8), "
+    "sh AS (SELECT doc_id, explode(transform(sequence(1, size(l) - 7), "
+    "       i -> concat_ws(' ', slice(l, i, 8)))) AS s FROM toks), "
+    "ids AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh), "
+    "hold AS (SELECT DISTINCT h FROM ids WHERE doc_id % 10 = 0) "
+    "SELECT i.doc_id, COUNT(*) AS n_shared FROM ids i JOIN hold USING (h) "
+    "WHERE i.doc_id % 10 <> 0 GROUP BY i.doc_id ORDER BY i.doc_id"
+)
+
+sql_query(
+    "text_decontaminate",
+    _DECON_SPARK,
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "              FROM documents "
+        "              WHERE len(string_split(text, ' ')) >= 8), "
+        "sh AS (SELECT doc_id, unnest(list_transform("
+        "       generate_series(1, len(l) - 7), "
+        "       i -> array_to_string(l[i:i+7], ' '))) AS s FROM toks), "
+        "ids AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh), "
+        "hold AS (SELECT DISTINCT h FROM ids WHERE doc_id % 10 = 0) "
+        "SELECT i.doc_id, COUNT(*) AS n_shared FROM ids i JOIN hold USING (h) "
+        "WHERE i.doc_id % 10 <> 0 GROUP BY i.doc_id ORDER BY i.doc_id"
+    ),
+    tables=DOCS,
+    tags=("text", "decontamination", "dedup"),
+    doc="benchmark decontamination: corpus docs sharing an 8-token run with "
+    "the holdout set (hash semi-join; GPT-3-style n-gram overlap check)",
+)
