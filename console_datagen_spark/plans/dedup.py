@@ -328,6 +328,9 @@ df_query(
 )
 
 
+_edit_cache = CacheSlot()
+
+
 def _edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by exact edit distance (fuzzy-dedup tier).
 
@@ -335,9 +338,13 @@ def _edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_pairs — O(colliding pairs), never all-pairs — and the
     quadratic levenshtein kernel runs only on those pairs' texts.
     """
+    _edit_cache.release()
     docs = register_views(spark, sf_dir, DOCS)["documents"]
+    # the signature pipeline consumes the shingle-id set twice (per-band
+    # min aggregation); one materialized copy, same as _minhash_pairs
+    ids = _edit_cache.hold(D.doc_shingle_ids(docs))
     cand = D.lsh_candidate_pairs(
-        spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND
+        spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND, ids_df=ids
     )
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))

@@ -530,3 +530,75 @@ sql_query(
     tags=("dedup", "normalize"),
     doc="canonicalize-then-hash dedup (case/punct/whitespace-insensitive)",
 )
+
+
+# §2.9 interval/date arithmetic battery: interval add, month arithmetic,
+# end-of-month, day diffs, ISO week / quarter / weekday, week truncation.
+# Spark's dayofweek is 1=Sunday..7 while DuckDB's is 0=Sunday..6 — the
+# Spark side subtracts 1 so both emit ISO-ish Monday=1.
+sql_query(
+    "scalar_interval_battery",
+    "SELECT event_id, "
+    "ts + INTERVAL 90 MINUTE AS plus90m, "
+    "CAST(last_day(CAST(ts AS DATE)) AS DATE) AS eom, "
+    "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) "
+    "AS days_since, "
+    "CAST(add_months(CAST(ts AS DATE), 2) AS DATE) AS plus2mo, "
+    "CAST(weekofyear(ts) AS BIGINT) AS woy, "
+    "CAST(dayofweek(ts) - 1 AS BIGINT) AS dow, "
+    "CAST(quarter(ts) AS BIGINT) AS q, "
+    "date_trunc('week', ts) AS wk "
+    "FROM events WHERE event_id < 200 ORDER BY event_id",
+    oracle=(
+        "SELECT event_id, "
+        "ts + INTERVAL 90 MINUTE AS plus90m, "
+        "CAST(last_day(CAST(ts AS DATE)) AS DATE) AS eom, "
+        "CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) "
+        "AS days_since, "
+        "CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo, "
+        "CAST(weekofyear(ts) AS BIGINT) AS woy, "
+        "CAST(dayofweek(ts) AS BIGINT) AS dow, "
+        "CAST(quarter(ts) AS BIGINT) AS q, "
+        "date_trunc('week', ts) AS wk "
+        "FROM events WHERE event_id < 200 ORDER BY event_id"
+    ),
+    tables=("events",),
+    tags=("scalar", "interval"),
+    doc="§2.9 interval/date arithmetic (interval add, add_months, last_day, "
+    "datediff, ISO week/quarter/weekday, week truncation)",
+)
+
+# §2.9 JSON parse battery: Spark's schema-driven from_json (struct, nested
+# struct, array index) certified against DuckDB's JSON-pointer extraction
+# over the identical constructed document.
+sql_query(
+    "scalar_json_parse",
+    "SELECT event_id, CAST(j.a AS BIGINT) AS a, j.b.c AS c, "
+    "CAST(element_at(j.arr, 3) AS BIGINT) AS arr3, "
+    "CAST(json_array_length(get_json_object(js, '$.arr')) AS BIGINT) AS alen "
+    "FROM (SELECT event_id, "
+    "concat('{\"a\":', CAST(event_id * 2 AS STRING), "
+    "',\"b\":{\"c\":\"', event_type, '\"},\"arr\":[1,2,', "
+    "CAST(event_id AS STRING), ']}') AS js, "
+    "from_json(concat('{\"a\":', CAST(event_id * 2 AS STRING), "
+    "',\"b\":{\"c\":\"', event_type, '\"},\"arr\":[1,2,', "
+    "CAST(event_id AS STRING), ']}'), "
+    "'a BIGINT, b STRUCT<c: STRING>, arr ARRAY<BIGINT>') AS j "
+    "FROM events WHERE event_id < 100) s ORDER BY event_id",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(json_extract(js, '$.a') AS BIGINT) AS a, "
+        "json_extract_string(js, '$.b.c') AS c, "
+        "CAST(json_extract(js, '$.arr[2]') AS BIGINT) AS arr3, "
+        "CAST(json_array_length(js, '$.arr') AS BIGINT) AS alen "
+        "FROM (SELECT event_id, "
+        "concat('{\"a\":', CAST(event_id * 2 AS VARCHAR), "
+        "',\"b\":{\"c\":\"', event_type, '\"},\"arr\":[1,2,', "
+        "CAST(event_id AS VARCHAR), ']}') AS js "
+        "FROM events WHERE event_id < 100) s ORDER BY event_id"
+    ),
+    tables=("events",),
+    tags=("scalar", "json"),
+    doc="§2.9 JSON parse: from_json struct/nested/array extraction vs "
+    "JSON-pointer oracle; json_array_length",
+)

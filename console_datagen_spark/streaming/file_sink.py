@@ -39,3 +39,27 @@ def parquet_segment_writer(
         .partitionBy("topic", "seg_start")
         .trigger(processingTime=f"{trigger_seconds} seconds")
     )
+
+
+def idempotent_batch_writer(path: str):
+    """Replay-safe foreachBatch parquet writer (exactly-once file sink).
+
+    Structured Streaming guarantees at-least-once foreachBatch delivery:
+    after a crash between sink write and checkpoint commit, the SAME
+    batch_id is re-delivered. Appending would duplicate it; this writer
+    stamps the batch id as a partition column and dynamically overwrites
+    only that partition, so a replayed batch rewrites its own output
+    in place — the standard exactly-once recipe for file sinks without a
+    transaction log (Delta/Iceberg replace this with a commit protocol).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    return write_batch
