@@ -182,3 +182,36 @@ def _md5_chain_bytes(doc_id: int, n_bytes: int) -> bytes:
         hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest() for i in range(n_blocks)
     )
     return bytes.fromhex(hexes[: n_bytes * 2])
+
+
+def extract_features_permille(media: DataFrame) -> DataFrame:
+    """Hash-checkable twin of ``extract_features``: integer-permille chunk
+    means via pure integer arithmetic (sum*1000 // (n*255)), serialized to
+    a comma-joined string. Exact in any engine — this is what lets the
+    DuckDB oracle certify the mapInPandas decode path itself, not just its
+    row count. Same Arrow-batched kernel shape as the float path.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for c in pdf["content"]:
+                arr = np.frombuffer(bytes(c), dtype=np.uint8)
+                chunks = np.array_split(arr, FEATURE_DIM)
+                feats.append(
+                    ",".join(
+                        str(int(ch.sum(dtype=np.int64)) * 1000 // (len(ch) * 255))
+                        for ch in chunks
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature_permille": feats,
+                }
+            )
+
+    return media.mapInPandas(
+        kernel, schema="doc_id BIGINT, n_bytes INT, feature_permille STRING"
+    )

@@ -602,3 +602,38 @@ sql_query(
     doc="§2.9 JSON parse: from_json struct/nested/array extraction vs "
     "JSON-pointer oracle; json_array_length",
 )
+
+
+def _mm_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    media = M.synth_media(docs, "image", n_bytes=256)
+    return M.extract_features_permille(media).orderBy("doc_id")
+
+
+df_query(
+    "mm_features_checked",
+    _mm_features_checked,
+    oracle=(
+        # replay synth_media's md5-chain bytes and the integer-permille
+        # chunk means entirely in SQL: 16 md5 blocks -> 512 hex chars ->
+        # 256 byte values -> 4 chunks of 64 -> sum*1000 // (64*255)
+        "WITH m AS (SELECT doc_id, substr(array_to_string(list_transform("
+        "  generate_series(0, 15), "
+        "  i -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))), "
+        "  ''), 1, 512) AS hx FROM documents), "
+        "bytes AS (SELECT doc_id, i, "
+        "  ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT AS b "
+        "  FROM m, (SELECT unnest(generate_series(0, 255)) AS i) t), "
+        "chunks AS (SELECT doc_id, i // 64 AS c, SUM(b) AS s, COUNT(*) AS n "
+        "  FROM bytes GROUP BY doc_id, i // 64) "
+        "SELECT doc_id, CAST(256 AS INT) AS n_bytes, "
+        "string_agg(CAST(s * 1000 // (n * 255) AS VARCHAR), ',' ORDER BY c) "
+        "AS feature_permille "
+        "FROM chunks GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "pandas_udf"),
+    doc="multimodal decode+feature path, hash-checked: the mapInPandas "
+    "kernel's integer-permille features vs a full SQL replay of the "
+    "md5-chain bytes (upgrades §2.10 from rows-only certification)",
+)
