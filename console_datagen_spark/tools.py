@@ -49,12 +49,18 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         df.explain("formatted")
     text = buf.getvalue()
     out = PlanSummary(raw=text)
-    out.joins = sorted(set(_JOIN_RE.findall(text)))
-    out.cartesian = "CartesianProduct" in text
-    out.exchanges = len(re.findall(r"^\s*\(\d+\) Exchange", text, re.M)) or text.count(
-        "Exchange "
-    )
-    out.wholestage_spans = len(re.findall(r"WholeStageCodegen", text))
+    # an executed AQE plan prints "== Final Plan ==" then "== Initial
+    # Plan ==" — count operators from the final section only, not twice
+    counted = text.split("== Initial Plan ==")[0]
+    out.joins = sorted(set(_JOIN_RE.findall(counted)))
+    out.cartesian = "CartesianProduct" in counted
+    out.exchanges = len(
+        re.findall(r"^\s*\(\d+\) Exchange", counted, re.M)
+    ) or counted.count("Exchange ")
+    # formatted mode doesn't print WholeStageCodegen nodes; the simple plan
+    # marks fused operators with "*(n)" — count distinct codegen stage ids
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    out.wholestage_spans = len(set(re.findall(r"\*\((\d+)\)", simple)))
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
         out.scans.append({"pushed": m.group(1), "n_cols": None})
     for i, m in enumerate(re.finditer(r"ReadSchema: struct<([^>]*)", text)):
