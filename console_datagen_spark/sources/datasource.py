@@ -209,3 +209,72 @@ class DatagenDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return DatagenStreamReader(_Options(self.options))
+
+
+# ---- counter sink (write side of the Python DataSource API) ---------------
+#
+# The reference counts every produced record in the send callback and
+# keeps a per-(topic, partition) running map (DataGenerator.java:512-520,
+# 548-551). The DataSourceStreamWriter protocol has the same shape:
+# executors return a WriterCommitMessage per task, the driver's commit()
+# folds them — so the counter state lives where the reference's did (the
+# driver), fed by distributed acks, with abort() discarding failed
+# batches (the at-least-once → exactly-once upgrade the reference's
+# fire-and-forget counting lacks).
+
+from pyspark.sql.datasource import (  # noqa: E402  (grouped with writer)
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class CountMessage(WriterCommitMessage):
+    counts: dict  # (topic -> rows written by this task)
+
+
+class CounterStreamWriter(DataSourceStreamWriter):
+    """Counts rows per topic; commit() appends one JSON line per batch to
+    ``path`` (the durable counter log a health check can tail)."""
+
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("console_datagen_counter sink requires .option('path')")
+
+    def write(self, rows) -> CountMessage:
+        counts: dict = {}
+        for r in rows:
+            t = r["topic"] if "topic" in r.__fields__ else "_all"
+            counts[t] = counts.get(t, 0) + 1
+        return CountMessage(counts=counts)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+
+        total: dict = {}
+        for m in messages:
+            if m is None:
+                continue
+            for t, n in m.counts.items():
+                total[t] = total.get(t, 0) + n
+        with open(self._path, "a") as f:
+            f.write(_json.dumps({"batch_id": batchId, "counts": total}) + "\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        # failed batch: counts are discarded, never logged — replay will
+        # re-deliver the same batch_id
+        pass
+
+
+class DatagenCounterSink(DataSource):
+    """``console_datagen_counter`` — register with
+    ``spark.dataSource.register(DatagenCounterSink)`` and use as
+    ``writeStream.format("console_datagen_counter").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "console_datagen_counter"
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return CounterStreamWriter(self.options)

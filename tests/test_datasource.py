@@ -63,3 +63,34 @@ def test_stream_read_resumes_from_offsets(registered, tmp_path):
     run()  # restart: offsets come from the checkpoint, ids must continue
     assert sorted(got) == list(range(len(got)))
     assert len(got) > n_first
+
+
+def test_counter_sink_counts_per_topic(registered, tmp_path):
+    """Generator stream -> counter sink: per-topic counts folded from the
+    executors' commit messages match the records generated."""
+    from console_datagen_spark.sources.datasource import DatagenCounterSink
+
+    spark = registered
+    spark.dataSource.register(DatagenCounterSink)
+    log = tmp_path / "counts.jsonl"
+    q = (
+        spark.readStream.format("console_datagen")
+        .option("rowsPerBatch", 30)
+        .load()
+        .writeStream.format("console_datagen_counter")
+        .option("path", str(log))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import json
+
+    lines = [json.loads(x) for x in log.read_text().splitlines()]
+    assert lines, "no committed batches"
+    total = sum(n for line in lines for n in line["counts"].values())
+    assert total >= 30
+    # round-robin routing: every generated topic appears
+    topics = {t for line in lines for t in line["counts"]}
+    assert len(topics) == 3
