@@ -367,3 +367,74 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFr
         )
         .select("vec_a", "vec_b")
     )
+
+
+def kmeans_int_iterate(
+    embeddings: DataFrame, centroid_mod: int = 25, iterations: int = 2
+) -> DataFrame:
+    """Integer-exact Lloyd k-means — the hash-checkable iterative tier.
+
+    The float variant (``kmeans_iterate``) can't be oracle-hash-checked:
+    float mean accumulation is partition-order-dependent. This variant is
+    exact end-to-end, so DuckDB replays it bit-for-bit:
+
+    - vectors become integer permille components (floor(x*1000) — the
+      double multiply and floor are IEEE-identical in both engines);
+    - assignment maximizes the raw integer dot product (magnitudes stay
+      within 2^53, so even a double-typed sum is exact), ties broken by
+      smallest centroid id;
+    - centroid update is the elementwise floor-division mean
+      (sum DIV count), which keeps centroids integer vectors.
+
+    Plan shape per iteration: one broadcast of k centroid rows for the
+    argmax join + one posexplode/groupBy for the means — both linear in
+    corpus size, no driver round-trips inside the loop.
+    """
+    iv = embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("iv"),
+    )
+    cents = iv.where(F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dp").desc(), F.col("cid"))
+    assigned = None
+    for _ in range(iterations):
+        scored = iv.join(F.broadcast(cents)).select(
+            "vec_id",
+            "iv",
+            "cid",
+            F.aggregate(
+                F.zip_with(F.col("iv"), F.col("cv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dp"),
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "iv", F.col("cid").alias("cluster"))
+        )
+        cents = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("iv")).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            # floor, not cast-truncation: means of negative components
+            # must round toward -inf identically in the DuckDB replay
+            .agg(F.floor(F.sum("val") / F.count("*")).cast("long").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s.getField("m"),
+                ).alias("cv")
+            )
+            .select(F.col("cluster").alias("cid"), "cv")
+        )
+    return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))

@@ -336,3 +336,47 @@ df_query(
     tags=("similarity", "recall"),
     doc="recall@5 of IVF nprobe=1 vs exact brute force, per query vector",
 )
+
+
+def _kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    return S.kmeans_int_iterate(emb, centroid_mod=25, iterations=2).orderBy(
+        "vec_id"
+    )
+
+
+def _duck_kmeans_iter(src_e: str, src_c: str, out_a: str, out_c: str) -> str:
+    """One Lloyd iteration: argmax-dot assignment + floor-mean update."""
+    return (
+        f"{out_a} AS (SELECT vec_id, iv, cid AS cluster FROM ("
+        f"  SELECT e.vec_id, e.iv, c.cid, "
+        f"  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+        f"    list_inner_product(e.iv, c.cv) DESC, c.cid) AS rn "
+        f"  FROM {src_e} e, {src_c} c) t WHERE rn = 1), "
+        f"{out_c}_m AS (SELECT cluster, i, "
+        f"  CAST(FLOOR(CAST(SUM(iv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m "
+        f"  FROM {out_a}, (SELECT unnest(generate_series(1, 64)) AS i) d "
+        f"  GROUP BY cluster, i), "
+        f"{out_c} AS (SELECT cluster AS cid, list(m ORDER BY i) AS cv "
+        f"  FROM {out_c}_m GROUP BY cluster)"
+    )
+
+
+df_query(
+    "sim_kmeans_int",
+    _kmeans_int,
+    oracle=(
+        "WITH e0 AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "  x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS iv FROM embeddings), "
+        "c0 AS (SELECT vec_id AS cid, iv AS cv FROM e0 WHERE vec_id % 25 = 0), "
+        f"{_duck_kmeans_iter('e0', 'c0', 'a1', 'c1')}, "
+        f"{_duck_kmeans_iter('e0', 'c1', 'a2', 'c2')} "
+        "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a2 "
+        "ORDER BY vec_id"
+    ),
+    tables=EMB,
+    tags=("similarity", "iterative", "kmeans"),
+    doc="integer-exact Lloyd k-means (2 iterations): permille vectors, "
+    "argmax-dot assignment, floor-mean centroids — the iterative tier "
+    "hash-checked (the float variant stays rows-only by design)",
+)
