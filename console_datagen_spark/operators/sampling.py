@@ -82,7 +82,7 @@ def stratified_sample(
 def stratified_sample(
     df: DataFrame,
     id_col: str,
-    stratum_cols: tuple[str, ...],
+    stratum_cols: str | tuple[str, ...],
     permille: dict[str, int],
     default_permille: int = 0,
     salt: str = "v1",
@@ -94,6 +94,8 @@ def stratified_sample(
     standard shape for language/source rebalancing of a training corpus.
     ``permille`` maps the *first* stratum column's value to its rate.
     """
+    if isinstance(stratum_cols, str):
+        stratum_cols = (stratum_cols,)
     col = F.col(stratum_cols[0])
     rate: Column = F.lit(default_permille)
     for value, p in sorted(permille.items()):
