@@ -155,3 +155,56 @@ sql_query(
     tags=("join", "conditional_agg"),
     doc="Q12 shape: join + priority-conditional counts",
 )
+
+# returned-item customer ranking (classic Q10 shape): 3-way join with a
+# selective fact predicate, grouped revenue, top-N
+sql_query(
+    "q_top_customers",
+    "SELECT c_custkey, c_name, n_name, "
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "         (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(20,4)) "
+    "     AS DOUBLE) AS revenue "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    tables=("customer", "orders", "lineitem", "nation"),
+    tags=("join", "topn"),
+    doc="Q10 shape: selective fact predicate + 3-way star join + top-N",
+)
+
+# FULL OUTER join (the one outer-join class q9's left join doesn't reach):
+# per-day click vs purchase volumes, either side may be absent
+sql_query(
+    "join_full_outer",
+    "SELECT COALESCE(c.d, p.d) AS d, "
+    "COALESCE(c.clicks, 0) AS clicks, COALESCE(p.buys, 0) AS buys "
+    "FROM (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS clicks FROM events "
+    "      WHERE event_type = 'click' AND user_id < 40 GROUP BY 1) c "
+    "FULL OUTER JOIN "
+    "     (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS buys FROM events "
+    "      WHERE event_type = 'purchase' AND user_id < 10 GROUP BY 1) p "
+    "ON c.d = p.d ORDER BY d",
+    tables=("events",),
+    tags=("join", "outer"),
+    doc="FULL OUTER join with COALESCE defaults on both absent sides",
+)
+
+# correlated LATERAL subquery: per region, the top-2 nations by customer
+# count — the decorrelation tier beyond EXISTS/IN (Catalyst rewrites the
+# lateral to a ranked join)
+sql_query(
+    "join_lateral_topk",
+    "SELECT r_name, t.n_name, t.n_customers FROM region, "
+    "LATERAL (SELECT n_name, COUNT(*) AS n_customers "
+    "         FROM nation JOIN customer ON c_nationkey = n_nationkey "
+    "         WHERE n_regionkey = r_regionkey "
+    "         GROUP BY n_name ORDER BY n_customers DESC, n_name LIMIT 2) t "
+    "ORDER BY r_name, t.n_customers DESC, t.n_name",
+    tables=("region", "nation", "customer"),
+    tags=("join", "lateral"),
+    doc="correlated LATERAL top-2-per-group (decorrelated ranked join)",
+)
