@@ -637,3 +637,58 @@ df_query(
     "kernel's integer-permille features vs a full SQL replay of the "
     "md5-chain bytes (upgrades §2.10 from rows-only certification)",
 )
+
+
+# Spark 4 VARIANT tier: parse_json into the binary VARIANT encoding,
+# typed variant_get extraction (incl. array index), try_variant_get's
+# NULL on a missing path. The oracle reads the same document with
+# DuckDB's JSON pointers — semantics match, storage differs by design.
+sql_query(
+    "scalar_variant_battery",
+    "SELECT event_id, "
+    "CAST(variant_get(parse_json(props), '$.k', 'bigint') AS BIGINT) AS k, "
+    "CAST(variant_get(parse_json(concat('{\"w\":[10,20,', "
+    "CAST(event_id AS STRING), ']}')), '$.w[2]', 'bigint') AS BIGINT) AS w2, "
+    "CAST(try_variant_get(parse_json(props), '$.missing', 'bigint') "
+    "     AS BIGINT) AS absent "
+    "FROM events WHERE event_id < 100 ORDER BY event_id",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+        "CAST(json_extract(concat('{\"w\":[10,20,', "
+        "CAST(event_id AS VARCHAR), ']}'), '$.w[2]') AS BIGINT) AS w2, "
+        "CAST(json_extract(props, '$.missing') AS BIGINT) AS absent "
+        "FROM events WHERE event_id < 100 ORDER BY event_id"
+    ),
+    tables=("events",),
+    tags=("scalar", "variant"),
+    doc="Spark 4 VARIANT: parse_json + typed variant_get / try_variant_get "
+    "vs JSON-pointer oracle",
+)
+
+# Spark 4 collation tier: UTF8_LCASE comparisons evaluated per row (the
+# oracle lowercases both sides — identical ASCII semantics). Aggregated
+# into one deterministic summary row plus per-row booleans.
+sql_query(
+    "scalar_collation_battery",
+    "SELECT event_id, "
+    "upper(event_type) = event_type COLLATE UTF8_LCASE AS eq_ci, "
+    "startswith(upper(event_type) COLLATE UTF8_LCASE, substr(event_type, 1, 2)) "
+    "AS prefix_ci, "
+    "CAST(CASE WHEN upper(event_type) COLLATE UTF8_LCASE > event_type "
+    "     THEN 1 ELSE 0 END AS INT) AS gt_ci "
+    "FROM events WHERE event_id < 100 ORDER BY event_id",
+    oracle=(
+        "SELECT event_id, "
+        "lower(upper(event_type)) = lower(event_type) AS eq_ci, "
+        "starts_with(lower(upper(event_type)), lower(substr(event_type, 1, 2))) "
+        "AS prefix_ci, "
+        "CAST(CASE WHEN lower(upper(event_type)) > lower(event_type) "
+        "     THEN 1 ELSE 0 END AS INT) AS gt_ci "
+        "FROM events WHERE event_id < 100 ORDER BY event_id"
+    ),
+    tables=("events",),
+    tags=("scalar", "collation"),
+    doc="Spark 4 collations: UTF8_LCASE equality/prefix/ordering vs "
+    "lowercased oracle",
+)
