@@ -44,6 +44,7 @@ HEADLINE = [
     "q_local_supplier_volume",
     "text_tfidf_topk",
     "pipeline_curation",
+    "pipeline_training_mix",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 

@@ -208,3 +208,17 @@ sql_query(
     tags=("join", "lateral"),
     doc="correlated LATERAL top-2-per-group (decorrelated ranked join)",
 )
+
+# order-priority checking (classic Q4 shape): EXISTS semi-join + grouped
+# priority counts — the semi-join complement to q10's anti-join
+sql_query(
+    "q_order_priority",
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders o "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l "
+    "              WHERE l.l_orderkey = o.o_orderkey "
+    "              AND l.l_returnflag = 'R') "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    tables=("orders", "lineitem"),
+    tags=("join", "semi"),
+    doc="Q4 shape: EXISTS semi-join + priority histogram",
+)

@@ -81,3 +81,105 @@ sql_query(
     tags=("quality", "validation"),
     doc="data-quality gate: nulls / key uniqueness / FK orphans / domain checks",
 )
+
+
+# ---- query #100: the full training-mix pipeline, fused -------------------
+#
+# Exact-dedup keepers -> repetition/length quality gate -> 8-gram holdout
+# decontamination -> per-language stratified mix -> token-budget report.
+# One declarative plan: Catalyst fuses the gates into the scans, the only
+# shuffles are the two hash groupBys (dedup keys, shingle ids) and the
+# final 5-row aggregate. This is the corpus-curation recipe end-to-end —
+# every stage individually certified elsewhere, composed here.
+
+_MIX_SPARK = """
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+base AS (
+  SELECT d.doc_id, d.lang, split(d.text, ' ') AS l
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+),
+quality AS (
+  SELECT doc_id, lang, l FROM base
+  WHERE size(l) >= 20
+    AND (size(l) - size(array_distinct(l))) * 1000 DIV size(l) < 700
+),
+sh AS (
+  SELECT doc_id, explode(transform(sequence(1, size(l) - 7),
+         i -> concat_ws(' ', slice(l, i, 8)))) AS s
+  FROM (SELECT doc_id, l FROM base WHERE size(l) >= 8) b
+),
+ids AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
+hold AS (SELECT DISTINCT h FROM ids WHERE doc_id % 10 = 0),
+contaminated AS (
+  SELECT DISTINCT i.doc_id FROM ids i JOIN hold USING (h)
+  WHERE i.doc_id % 10 <> 0
+),
+clean AS (
+  SELECT q.doc_id, q.lang, q.l FROM quality q
+  WHERE q.doc_id % 10 <> 0
+    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id)
+),
+sampled AS (
+  SELECT doc_id, lang, size(l) AS toks FROM clean
+  WHERE CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 15),
+             16, 10) AS BIGINT) % 1000
+        < CASE lang WHEN 'en' THEN 400 ELSE 900 END
+)
+SELECT lang, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+       CAST(SUM(toks) * 1000 DIV (SELECT SUM(toks) FROM sampled) AS BIGINT)
+         AS token_share_permille
+FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+_MIX_DUCK = """
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+base AS (
+  SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS l
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+),
+quality AS (
+  SELECT doc_id, lang, l FROM base
+  WHERE len(l) >= 20
+    AND (len(l) - len(list_distinct(l))) * 1000 // len(l) < 700
+),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 7),
+         i -> array_to_string(l[i:i+7], ' '))) AS s
+  FROM (SELECT doc_id, l FROM base WHERE len(l) >= 8) b
+),
+ids AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
+hold AS (SELECT DISTINCT h FROM ids WHERE doc_id % 10 = 0),
+contaminated AS (
+  SELECT DISTINCT i.doc_id FROM ids i JOIN hold USING (h)
+  WHERE i.doc_id % 10 <> 0
+),
+clean AS (
+  SELECT q.doc_id, q.lang, q.l FROM quality q
+  WHERE q.doc_id % 10 <> 0
+    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id)
+),
+sampled AS (
+  SELECT doc_id, lang, len(l) AS toks FROM clean
+  WHERE (('0x' || substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 15))
+          ::BIGINT) % 1000
+        < CASE lang WHEN 'en' THEN 400 ELSE 900 END
+)
+SELECT lang, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+       CAST(SUM(toks) * 1000 // (SELECT SUM(toks) FROM sampled) AS BIGINT)
+         AS token_share_permille
+FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+sql_query(
+    "pipeline_training_mix",
+    _MIX_SPARK,
+    oracle=_MIX_DUCK,
+    tables=("documents",),
+    tags=("pipeline", "dedup", "quality", "decontamination", "sampling"),
+    doc="fused corpus-curation pipeline: exact dedup -> quality gate -> "
+    "8-gram decontamination -> per-language stratified mix -> token report",
+)
