@@ -18,10 +18,19 @@ class CacheSlot:
     def __init__(self) -> None:
         self._frames: list[DataFrame] = []
 
-    def hold(self, df: DataFrame) -> DataFrame:
-        """Persist + materialize ``df`` and track it for release."""
+    def hold(self, df: DataFrame, materialize: bool = True) -> DataFrame:
+        """Persist ``df`` and track it for release.
+
+        ``materialize=True`` runs a blocking count — needed when separate
+        *driver-side* consumers would otherwise race to build the cache.
+        When all consumers live inside one subsequent job DAG, pass
+        ``materialize=False``: the first job fills the cache in-flight and
+        the extra count job is pure overhead (~40% of the MinHash pipeline
+        at bench scale).
+        """
         df.persist()
-        df.count()
+        if materialize:
+            df.count()
         self._frames.append(df)
         return df
 

@@ -119,17 +119,14 @@ _minhash_cache = CacheSlot()
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _minhash_cache.release()
     docs = register_views(spark, sf_dir, DOCS)["documents"]
-    # materialize the integer shingle-id set once — signatures, sizes and
-    # the verify join all reuse it instead of re-exploding the corpus
-    # three times (ids, not strings: the downstream self-join shuffles
-    # BIGINTs). Candidates likewise: consumed twice by the verify stage
-    # (doc-set restriction + final semi-join); a lazy cache alone leaves
-    # both consumers racing to build it and benches ~5x slower.
-    ids = _minhash_cache.hold(D.doc_shingle_ids(docs))
-    cand = _minhash_cache.hold(
-        D.lsh_candidate_pairs(
-            spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND, ids_df=ids
-        )
+    # persist the integer shingle-id set LAZILY: signatures, sizes and the
+    # per-pair verify all consume it inside the one downstream job DAG, so
+    # the first job fills the cache in flight — an eager count here (and a
+    # candidate cache: candidates are consumed exactly once by the fanout
+    # join) measured ~40% overhead on the whole pipeline at sf0.1.
+    ids = _minhash_cache.hold(D.doc_shingle_ids(docs), materialize=False)
+    cand = D.lsh_candidate_pairs(
+        spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND, ids_df=ids
     )
     return D.ngram_jaccard_pairs(
         docs,
@@ -299,9 +296,10 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _simhash_cache.release()
     docs = register_views(spark, sf_dir, DOCS)["documents"]
     # one row per doc; the chunk self-join would otherwise rebuild the
-    # fingerprint aggregation once per join branch
+    # fingerprint aggregation once per join branch (both branches live in
+    # the same job, so a lazy persist fills on first use — no count job)
     fp = _simhash_cache.hold(
-        D.simhash_fingerprints(spark, docs, bits=_PAIR_BITS)
+        D.simhash_fingerprints(spark, docs, bits=_PAIR_BITS), materialize=False
     )
     return D.simhash_pairs_banded(
         spark, docs, max_hamming=_MAX_HAMMING, bits=_PAIR_BITS, fingerprints=fp
@@ -341,8 +339,8 @@ def _edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     _edit_cache.release()
     docs = register_views(spark, sf_dir, DOCS)["documents"]
     # the signature pipeline consumes the shingle-id set twice (per-band
-    # min aggregation); one materialized copy, same as _minhash_pairs
-    ids = _edit_cache.hold(D.doc_shingle_ids(docs))
+    # min aggregation); lazily-persisted copy, same as _minhash_pairs
+    ids = _edit_cache.hold(D.doc_shingle_ids(docs), materialize=False)
     cand = D.lsh_candidate_pairs(
         spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND, ids_df=ids
     )

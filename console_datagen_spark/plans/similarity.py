@@ -219,8 +219,8 @@ def _emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket + candidate frames are consumed by multiple branches (bucket
     # self-join; candidate verify join): persist AND materialize each so
     # the sign/bucket pipeline runs exactly once
-    buckets = _emb_cache.hold(S.lsh_buckets_multi(emb, _DUP_BANDS))
-    cand = _emb_cache.hold(S.candidate_pairs_from_buckets(buckets))
+    buckets = _emb_cache.hold(S.lsh_buckets_multi(emb, _DUP_BANDS), materialize=False)
+    cand = S.candidate_pairs_from_buckets(buckets)
     return S.embedding_dup_pairs_lsh(
         emb, bands=_DUP_BANDS, threshold=0.4, candidates=cand
     ).orderBy("vec_a", "vec_b")
