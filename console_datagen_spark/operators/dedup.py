@@ -189,8 +189,10 @@ def ngram_jaccard_pairs(
         # by k docs → k²/2 rows) never happens; cost is
         # Σ|shingles(doc_a)| over candidates, i.e. candidate volume — not
         # corpus overlap — drives the verify. This is what makes LSH +
-        # verify scale.
-        fan = F.broadcast(candidates.select("doc_a", "doc_b")).join(
+        # verify scale. No broadcast hint: candidate volume is unbounded
+        # (hot buckets are quadratic in bucket size), so let AQE pick the
+        # strategy from the measured candidate size at runtime.
+        fan = candidates.select("doc_a", "doc_b").join(
             d.select(F.col("doc_id").alias("doc_a"), "tid"), "doc_a"
         )
         pairs = (

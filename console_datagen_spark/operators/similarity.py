@@ -242,7 +242,9 @@ DUP_LSH_BANDS: tuple[tuple[int, ...], ...] = (
 
 
 def lsh_buckets_multi(
-    embeddings: DataFrame, bands: tuple[tuple[int, ...], ...]
+    embeddings: DataFrame,
+    bands: tuple[tuple[int, ...], ...],
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, band, bucket) for every band in ONE narrow projection.
 
@@ -250,11 +252,16 @@ def lsh_buckets_multi(
     #bands × #planes rows, the same O(small) class as k-means centroids)
     and inlined as literal arrays, so every band's bucket is a plain
     column expression: one corpus scan, zero joins, zero shuffles. The
-    per-band rows come from exploding a literal-built struct array.
-    Bucket values are identical to ``lsh_buckets`` — same planes, same
-    bit order (plane position within its band), same sign rule.
+    per-band rows come from computing each band's bucket as its own
+    column, then ``stack``-unpivoting — the generator runs over scalar
+    LONGs, so no struct-array gets materialized per row. Bucket values
+    are identical to ``lsh_buckets`` — same planes, same bit order
+    (plane position within its band), same sign rule.
+
+    Pass ``normed`` (a held ``with_norm`` frame) to share the norm
+    projection with downstream verify joins instead of recomputing it.
     """
-    n = with_norm(embeddings)
+    n = normed if normed is not None else with_norm(embeddings)
     all_pids = sorted({p for planes in bands for p in planes})
     plane_vec = {
         r["vec_id"]: r["v"]
@@ -274,20 +281,22 @@ def lsh_buckets_multi(
             bucket = bucket + sgn.cast("long")
         return bucket
 
-    band_structs = [
-        F.struct(F.lit(i).alias("band"), band_bucket(planes).alias("bucket"))
-        for i, planes in enumerate(bands)
-    ]
-    return n.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("vec_id", "bb.band", "bb.bucket")
+    per_band = n.select(
+        "vec_id",
+        *[band_bucket(planes).alias(f"_b{i}") for i, planes in enumerate(bands)],
+    )
+    stack_args = ", ".join(f"{i}, _b{i}" for i in range(len(bands)))
+    return per_band.selectExpr(
+        "vec_id", f"stack({len(bands)}, {stack_args}) AS (band, bucket)"
+    ).selectExpr("vec_id", "CAST(band AS INT) AS band", "bucket")
 
 
 def candidate_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
     """Distinct (vec_a, vec_b) colliding in ≥1 band — equi-join on
-    (band, bucket), never all-pairs. Callers should persist+materialize
-    the result when it feeds a verify join (the self-join otherwise
-    rebuilds the bucket pipeline once per branch)."""
+    (band, bucket), never all-pairs. Persist the *buckets* input (both
+    join sides read it); the pair result itself is consumed once by the
+    verify join, so holding it is optional — measured indifferent at
+    bench scale."""
     ba = buckets.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     bb = buckets.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     return (
@@ -303,6 +312,7 @@ def embedding_dup_pairs_lsh(
     bands: tuple[tuple[int, ...], ...] = DUP_LSH_BANDS,
     threshold: float = 0.4,
     candidates: DataFrame | None = None,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b) near-dup pairs via multi-band sign-LSH — the scale path.
 
@@ -321,14 +331,16 @@ def embedding_dup_pairs_lsh(
 
     Pass a persisted ``candidates`` frame (from
     ``candidate_pairs_from_buckets``) to stop the verify join from
-    re-deriving the whole bucket pipeline — the pattern the registered
-    query uses (plans/similarity.py), mirroring the MinHash path.
+    re-deriving the whole bucket pipeline, and a held ``normed`` frame so
+    the norm projection is computed once for buckets AND both verify
+    sides — the pattern the registered query uses (plans/similarity.py),
+    mirroring the MinHash path.
     """
-    n = with_norm(embeddings)
+    n = normed if normed is not None else with_norm(embeddings)
     cand = (
         candidates
         if candidates is not None
-        else candidate_pairs_from_buckets(lsh_buckets_multi(embeddings, bands))
+        else candidate_pairs_from_buckets(lsh_buckets_multi(embeddings, bands, normed=n))
     )
     va = n.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")

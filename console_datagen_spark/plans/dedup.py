@@ -119,12 +119,13 @@ _minhash_cache = CacheSlot()
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _minhash_cache.release()
     docs = register_views(spark, sf_dir, DOCS)["documents"]
-    # persist the integer shingle-id set LAZILY: signatures, sizes and the
-    # per-pair verify all consume it inside the one downstream job DAG, so
-    # the first job fills the cache in flight — an eager count here (and a
-    # candidate cache: candidates are consumed exactly once by the fanout
-    # join) measured ~40% overhead on the whole pipeline at sf0.1.
-    ids = _minhash_cache.hold(D.doc_shingle_ids(docs), materialize=False)
+    # persist AND materialize the integer shingle-id set: signatures, sizes
+    # and the per-pair verify are parallel stages of the downstream job, and
+    # racing stages rebuild an unmaterialized persist on a cold run (measured
+    # ~2x cold-run cost lazy vs eager at sf0.1; warm runs converge, which is
+    # how the earlier "lazy is faster" reading went wrong). Candidates stay
+    # unheld — consumed exactly once by the verify fanout.
+    ids = _minhash_cache.hold(D.doc_shingle_ids(docs))
     cand = D.lsh_candidate_pairs(
         spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND, ids_df=ids
     )

@@ -216,13 +216,18 @@ _emb_cache = CacheSlot()
 def _emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     _emb_cache.release()
     emb = register_views(spark, sf_dir, EMB)["embeddings"]
-    # bucket + candidate frames are consumed by multiple branches (bucket
-    # self-join; candidate verify join): persist AND materialize each so
-    # the sign/bucket pipeline runs exactly once
-    buckets = _emb_cache.hold(S.lsh_buckets_multi(emb, _DUP_BANDS), materialize=False)
+    # the norm projection feeds the bucket pipeline AND both verify-join
+    # sides — three racing consumers in one job, so persist+materialize it
+    # (same cold-run race as the MinHash shingle-id cache). The bucket
+    # frame feeds the candidate self-join twice; a lazy persist suffices
+    # there (both self-join sides sit in one stage lineage).
+    normed = _emb_cache.hold(S.with_norm(emb))
+    buckets = _emb_cache.hold(
+        S.lsh_buckets_multi(emb, _DUP_BANDS, normed=normed), materialize=False
+    )
     cand = S.candidate_pairs_from_buckets(buckets)
     return S.embedding_dup_pairs_lsh(
-        emb, bands=_DUP_BANDS, threshold=0.4, candidates=cand
+        emb, bands=_DUP_BANDS, threshold=0.4, candidates=cand, normed=normed
     ).orderBy("vec_a", "vec_b")
 
 
