@@ -218,11 +218,13 @@ def ngram_jaccard_pairs(
             )
             .agg(F.count("*").alias("inter"))
         )
+    # sizes is one row per document — unbounded at corpus scale, so no
+    # broadcast hint here either; AQE broadcasts it when it measures small
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -239,6 +241,7 @@ def dup_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, component) for every id in ``pairs`` — near-dup clusters.
 
@@ -251,29 +254,46 @@ def dup_components(
 
     Scale shape: each round is one equi-join + one min-agg on the edge
     list (the standard distributed connected-components kernel, à la
-    GraphX/Pregel). Labels are eagerly ``localCheckpoint``ed per round —
-    persist alone does NOT truncate the logical plan, and a self-
-    referencing loop otherwise doubles the plan every round until
-    analysis itself OOMs (observed at ~12 rounds). On a real cluster with
-    flaky executors, swap in reliable ``checkpoint`` with a checkpoint
-    dir. The only driver action per round is the O(1) convergence count.
+    GraphX/Pregel). Labels are eagerly checkpointed per round — persist
+    alone does NOT truncate the logical plan, and a self-referencing loop
+    otherwise doubles the plan every round until analysis itself OOMs
+    (observed at ~12 rounds). By default the checkpoint is executor-local
+    (fast, lost with an executor); pass ``checkpoint_dir`` on a real
+    cluster with flaky executors to get reliable fault-tolerant
+    checkpoints instead. The only driver action per round is the O(1)
+    convergence count.
+
+    Raises ``RuntimeError`` if the loop hits ``max_iter`` without
+    converging (a component with diameter > max_iter): returning the
+    partial labels would silently disagree with the exact oracle, so
+    non-convergence must surface at the source. Remedy: raise
+    ``max_iter`` (rounds needed = max component diameter).
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.union(rev).localCheckpoint(eager=True)
-    labels = (
+    edges = _checkpoint(fwd.union(rev))
+    labels = _checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         nb_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nb_min"))
         )
-        new_labels = (
+        new_labels = _checkpoint(
             labels.join(nb_min, labels["id"] == nb_min["src"], "left")
             .select(
                 labels["id"],
@@ -282,7 +302,6 @@ def dup_components(
                     F.coalesce(F.col("nb_min"), labels["component"]),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -293,6 +312,12 @@ def dup_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter to at "
+            "least the largest component's diameter"
+        )
     return labels.select(F.col("id").alias("doc_id"), "component")
 
 

@@ -62,26 +62,6 @@ def deterministic_split(
 def stratified_sample(
     df: DataFrame,
     id_col: str,
-    stratum_col: str,
-    permille_by_stratum: dict[str, int],
-    default_permille: int = 0,
-    salt: str = "v1",
-) -> DataFrame:
-    """Per-stratum stable sampling rates (e.g. upweight rare languages)."""
-    bucket = hash_bucket(id_col, salt)
-    rate = None
-    for value, p in permille_by_stratum.items():
-        cond = F.col(stratum_col) == value
-        rate = F.when(cond, p) if rate is None else rate.when(cond, p)
-    rate = rate.otherwise(default_permille) if rate is not None else F.lit(
-        default_permille
-    )
-    return df.where(bucket < rate)
-
-
-def stratified_sample(
-    df: DataFrame,
-    id_col: str,
     stratum_cols: str | tuple[str, ...],
     permille: dict[str, int],
     default_permille: int = 0,

@@ -219,8 +219,10 @@ class DatagenDataSource(DataSource):
 # executors return a WriterCommitMessage per task, the driver's commit()
 # folds them — so the counter state lives where the reference's did (the
 # driver), fed by distributed acks, with abort() discarding failed
-# batches (the at-least-once → exactly-once upgrade the reference's
-# fire-and-forget counting lacks).
+# batches. Delivery to the log is effectively-once: a crash between sink
+# commit and checkpoint write re-delivers the batch, and commit() skips
+# batch_ids already present in the log, so readers see one line per batch
+# without having to dedup themselves.
 
 from pyspark.sql.datasource import (  # noqa: E402  (grouped with writer)
     DataSourceStreamWriter,
@@ -251,7 +253,19 @@ class CounterStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         import json as _json
+        import os as _os
 
+        # idempotent by batch_id: a crash between this append and the
+        # checkpoint write makes Structured Streaming re-run the batch,
+        # and re-committing the same id must not produce a second line
+        if _os.path.exists(self._path):
+            with open(self._path) as f:
+                for line in f:
+                    try:
+                        if _json.loads(line).get("batch_id") == batchId:
+                            return
+                    except ValueError:
+                        continue
         total: dict = {}
         for m in messages:
             if m is None:

@@ -94,3 +94,24 @@ def test_counter_sink_counts_per_topic(registered, tmp_path):
     # round-robin routing: every generated topic appears
     topics = {t for line in lines for t in line["counts"]}
     assert len(topics) == 3
+
+
+def test_counter_sink_commit_idempotent_by_batch_id(tmp_path):
+    """A crash between sink commit and checkpoint write re-delivers the
+    batch; re-committing the same batch_id must not duplicate its line."""
+    import json
+
+    from console_datagen_spark.sources.datasource import (
+        CounterStreamWriter,
+        CountMessage,
+    )
+
+    log = tmp_path / "counts.jsonl"
+    w = CounterStreamWriter({"path": str(log)})
+    msgs = [CountMessage(counts={"t0": 3}), CountMessage(counts={"t0": 2, "t1": 1})]
+    w.commit(msgs, batchId=7)
+    w.commit(msgs, batchId=7)  # replay after simulated crash
+    w.commit(msgs, batchId=8)
+    lines = [json.loads(x) for x in log.read_text().splitlines()]
+    assert [x["batch_id"] for x in lines] == [7, 8]
+    assert lines[0]["counts"] == {"t0": 5, "t1": 1}

@@ -134,6 +134,39 @@ def test_dup_components_converges_on_long_chain(spark):
     assert comps == {100}
 
 
+def test_dup_components_reliable_checkpoint(spark, tmp_path):
+    from console_datagen_spark.operators.dedup import dup_components
+
+    # same fixpoint with reliable checkpointing (flaky-executor mode) —
+    # the checkpoint dir must actually receive RDD checkpoint data
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 11)], "doc_a LONG, doc_b LONG"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        (r.doc_id, r.component)
+        for r in dup_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (9, 9), (11, 9)}
+    import os
+
+    assert any(os.scandir(ckpt)), "no reliable checkpoint data written"
+
+
+def test_dup_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from console_datagen_spark.operators.dedup import dup_components
+
+    # a 6-node path cannot converge in 1 round; partial labels would
+    # silently disagree with the exact oracle, so it must raise
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 206)], "doc_a LONG, doc_b LONG"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_components(pairs, max_iter=1)
+
+
 def test_simhash_banded_equals_allpairs(spark, sf_dir):
     from console_datagen_spark.catalog import register_views as rv
     from console_datagen_spark.operators.dedup import (
