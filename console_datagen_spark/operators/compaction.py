@@ -6,19 +6,54 @@ partition, and downstream scans drown in open() overhead. Compaction
 estimates the frame's serialized size and coalesces/repartitions so each
 output file lands near ``target_mb``.
 
-Estimation: sample-based average row width × row count (cheap, bounded
-error); for parquet the on-disk size is further reduced by encoding, so
-``compression_ratio`` defaults conservative. A real deployment would read
-sizes from the previous write's metrics instead.
+Estimation order (cheapest first):
+1. Catalyst's optimized-plan ``sizeInBytes`` statistic — free: it is
+   derived from scan relation sizes (parquet footers) and per-operator
+   selectivity, so no job runs at all. This is what a 100 TB write
+   should use; an extra full input pass just to pick a file count is an
+   unacceptable cost at that scale.
+2. Sample fallback — only when the statistic is the "unknown" sentinel
+   (Catalyst reports ``spark.sql.defaultSizeInBytes`` = Long.MaxValue-ish
+   when it has no idea, e.g. plans over ``createDataFrame`` locals):
+   bounded count + JSON-width sample, the old behavior.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Catalyst returns spark.sql.defaultSizeInBytes for relations it cannot
+# statist; treat anything in that magnitude class as "unknown" (the
+# default is Long.MaxValue = 2^63-1; any real frame is far below 2^60)
+_UNKNOWN_SIZE_FLOOR = 1 << 60
+
+
+def plan_size_in_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes statistic for ``df``'s optimized plan.
+
+    Returns None when the statistic is the unknown sentinel (or the
+    internal API is unavailable) — callers fall back to sampling. Runs
+    ZERO jobs: the number comes from file-scan metadata and operator
+    estimates already held by the driver.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        raw = stats.sizeInBytes()
+        # py4j converts scala.math.BigInt to a Python int when it fits;
+        # very large sentinels can surface as a JavaObject — stringify then
+        size = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:
+        return None
+    if size <= 0 or size >= _UNKNOWN_SIZE_FLOOR:
+        return None
+    return size
+
 
 def estimate_bytes(df: DataFrame, sample_rows: int = 1000) -> int:
-    """Approximate in-memory bytes from a bounded sample."""
+    """Approximate in-memory bytes — plan statistic first, sample fallback."""
+    stat = plan_size_in_bytes(df)
+    if stat is not None:
+        return stat
     n = df.count()
     if n == 0:
         return 0
@@ -35,13 +70,20 @@ def estimate_bytes(df: DataFrame, sample_rows: int = 1000) -> int:
 
 def compact_for_write(
     df: DataFrame,
-    target_mb: int = 128,
+    target_mb: float = 128,
     compression_ratio: float = 0.3,
     partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Repartition so each output file ends up near target_mb on disk."""
-    est = estimate_bytes(df) * compression_ratio
-    n_files = max(1, int(est // (target_mb * 1024 * 1024)) + 1)
+    """Repartition so each output file ends up near target_mb on disk.
+
+    The plan statistic is already on-disk (parquet footer) bytes, so it
+    maps to output size directly; only the in-memory sample estimate
+    needs ``compression_ratio`` applied.
+    """
+    stat = plan_size_in_bytes(df)
+    est = stat if stat is not None else estimate_bytes(df) * compression_ratio
+    target_bytes = max(1, int(target_mb * 1024 * 1024))
+    n_files = max(1, -(-int(est) // target_bytes))
     if partition_cols:
         # spread within each output partition value
         return df.repartition(n_files, *partition_cols)

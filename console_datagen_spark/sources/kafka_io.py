@@ -79,19 +79,47 @@ def kafka_batch_source(
     return reader.load()
 
 
-def share_group_source(*_args, **_kwargs):
+def share_group_source(
+    spark: SparkSession,
+    client_factory: str | None = None,
+    client_kwargs: dict | None = None,
+    max_poll_records: int = 500,
+) -> DataFrame:
     """S3: Kafka 4.x share groups (queue semantics, per-record ack).
 
-    No Spark primitive and no mainstream Python client exposes share
-    groups (KafkaShareConsumer is Java-only as of Kafka 4.3). The
-    reference's share-group consumer feeds the exact same per-partition
-    counting as S2 (DataGenerator.java:172-180 → 537-546), so the engine
-    emulates it with a classic source + the same counting topology; this
-    stub documents the gap explicitly instead of pretending parity.
+    The reference's share-group consumer runs the identical count loop as
+    S2 with a queue-semantics client (DataGenerator.java:172-180 →
+    537-546). The engine emulates those semantics end-to-end via
+    ``sources.share_group``: a lease/ack ``ShareClient`` protocol plugged
+    into a Python DataSource stream whose micro-batch commit acknowledges
+    each record (see that module for the at-least-once contract). Pass
+    ``client_factory`` as an importable ``'module:callable'`` returning a
+    ShareClient — e.g. the built-in spool transport
+    ``'console_datagen_spark.sources.share_group:FileSpoolShareClient'``.
+
+    Only the share-group *wire protocol* remains N/A: KafkaShareConsumer
+    (KIP-932) is Java-only, so no factory can speak to a real broker's
+    share coordinator from Python yet; calling without a factory raises
+    with that explanation rather than pretending parity.
     """
-    raise NotImplementedError(
-        "Kafka share groups have no Spark/Python client; use kafka_source "
-        "(classic group) — counting semantics downstream are identical"
+    if client_factory is None:
+        raise NotImplementedError(
+            "no Python client speaks the share-group wire protocol "
+            "(KIP-932 is Java-only); pass client_factory= for the "
+            "emulated transport, or use kafka_source (classic group) — "
+            "counting semantics downstream are identical"
+        )
+    from .share_group import ShareGroupDataSource
+
+    spark.dataSource.register(ShareGroupDataSource)
+    import json as _json
+
+    return (
+        spark.readStream.format("kafka_share")
+        .option("client_factory", client_factory)
+        .option("client_kwargs", _json.dumps(client_kwargs or {}))
+        .option("max_poll_records", str(max_poll_records))
+        .load()
     )
 
 

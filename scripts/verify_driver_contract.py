@@ -1,0 +1,66 @@
+"""Verify-skill harness: drive the driver contract in a fresh process.
+
+Runs entry() under a hostile (non-UTC) session timezone, then the full
+Spark-vs-DuckDB compare over every oracle_sql() entry at sf0.01 using the
+same normalizer as tests/test_oracle.py. Exit 0 only if all match.
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+from tests.test_oracle import normalize
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.session.timeZone", "America/New_York")  # hostile-tz probe
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+print("entry():", E.entry(spark).count(), "rows", flush=True)
+
+sf = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+    )
+
+queries = E.queries()
+oracles = E.oracle_sql()
+fails = []
+for i, (name, fn) in enumerate(sorted(queries.items())):
+    sql = oracles.get(name)
+    if sql is None:
+        got = fn(spark, sf)
+        n = got.count()
+        print(f"[{i+1}/{len(queries)}] {name}: rows-only, {n} rows", flush=True)
+        continue
+    try:
+        got = normalize(fn(spark, sf).toPandas())
+        want = normalize(con.execute(sql).fetchdf())
+        assert list(got.columns) == list(want.columns), (
+            f"columns {list(got.columns)} vs {list(want.columns)}"
+        )
+        assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+        print(f"[{i+1}/{len(queries)}] {name}: OK ({len(got)} rows)", flush=True)
+    except Exception as exc:
+        msg = str(exc).splitlines()[0][:200]
+        fails.append((name, msg))
+        print(f"[{i+1}/{len(queries)}] {name}: FAIL {msg}", flush=True)
+
+print(f"\n{len(queries) - len(fails)}/{len(queries)} green")
+if fails:
+    for name, msg in fails:
+        print("FAIL:", name, msg)
+    sys.exit(1)

@@ -57,8 +57,10 @@ def test_kafka_source_requires_exactly_one_subscription(spark):
 
 
 def test_share_group_documented_na():
-    with pytest.raises(NotImplementedError, match="share groups"):
-        share_group_source()
+    # without a client factory only the wire-protocol N/A remains; the
+    # emulated transport is certified in test_share_group.py
+    with pytest.raises(NotImplementedError, match="wire protocol"):
+        share_group_source(None)
 
 
 def test_envelope_projection(spark):

@@ -60,7 +60,7 @@ def test_compaction_targets_file_count(spark, sf_dir, tmp_path):
     est = estimate_bytes(li)
     assert est > 0
     # tiny target → multiple files; huge target → exactly one
-    many = compact_for_write(li, target_mb=1, compression_ratio=1.0)
+    many = compact_for_write(li, target_mb=0.03, compression_ratio=1.0)
     one = compact_for_write(li, target_mb=10_000)
     many.write.mode("overwrite").parquet(str(tmp_path / "many"))
     one.write.mode("overwrite").parquet(str(tmp_path / "one"))
@@ -68,3 +68,31 @@ def test_compaction_targets_file_count(spark, sf_dir, tmp_path):
     n_one = len(list(pathlib.Path(tmp_path / "one").glob("part-*")))
     assert n_one == 1
     assert n_many > 1
+
+def test_estimate_bytes_uses_plan_statistic(spark, sf_dir, monkeypatch):
+    """On a statisted (parquet-scan) frame the estimate must come from
+    Catalyst's sizeInBytes — zero jobs, no count/sample pass."""
+    from pyspark.sql import DataFrame
+
+    from console_datagen_spark.operators.compaction import plan_size_in_bytes
+
+    li = register_views(spark, sf_dir, ("lineitem",))["lineitem"]
+    stat = plan_size_in_bytes(li)
+    assert stat is not None and stat > 0
+
+    def _boom(self):
+        raise AssertionError("estimate_bytes ran a job on a statisted frame")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "first", _boom)
+    assert estimate_bytes(li) == stat
+
+
+def test_estimate_bytes_sample_fallback(spark, monkeypatch):
+    """Frames without a usable statistic fall back to count+sample."""
+    from console_datagen_spark.operators import compaction
+
+    df = spark.range(100).selectExpr("id", "repeat('x', 10) AS pad")
+    monkeypatch.setattr(compaction, "plan_size_in_bytes", lambda _df: None)
+    est = compaction.estimate_bytes(df)
+    assert est > 100  # 100 rows x nonzero JSON width

@@ -82,3 +82,56 @@ def test_state_is_bounded_by_watermark(spark):
     buys = spark.createDataFrame(BUYS, BUY_SCHEMA)
     plan = interval_join(clicks, buys)._jdf.queryExecution().analyzed().toString()
     assert "l_ts" in plan and "r_ts" in plan
+
+
+def test_late_right_row_beyond_watermark_is_excluded(spark, tmp_path):
+    """Checkpoint replay with out-of-order data: a right-side row arriving
+    after the watermark has advanced past its event time must be dropped,
+    even though the same row WOULD have matched had it arrived on time."""
+    ldir, rdir, ckpt = tmp_path / "l", tmp_path / "r", tmp_path / "ck"
+
+    # batch 1: one matchable click, its on-time buy, and a far-future pair
+    # that drags the watermark to 10:00 - 2h = 08:00
+    spark.createDataFrame(
+        [(1, _t(1, 0)), (9, _t(10, 0))], CLICK_SCHEMA
+    ).coalesce(1).write.parquet(str(ldir))
+    spark.createDataFrame(
+        [(1, _t(1, 30)), (9, _t(10, 0))], BUY_SCHEMA
+    ).coalesce(1).write.parquet(str(rdir))
+
+    out = tmp_path / "out"
+
+    def run_once():
+        # file sink (not memory): it supports restart from the checkpoint,
+        # which is the whole point of this test
+        q = (
+            interval_join(
+                spark.readStream.schema(CLICK_SCHEMA).parquet(str(ldir)),
+                spark.readStream.schema(BUY_SCHEMA).parquet(str(rdir)),
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id, r.l_ts, r.r_ts)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    first = run_once()
+    assert (1, _t(1, 0), _t(1, 30)) in first
+
+    # batch 2 (after restart from the same checkpoint): a buy for the SAME
+    # click at 01:40 — inside the 1h interval, but its event time is far
+    # behind the committed 08:00 watermark, so the state store has already
+    # evicted the click and the row itself is late: no new match may appear
+    spark.createDataFrame([(1, _t(1, 40))], BUY_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(rdir))
+    second = run_once()
+    assert (1, _t(1, 0), _t(1, 40)) not in second
+    assert second == first
