@@ -1,0 +1,225 @@
+"""Sequence mining, CDC compaction, skew-safe aggregation, mix quotas,
+and cross-engine sketch certification.
+
+These extend the training-data-pipeline tier (SURVEY.md §2.11 north-star)
+with operator classes a 100 TB curation stack needs beyond dedup/similarity:
+
+- ``seq_funnel``: staged event-sequence (funnel) mining — the canonical
+  "did the user do A then B then C, in order" query. Implemented as three
+  cascaded min-aggregations joined on the preceding stage's frontier, so
+  each stage is one hash aggregate + one broadcast-able equi-join; no
+  window over the full event stream, no per-user collect. Ordering is by
+  ``event_id`` (dense, unique, ascending-ish in ts) rather than the raw
+  ns timestamp, per FIXTURES.md D3.
+- ``cdc_latest_state``: latest-record-wins upsert compaction (the batch
+  analog of reading a CDC/changelog topic into a snapshot — reference's
+  counter table is exactly such a latest-wins view, DataGenerator.java:548-551).
+  One window ranking per key; at scale this is the standard
+  shuffle-on-key + in-partition sort, no global sort.
+- ``agg_salted_sum``: two-phase salted aggregation — the skew-mitigation
+  pattern for hot grouping keys (partial agg on (key, salt), final agg on
+  key). Semantically identical to a plain GROUP BY, which is the oracle;
+  exactness is guaranteed by DECIMAL arithmetic (D2). At 100 TB the salt
+  bounds any single reducer's input to ~1/16 of the hottest key.
+- ``text_source_quota``: per-source document quota capping for training
+  mixes (keep top-N docs per source by length) — the domain-balancing
+  step that precedes mix weighting; windowed top-K per key then re-agg.
+- ``agg_sketch_check``: certifies the approximate-sketch tier
+  (HyperLogLog distinct counts, KLL/GK percentile) *cross-engine* by
+  asserting each engine's sketch lands within tolerance of its own exact
+  answer — the sketch values differ between engines by construction, but
+  the within-tolerance verdicts are deterministic and hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register_views
+from .registry import df_query, sql_query
+
+EV = ("events",)
+DOCS = ("documents",)
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, EV)["events"]
+    # Stage frontier: first qualifying event_id per user, constrained to
+    # come after the previous stage's frontier. Each step is a hash agg
+    # over the (filtered) event scan joined to the previous frontier —
+    # the join side is |users| rows, broadcast-able at any corpus scale.
+    frontier = (
+        ev.where(F.col("event_type") == _FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("first_view"))
+    )
+    out = frontier
+    prev = "first_view"
+    for stage, col in (("click", "first_click"), ("purchase", "first_purchase")):
+        nxt = (
+            ev.where(F.col("event_type") == stage)
+            .join(out.select("user_id", prev), "user_id")
+            .where(F.col("event_id") > F.col(prev))
+            .groupBy("user_id")
+            .agg(F.min("event_id").alias(col))
+        )
+        out = out.join(nxt, "user_id", "left")
+        prev = col
+    return out.select(
+        "user_id", "first_view", "first_click", "first_purchase"
+    ).orderBy("user_id")
+
+
+df_query(
+    "seq_funnel",
+    _funnel,
+    oracle=(
+        "WITH v AS (SELECT user_id, MIN(event_id) AS first_view FROM events "
+        "  WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, MIN(e.event_id) AS first_click "
+        "  FROM events e JOIN v ON e.user_id = v.user_id "
+        "  WHERE e.event_type = 'click' AND e.event_id > v.first_view "
+        "  GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, MIN(e.event_id) AS first_purchase "
+        "  FROM events e JOIN c ON e.user_id = c.user_id "
+        "  WHERE e.event_type = 'purchase' AND e.event_id > c.first_click "
+        "  GROUP BY e.user_id) "
+        "SELECT v.user_id, v.first_view, c.first_click, p.first_purchase "
+        "FROM v LEFT JOIN c ON v.user_id = c.user_id "
+        "LEFT JOIN p ON v.user_id = p.user_id ORDER BY v.user_id"
+    ),
+    tables=EV,
+    tags=("sequence", "funnel", "join"),
+    doc="staged funnel mining: first view -> first later click -> first "
+    "later purchase per user; cascaded min-agg + frontier joins, no "
+    "full-stream window",
+)
+
+
+# CDC latest-wins compaction: materialize the current state snapshot from
+# an append-only change stream. The reference's counter map IS this view
+# (last write per (cluster,topic,partition), DataGenerator.java:548-551).
+sql_query(
+    "cdc_latest_state",
+    "SELECT user_id, event_id AS last_event_id, event_type AS last_type, "
+    "CAST(value AS DECIMAL(18,2)) AS last_value, n_versions FROM ("
+    "  SELECT user_id, event_id, event_type, value, "
+    "    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn, "
+    "    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions "
+    "  FROM events) t "
+    "WHERE rn = 1 ORDER BY user_id",
+    tables=EV,
+    tags=("cdc", "window", "upsert"),
+    doc="latest-record-wins upsert compaction (changelog -> snapshot): "
+    "one shuffle on the key, in-partition sort, rank-1 filter",
+)
+
+
+def _salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, EV)["events"]
+    # Phase 1: partial agg on (key, salt) — caps any single reducer's
+    # input at ~1/16 of the hottest key's rows. Phase 2: final agg on the
+    # key over <= 16 rows/key. DECIMAL keeps both phases order-immune.
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("psum"),
+            F.count("*").alias("pcnt"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("psum").cast("decimal(18,2)").alias("total"),
+            F.sum("pcnt").cast("bigint").alias("cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+df_query(
+    "agg_salted_sum",
+    _salted_sum,
+    oracle=(
+        "SELECT event_type, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    tables=EV,
+    tags=("agg", "skew", "salting"),
+    doc="two-phase salted aggregation == plain GROUP BY (the oracle): "
+    "skew mitigation with provably identical DECIMAL-exact results",
+)
+
+
+# Per-source quota capping for training mixes: keep the N longest docs per
+# source, report what the capped mix looks like. The windowed top-K is the
+# same physical shape as S8 truncation (keep latest K per partition).
+_QUOTA_N = 50
+
+sql_query(
+    "text_source_quota",
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS kept_chars, "
+    "MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc FROM ("
+    "  SELECT source, doc_id, n_chars, "
+    "    ROW_NUMBER() OVER (PARTITION BY source "
+    "                       ORDER BY n_chars DESC, doc_id) AS rn "
+    "  FROM documents) t "
+    f"WHERE rn <= {_QUOTA_N} "
+    "GROUP BY source ORDER BY source",
+    tables=DOCS,
+    tags=("text", "quota", "window"),
+    doc=f"per-source quota cap (top {_QUOTA_N} docs by length) + capped-mix "
+    "stats: the domain-balancing step before mix weighting",
+)
+
+
+# Sketch-tier certification. approx_count_distinct is HyperLogLog++ in
+# Spark and HyperLogLog in DuckDB — raw values differ by construction, so
+# the deterministic cross-engine contract is "each engine's sketch is
+# within tolerance of its own exact answer". HLL++ default rsd is 5%;
+# 10% tolerance gives ~4 sigma headroom while still failing on any real
+# plumbing bug (wrong column, wrong rows). Same shape for the percentile
+# sketch vs the exact interpolated median.
+_SKETCH_SPARK = (
+    "WITH ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS du, "
+    "                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS de, "
+    "                   percentile(value, 0.5) AS mex FROM events), "
+    "ap AS (SELECT CAST(approx_count_distinct(user_id) AS BIGINT) AS au, "
+    "              CAST(approx_count_distinct(event_id) AS BIGINT) AS ae, "
+    "              approx_percentile(value, 0.5, 10000) AS map FROM events) "
+    "SELECT CAST(ABS(au - du) <= 0.10 * du AS INT) AS users_hll_ok, "
+    "       CAST(ABS(ae - de) <= 0.10 * de AS INT) AS events_hll_ok, "
+    "       CAST(ABS(map - mex) <= 0.05 * ABS(mex) AS INT) AS median_sketch_ok "
+    "FROM ex CROSS JOIN ap"
+)
+
+_SKETCH_DUCK = (
+    "WITH ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS du, "
+    "                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS de, "
+    "                   quantile_cont(value, 0.5) AS mex FROM events), "
+    "ap AS (SELECT CAST(approx_count_distinct(user_id) AS BIGINT) AS au, "
+    "              CAST(approx_count_distinct(event_id) AS BIGINT) AS ae, "
+    "              approx_quantile(value, 0.5) AS map FROM events) "
+    "SELECT CAST(ABS(au - du) <= 0.10 * du AS INT) AS users_hll_ok, "
+    "       CAST(ABS(ae - de) <= 0.10 * de AS INT) AS events_hll_ok, "
+    "       CAST(ABS(map - mex) <= 0.05 * ABS(mex) AS INT) AS median_sketch_ok "
+    "FROM ex CROSS JOIN ap"
+)
+
+sql_query(
+    "agg_sketch_check",
+    _SKETCH_SPARK,
+    oracle=_SKETCH_DUCK,
+    tables=EV,
+    tags=("agg", "sketch", "approx"),
+    doc="HLL distinct + percentile sketch certified within-tolerance of "
+    "each engine's exact answer; verdict columns are deterministic and "
+    "hash-match even though raw sketch values differ across engines",
+)
