@@ -46,10 +46,19 @@ def register_views(
     out: dict[str, DataFrame] = {}
     for t in tables:
         df = load_table(spark, sf_dir, t)
-        # ns-precision timestamps arrive as raw nano longs (see session.py);
-        # truncate to µs exactly like DuckDB does when reading TIMESTAMP_NS.
+        # Fixture `ts` encodings seen across generations:
+        #  - timestamp[us] without UTC adjustment → Spark 4 TIMESTAMP_NTZ:
+        #    cast to TIMESTAMP. Session TZ is pinned UTC (session.py), so the
+        #    cast is wall-clock identity and unix_micros()/date functions work.
+        #  - legacy timestamp[ns] read as raw bigint (nanosAsLong): truncate
+        #    to µs exactly like DuckDB does when reading TIMESTAMP_NS.
         for f in df.schema.fields:
-            if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            if f.name != "ts":
+                continue
+            kind = f.dataType.simpleString()
+            if kind == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            elif kind == "bigint":
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         df.createOrReplaceTempView(t)
         out[t] = df

@@ -105,7 +105,7 @@ df_query(
 sql_query(
     "cdc_latest_state",
     "SELECT user_id, event_id AS last_event_id, event_type AS last_type, "
-    "CAST(value AS DECIMAL(18,2)) AS last_value, n_versions FROM ("
+    "value AS last_value, n_versions FROM ("
     "  SELECT user_id, event_id, event_type, value, "
     "    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn, "
     "    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions "
@@ -184,9 +184,11 @@ sql_query(
 # Spark and HyperLogLog in DuckDB — raw values differ by construction, so
 # the deterministic cross-engine contract is "each engine's sketch is
 # within tolerance of its own exact answer". HLL++ default rsd is 5%;
-# 10% tolerance gives ~4 sigma headroom while still failing on any real
-# plumbing bug (wrong column, wrong rows). Same shape for the percentile
-# sketch vs the exact interpolated median.
+# 20% tolerance is ~4 sigma headroom while still failing on any real
+# plumbing bug (wrong column, wrong rows). The median check uses a mixed
+# absolute+relative tolerance so it doesn't degenerate to exact equality
+# when the true median sits near zero (approx_percentile error is
+# rank-based, not value-based).
 _SKETCH_SPARK = (
     "WITH ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS du, "
     "                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS de, "
@@ -194,9 +196,9 @@ _SKETCH_SPARK = (
     "ap AS (SELECT CAST(approx_count_distinct(user_id) AS BIGINT) AS au, "
     "              CAST(approx_count_distinct(event_id) AS BIGINT) AS ae, "
     "              approx_percentile(value, 0.5, 10000) AS map FROM events) "
-    "SELECT CAST(ABS(au - du) <= 0.10 * du AS INT) AS users_hll_ok, "
-    "       CAST(ABS(ae - de) <= 0.10 * de AS INT) AS events_hll_ok, "
-    "       CAST(ABS(map - mex) <= 0.05 * ABS(mex) AS INT) AS median_sketch_ok "
+    "SELECT CAST(ABS(au - du) <= 0.20 * du AS INT) AS users_hll_ok, "
+    "       CAST(ABS(ae - de) <= 0.20 * de AS INT) AS events_hll_ok, "
+    "       CAST(ABS(map - mex) <= GREATEST(0.05 * ABS(mex), 0.01) AS INT) AS median_sketch_ok "
     "FROM ex CROSS JOIN ap"
 )
 
@@ -207,9 +209,9 @@ _SKETCH_DUCK = (
     "ap AS (SELECT CAST(approx_count_distinct(user_id) AS BIGINT) AS au, "
     "              CAST(approx_count_distinct(event_id) AS BIGINT) AS ae, "
     "              approx_quantile(value, 0.5) AS map FROM events) "
-    "SELECT CAST(ABS(au - du) <= 0.10 * du AS INT) AS users_hll_ok, "
-    "       CAST(ABS(ae - de) <= 0.10 * de AS INT) AS events_hll_ok, "
-    "       CAST(ABS(map - mex) <= 0.05 * ABS(mex) AS INT) AS median_sketch_ok "
+    "SELECT CAST(ABS(au - du) <= 0.20 * du AS INT) AS users_hll_ok, "
+    "       CAST(ABS(ae - de) <= 0.20 * de AS INT) AS events_hll_ok, "
+    "       CAST(ABS(map - mex) <= GREATEST(0.05 * ABS(mex), 0.01) AS INT) AS median_sketch_ok "
     "FROM ex CROSS JOIN ap"
 )
 

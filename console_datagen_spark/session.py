@@ -63,8 +63,11 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     under UTC to match the DuckDB oracle regardless of host timezone.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses outright;
-    # read it as raw nanos and let the catalog truncate to µs (identical to
-    # DuckDB's ns→µs handling, per FIXTURES.md D3).
+    # Current fixtures store ts as parquet timestamp[us] without the UTC
+    # flag (Spark 4 reads TIMESTAMP_NTZ; catalog casts to TIMESTAMP under
+    # this UTC session). Legacy fixture generations used TIMESTAMP(NANOS),
+    # which Spark 4 refuses outright — keep nanosAsLong so those read as
+    # raw longs and the catalog's ns→µs truncation branch (matching
+    # DuckDB's TIMESTAMP_NS handling, FIXTURES.md D3) still fires.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

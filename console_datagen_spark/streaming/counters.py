@@ -18,7 +18,7 @@ Spark mapping:
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -87,30 +87,106 @@ def partitions_needing_truncation(
     )
 
 
+class TruncationGate:
+    """Cross-batch S8 depth tracking (DataGenerator.java:553-575).
+
+    The reference asks the broker for earliest/latest offsets via
+    listOffsets each check cycle, so its depth reflects the whole topic —
+    not one poll's worth of records. A foreachBatch sink only sees the
+    current micro-batch, so we carry the same frontier driver-side:
+    per (topic, partition), ``earliest`` is the log-start offset (advanced
+    by our own truncations, exactly as delete_records advances it
+    broker-side) and ``latest`` is the max offset observed so far. State is
+    one int pair per topic-partition — the same O(partitions) footprint as
+    the reference's counter map.
+
+    On restart the in-memory frontier is empty; pass ``broker_offsets``
+    (the kafka-python ``consumer.beginning_offsets``-shaped callable:
+    [(topic, partition)] -> {(topic, partition): log_start_offset}) to
+    re-seed ``earliest`` from the broker instead of the first batch's min —
+    otherwise depth accumulated before the restart is forgotten until the
+    next natural crossing.
+    """
+
+    def __init__(
+        self,
+        max_topic_depth: int,
+        broker_offsets: Callable[[list[tuple]], dict] | None = None,
+    ):
+        self.max_topic_depth = max_topic_depth
+        self.broker_offsets = broker_offsets
+        self._earliest: dict[tuple, int] = {}
+        self._latest: dict[tuple, int] = {}
+
+    def observe(self, batch_minmax: Iterable[dict]) -> list[dict]:
+        """Fold one micro-batch's per-partition (earliest, latest) into the
+        running frontier; return partitions whose cumulative depth crossed
+        ``max_topic_depth`` (each fires once — earliest advances to the
+        truncation point, so a partition only re-fires after another full
+        depth's worth of new records)."""
+        rows = list(batch_minmax)
+        fresh = [
+            (r["topic"], r["partition"])
+            for r in rows
+            if (r["topic"], r["partition"]) not in self._earliest
+        ]
+        if fresh and self.broker_offsets is not None:
+            for key, log_start in self.broker_offsets(fresh).items():
+                self._earliest[key] = log_start
+        need: list[dict] = []
+        for r in rows:
+            key = (r["topic"], r["partition"])
+            self._earliest.setdefault(key, r["earliest"])
+            self._latest[key] = max(self._latest.get(key, r["latest"]), r["latest"])
+            if self._latest[key] - self._earliest[key] >= self.max_topic_depth:
+                cut = self._latest[key]
+                need.append(
+                    {
+                        "topic": key[0],
+                        "partition": key[1],
+                        "truncate_before": cut,
+                    }
+                )
+                self._earliest[key] = cut
+        return need
+
+
 def counting_sink(
     records: DataFrame,
     cluster: str,
     on_truncate: Callable[[list[dict]], None] | None = None,
     max_topic_depth: int = 5000,
     query_name: str = "counters",
+    broker_offsets: Callable[[list[tuple]], dict] | None = None,
 ):
     """writeStream wrapper: maintain counters in an in-memory sink and fire
     the truncation callback from foreachBatch.
 
-    The callback receives [{"topic","partition","truncate_before"}, ...] and
-    is responsible for the idempotent AdminClient.delete_records call; batch
-    replay safety comes from delete_records(before_offset) being naturally
-    idempotent (replays re-delete an already-empty range).
+    Depth is cumulative across micro-batches via a driver-side
+    ``TruncationGate`` (the reference's listOffsets loop,
+    DataGenerator.java:553-575) — a topic whose depth grows by many small
+    batches still trips the gate. The callback receives
+    [{"topic","partition","truncate_before"}, ...] and is responsible for
+    the idempotent AdminClient.delete_records call; batch replay safety
+    comes from delete_records(before_offset) being naturally idempotent
+    (replays re-delete an already-empty range).
     """
     state: dict[str, DataFrame] = {}
+    gate = TruncationGate(max_topic_depth, broker_offsets=broker_offsets)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if on_truncate is not None and "offset" in batch_df.columns:
-            need = partitions_needing_truncation(
-                batch_df.select("topic", "partition", "offset"), max_topic_depth
-            ).collect()
+            batch_minmax = (
+                batch_df.groupBy("topic", "partition")
+                .agg(
+                    F.min("offset").alias("earliest"),
+                    F.max("offset").alias("latest"),
+                )
+                .collect()
+            )
+            need = gate.observe(r.asDict() for r in batch_minmax)
             if need:
-                on_truncate([r.asDict() for r in need])
+                on_truncate(need)
         state["last_batch"] = batch_df
 
     return (

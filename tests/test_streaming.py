@@ -104,6 +104,60 @@ def test_truncation_predicate(spark):
     )
 
 
+def _mm(topic, partition, earliest, latest):
+    return {
+        "topic": topic,
+        "partition": partition,
+        "earliest": earliest,
+        "latest": latest,
+    }
+
+
+def test_truncation_gate_accumulates_across_batches():
+    """Depth grows by small batches (each < max) and the gate still fires —
+    exactly once — when the cumulative depth crosses the threshold
+    (reference consults broker listOffsets, DataGenerator.java:553-575)."""
+    gate = CT.TruncationGate(max_topic_depth=5000)
+    # three batches of 2000 records each on (t1, 0): 0-1999, 2000-3999, 4000-5999
+    assert gate.observe([_mm("t1", 0, 0, 1999)]) == []
+    assert gate.observe([_mm("t1", 0, 2000, 3999)]) == []
+    need = gate.observe([_mm("t1", 0, 4000, 5999)])
+    assert need == [{"topic": "t1", "partition": 0, "truncate_before": 5999}]
+    # earliest advanced to the cut: a replayed/next small batch must NOT re-fire
+    assert gate.observe([_mm("t1", 0, 6000, 6099)]) == []
+    # ...until a further full depth accumulates past the cut
+    assert gate.observe([_mm("t1", 0, 6100, 11000)]) == [
+        {"topic": "t1", "partition": 0, "truncate_before": 11000}
+    ]
+
+
+def test_truncation_gate_per_partition_isolation():
+    gate = CT.TruncationGate(max_topic_depth=100)
+    need = gate.observe(
+        [_mm("t1", 0, 0, 250), _mm("t1", 1, 0, 50), _mm("t2", 0, 0, 99)]
+    )
+    assert need == [{"topic": "t1", "partition": 0, "truncate_before": 250}]
+
+
+def test_truncation_gate_broker_seed_after_restart():
+    """A restarted gate re-seeds earliest from broker beginning_offsets, so
+    pre-restart depth isn't forgotten: first batch after restart sees
+    offsets 4000-4500 but the broker log-start is still 0."""
+    probed = []
+
+    def broker_offsets(keys):
+        probed.extend(keys)
+        return {k: 0 for k in keys}
+
+    gate = CT.TruncationGate(max_topic_depth=5000, broker_offsets=broker_offsets)
+    need = gate.observe([_mm("t1", 0, 4000, 5200)])
+    assert probed == [("t1", 0)]
+    assert need == [{"topic": "t1", "partition": 0, "truncate_before": 5200}]
+    # probe happens once per partition, not per batch
+    assert gate.observe([_mm("t1", 0, 5300, 5400)]) == []
+    assert probed == [("t1", 0)]
+
+
 @pytest.fixture()
 def now():
     return datetime(2024, 1, 1, 12, 0, 0)
