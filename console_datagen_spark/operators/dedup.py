@@ -76,6 +76,36 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
     )
 
 
+def minhash_mins(
+    documents: DataFrame,
+    k: int = 8,
+    n: int = 3,
+    shingles_df: DataFrame | None = None,
+    ids_df: DataFrame | None = None,
+) -> DataFrame:
+    """Wide (doc_id, mh0..mh{k-1}) frame — all k permutation-mins in ONE
+    aggregation pass over the shingle-id frame. Compared to the textbook
+    docs×k cross join + groupBy, the shuffle carries one row per doc
+    instead of k — the difference between O(corpus) and O(k·corpus)
+    network at 100 TB. Signatures (row form) and band hashes both derive
+    from this frame with no further shuffle."""
+    if ids_df is not None:
+        ids = ids_df
+    else:
+        base = shingles_df if shingles_df is not None else doc_shingles(documents, n)
+        ids = base.select(
+            "doc_id", (token_id(F.col("s")) % F.lit(HASH_PRIME)).alias("tid")
+        )
+    return ids.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(HASH_PRIME)).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(minhash_coeffs(k))
+        ]
+    )
+
+
 def minhash_signatures(
     spark: SparkSession,
     documents: DataFrame,
@@ -84,29 +114,10 @@ def minhash_signatures(
     shingles_df: DataFrame | None = None,
     ids_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, perm, minhash) — k-permutation MinHash over n-token shingles.
-
-    All k permutation-mins are computed in ONE aggregation pass (k min
-    columns over the shingle-id frame), then unpivoted to rows. Compared
-    to the textbook docs×k cross join + groupBy, the shuffle carries one
-    row per doc instead of k — the difference between O(corpus) and
-    O(k·corpus) network at 100 TB.
-    """
-    if ids_df is not None:
-        ids = ids_df
-    else:
-        base = shingles_df if shingles_df is not None else doc_shingles(documents, n)
-        ids = base.select(
-            "doc_id", (token_id(F.col("s")) % F.lit(HASH_PRIME)).alias("tid")
-        )
-    mins = ids.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(HASH_PRIME)).alias(
-                f"mh{i}"
-            )
-            for i, (a, b) in enumerate(minhash_coeffs(k))
-        ]
-    )
+    """(doc_id, perm, minhash) — k-permutation MinHash over n-token
+    shingles; the wide min frame unpivoted to rows (stack is a narrow
+    projection, no shuffle)."""
+    mins = minhash_mins(documents, k, n, shingles_df, ids_df)
     stack = ", ".join(f"{i}, mh{i}" for i in range(k))
     return mins.selectExpr(
         "doc_id", f"stack({k}, {stack}) AS (perm, minhash)"
@@ -125,17 +136,27 @@ def lsh_candidate_pairs(
     """Candidate near-dup pairs from banded MinHash signatures.
 
     Band hash is an order-free weighted sum mod P so it needs no
-    ordered string-agg (portable + shuffle-friendly: one row per
-    (doc, band) enters the self-join).
+    ordered string-agg. It is computed DIRECTLY from the wide min frame
+    as a column expression per band (bh_j = Σ_r (r+1)·mh_{j·rpb+r} mod P),
+    then stack-unpivoted — identical values to re-aggregating the row-form
+    signatures, but with zero additional shuffle: the only shuffles in the
+    candidate path are the one k-min agg and the (band, bh) self-join.
     """
-    sigs = minhash_signatures(spark, documents, k, n, shingles_df, ids_df)
-    bands = sigs.groupBy(
-        "doc_id", F.floor(F.col("perm") / rows_per_band).alias("band")
-    ).agg(
-        (
-            F.sum((F.pmod(F.col("perm"), F.lit(rows_per_band)) + 1) * F.col("minhash"))
-            % F.lit(HASH_PRIME)
-        ).alias("bh")
+    mins = minhash_mins(documents, k, n, shingles_df, ids_df)
+    n_bands = k // rows_per_band
+
+    def band_hash(j: int):
+        acc = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            acc = acc + (F.lit(r + 1) * F.col(f"mh{j * rows_per_band + r}"))
+        return F.pmod(acc, F.lit(HASH_PRIME))
+
+    wide = mins.select(
+        "doc_id", *[band_hash(j).alias(f"_bh{j}") for j in range(n_bands)]
+    )
+    stack_args = ", ".join(f"{j}, _bh{j}" for j in range(n_bands))
+    bands = wide.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, bh)"
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (

@@ -220,12 +220,17 @@ def _emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides — three racing consumers in one job, so persist+materialize it
     # (same cold-run race as the MinHash shingle-id cache). The bucket
     # frame feeds the candidate self-join twice; a lazy persist suffices
-    # there (both self-join sides sit in one stage lineage).
+    # there (both self-join sides sit in one stage lineage). The candidate
+    # pairs are materialized too: the verify's two vector joins are
+    # parallel stages that would otherwise race to rebuild the whole
+    # bucket-join→distinct pipeline on a cold run (measured ~1.5s warm /
+    # ~2x cold at sf0.1; also lets AQE size the verify joins from the
+    # actual candidate count).
     normed = _emb_cache.hold(S.with_norm(emb))
     buckets = _emb_cache.hold(
         S.lsh_buckets_multi(emb, _DUP_BANDS, normed=normed), materialize=False
     )
-    cand = S.candidate_pairs_from_buckets(buckets)
+    cand = _emb_cache.hold(S.candidate_pairs_from_buckets(buckets))
     return S.embedding_dup_pairs_lsh(
         emb, bands=_DUP_BANDS, threshold=0.4, candidates=cand, normed=normed
     ).orderBy("vec_a", "vec_b")
