@@ -123,6 +123,41 @@ def share_group_source(
     )
 
 
+def share_group_source_partitioned(
+    spark: SparkSession,
+    client_factory: str | None = None,
+    client_kwargs: dict | None = None,
+    max_poll_records: int = 500,
+) -> DataFrame:
+    """S3 at scale: partition-parallel share-group source.
+
+    Same options and downstream envelope as ``share_group_source``, but
+    the driver only does lease ACCOUNTING (metadata acquire via the
+    client's ``lease_batch``), grouped into one input split per Kafka
+    (topic, partition); executors read the payloads in parallel — the
+    same driver-plans/executors-fetch split as Spark's built-in Kafka
+    source. See ``sources.share_group.ShareGroupPartitionedReader``.
+    """
+    if client_factory is None:
+        raise NotImplementedError(
+            "no Python client speaks the share-group wire protocol "
+            "(KIP-932 is Java-only); pass client_factory= for the "
+            "emulated transport"
+        )
+    from .share_group import SharePartitionedDataSource
+
+    spark.dataSource.register(SharePartitionedDataSource)
+    import json as _json
+
+    return (
+        spark.readStream.format("kafka_share_partitioned")
+        .option("client_factory", client_factory)
+        .option("client_kwargs", _json.dumps(client_kwargs or {}))
+        .option("max_poll_records", str(max_poll_records))
+        .load()
+    )
+
+
 def envelope(records: DataFrame) -> DataFrame:
     """P1: project the consumption envelope (topic, partition, offset, ts).
 

@@ -34,12 +34,23 @@ offset, timestamp), so ``streaming.counters.count_records`` — the S2
 topology — consumes it unchanged; the parity test certifies identical
 counting semantics.
 
-Scale: share groups exist to fan a queue out to many workers. Here the
-poll loop is driver-side (SimpleDataSourceStreamReader prefetches on the
-driver), which is the right shape for the reference's workload (counting
-acks); the heavy lifting (aggregation) still distributes. A
-partition-parallel share reader would need the Java client's
-per-partition lease accounting — wire-protocol territory, out of scope.
+Scale: share groups exist to fan a queue out to many workers. Two reader
+shapes are provided:
+
+- ``ShareGroupStreamReader`` (format ``kafka_share``): the simple
+  driver-side poll loop — records AND payloads flow through the driver.
+  Right shape for the reference's workload (counting acks).
+- ``ShareGroupPartitionedReader`` (format ``kafka_share_partitioned``):
+  the scale shape. The DRIVER does per-partition lease accounting only
+  (``lease_batch`` takes leases from filename metadata without reading
+  payloads — O(records) driver metadata, zero payload bytes), groups the
+  leases by Kafka (topic, partition) into ``InputPartition`` splits, and
+  EXECUTORS read the payloads in parallel (``read`` runs distributed).
+  Acks still settle at the micro-batch commit boundary on the driver —
+  the same lease-accounting split Spark's built-in Kafka source uses
+  (driver plans offset ranges, executors fetch). Only the KIP-932 wire
+  protocol remains N/A; a wire client exposing ``lease_batch`` semantics
+  (acquire returning record metadata) drops in unchanged.
 """
 
 from __future__ import annotations
@@ -70,6 +81,20 @@ class ShareRecord:
     key: str | None
     value: str | None
     timestamp_ms: int
+
+
+@dataclass(frozen=True)
+class LeaseRef:
+    """A lease WITHOUT its payload — what the driver tracks in the
+    partitioned reader. Metadata comes from the spool filename (or, for a
+    wire client, the acquire response); the payload is read
+    executor-side."""
+
+    delivery_id: str
+    path: str
+    topic: str
+    partition: int
+    offset: int
 
 
 # acknowledge types, KafkaShareConsumer.acknowledge(record, AcknowledgeType)
@@ -131,6 +156,32 @@ class FileSpoolShareClient:
             os.replace(tmp, os.path.join(self._dir, name))
 
     # -- consumer side ------------------------------------------------------
+    def _try_lease(self, name: str, now: float) -> tuple[str, str] | None:
+        """Race-safe lease attempt on one spool record; returns
+        (delivery_id, path) or None if the record is held elsewhere."""
+        path = os.path.join(self._dir, name)
+        lock = path + ".lock"
+        if os.path.exists(lock):
+            try:
+                with open(lock) as f:
+                    held = json.load(f)
+                if held.get("expires_ms", 0) > now:
+                    return None  # live lease elsewhere
+                os.remove(lock)  # stale lease: reclaim
+            except (OSError, ValueError):
+                return None
+        delivery_id = uuid.uuid4().hex
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return None  # another consumer won the race
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {"delivery_id": delivery_id, "expires_ms": now + self._lease_ms},
+                f,
+            )
+        return delivery_id, path
+
     def poll(self, max_records: int) -> list[ShareRecord]:
         out: list[ShareRecord] = []
         now = time.time() * 1000
@@ -139,32 +190,15 @@ class FileSpoolShareClient:
                 break
             if not name.endswith(".json"):
                 continue
-            path = os.path.join(self._dir, name)
-            lock = path + ".lock"
-            if os.path.exists(lock):
-                try:
-                    with open(lock) as f:
-                        held = json.load(f)
-                    if held.get("expires_ms", 0) > now:
-                        continue  # live lease elsewhere
-                    os.remove(lock)  # stale lease: reclaim
-                except (OSError, ValueError):
-                    continue
-            delivery_id = uuid.uuid4().hex
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                continue  # another consumer won the race
-            with os.fdopen(fd, "w") as f:
-                json.dump(
-                    {"delivery_id": delivery_id, "expires_ms": now + self._lease_ms},
-                    f,
-                )
+            leased = self._try_lease(name, now)
+            if leased is None:
+                continue
+            delivery_id, path = leased
             try:
                 with open(path) as f:
                     rec = json.load(f)
             except (OSError, ValueError):
-                os.remove(lock)
+                os.remove(path + ".lock")
                 continue
             self._held[delivery_id] = path
             out.append(
@@ -178,6 +212,33 @@ class FileSpoolShareClient:
                     timestamp_ms=int(rec.get("timestamp_ms", 0)),
                 )
             )
+        return out
+
+    def lease_batch(self, max_records: int) -> list[LeaseRef]:
+        """Lease up to ``max_records`` WITHOUT reading payloads — the
+        driver-side half of the partitioned reader. Topic/partition/offset
+        parse from the spool filename (``{topic}-{partition}-{offset}.json``,
+        topic may itself contain dashes — partition/offset are the last two
+        segments), so the driver touches O(records) filenames and zero
+        payload bytes; executors read the payloads."""
+        out: list[LeaseRef] = []
+        now = time.time() * 1000
+        for name in sorted(os.listdir(self._dir)):
+            if len(out) >= max_records:
+                break
+            if not name.endswith(".json"):
+                continue
+            try:
+                topic, p, off = name[:-5].rsplit("-", 2)
+                partition, offset = int(p), int(off)
+            except ValueError:
+                continue  # not a spool record
+            leased = self._try_lease(name, now)
+            if leased is None:
+                continue
+            delivery_id, path = leased
+            self._held[delivery_id] = path
+            out.append(LeaseRef(delivery_id, path, topic, partition, offset))
         return out
 
     def acknowledge(self, delivery_id: str, ack_type: str = ACCEPT) -> None:
@@ -241,6 +302,8 @@ def _load_factory(path: str):
 # client half of the module stays importable without a Spark session
 from pyspark.sql.datasource import (  # noqa: E402
     DataSource,
+    DataSourceStreamReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 
@@ -336,3 +399,150 @@ class ShareGroupDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return ShareGroupStreamReader(self.options)
+
+
+@dataclass
+class SharePartitionSplit(InputPartition):
+    """One Kafka (topic, partition)'s leased records for one micro-batch.
+    Carries paths + metadata only — executors read the payloads."""
+
+    topic: str
+    partition: int
+    records: list  # [(path, offset)], lease held by the driver
+
+
+def read_spooled_rows(split: "SharePartitionSplit"):
+    """Executor-side payload read for one split (module-level so the
+    closure pickles without the reader/client state)."""
+    from datetime import datetime, timezone
+
+    for path, offset in split.records:
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            # settled/expired underneath us (lease lapsed mid-batch): skip —
+            # the record redelivers under a new lease, at-least-once
+            continue
+        ts = datetime.fromtimestamp(
+            int(rec.get("timestamp_ms", 0)) / 1000, tz=timezone.utc
+        )
+        yield (
+            rec["topic"],
+            int(rec["partition"]),
+            int(rec["offset"]),
+            rec.get("key"),
+            rec.get("value"),
+            ts,
+        )
+
+
+class ShareGroupPartitionedReader(DataSourceStreamReader):
+    """The scale shape: driver-side lease ACCOUNTING, executor-side DATA.
+
+    Per micro-batch:
+
+    - ``latestOffset`` (driver): ``lease_batch`` acquires up to
+      ``max_poll_records`` leases — filename metadata only, no payload
+      bytes through the driver — and records them against the batch's
+      sequence range.
+    - ``partitions`` (driver): group that range's leases by Kafka
+      (topic, partition) into one ``InputPartition`` per partition — the
+      per-partition lease accounting the Java client keeps internally.
+    - ``read`` (EXECUTORS): each split reads its own payloads in
+      parallel; aggregation continues distributed downstream.
+    - ``commit`` (driver): acknowledge ACCEPT every lease in ranges below
+      ``end`` — per-record ack at Spark's durability boundary, exactly
+      like the simple reader.
+
+    Crash before commit: the in-memory lease table dies with the driver,
+    the leases expire, the spool redelivers — at-least-once. ``partitions``
+    for a range the rebuilt reader never leased returns no splits (the
+    records come back as NEW deliveries in later batches instead, which is
+    the share-group contract: redelivery is a new delivery, not a replay).
+    """
+
+    def __init__(self, options: dict):
+        factory_path = options.get("client_factory")
+        if not factory_path:
+            raise ValueError(
+                "kafka_share_partitioned requires "
+                ".option('client_factory', 'module:callable')"
+            )
+        kwargs = json.loads(options.get("client_kwargs", "{}"))
+        self._client = _load_factory(factory_path)(**kwargs)
+        if not hasattr(self._client, "lease_batch"):
+            raise ValueError(
+                "partitioned share reader needs a client with lease_batch() "
+                "(metadata-only acquire); use format 'kafka_share' for "
+                "poll-based clients"
+            )
+        self._max_poll = int(options.get("max_poll_records", 500))
+        self._seq = 0
+        # [(lo, hi, [LeaseRef])] for every uncommitted batch, in order
+        self._batches: list[tuple[int, int, list[LeaseRef]]] = []
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        leases = self._client.lease_batch(self._max_poll)
+        lo, hi = self._seq, self._seq + len(leases)
+        if leases:
+            self._batches.append((lo, hi, leases))
+            self._seq = hi
+        return {"seq": self._seq}
+
+    def partitions(self, start: dict, end: dict):
+        by_tp: dict[tuple[str, int], list] = {}
+        for lo, hi, leases in self._batches:
+            if lo >= start["seq"] and hi <= end["seq"]:
+                for ref in leases:
+                    by_tp.setdefault((ref.topic, ref.partition), []).append(
+                        (ref.path, ref.offset)
+                    )
+        if not by_tp:
+            # empty batch, or a post-restart replay of a range whose leases
+            # died with the previous driver (records will redeliver)
+            return [SharePartitionSplit("", -1, [])]
+        return [
+            SharePartitionSplit(t, p, recs)
+            for (t, p), recs in sorted(by_tp.items())
+        ]
+
+    def read(self, partition: SharePartitionSplit):
+        return read_spooled_rows(partition)
+
+    def commit(self, end: dict) -> None:
+        keep: list[tuple[int, int, list[LeaseRef]]] = []
+        for lo, hi, leases in self._batches:
+            if hi > end["seq"]:
+                keep.append((lo, hi, leases))
+                continue
+            for ref in leases:
+                try:
+                    self._client.acknowledge(ref.delivery_id, ACCEPT)
+                except StaleLeaseError:
+                    pass  # lease lapsed mid-batch: redelivers, at-least-once
+        self._batches = keep
+
+    def stop(self) -> None:
+        self._client.close()
+
+
+class SharePartitionedDataSource(DataSource):
+    """``kafka_share_partitioned`` — the partition-parallel share source:
+    ``spark.dataSource.register(SharePartitionedDataSource)``, then
+    ``readStream.format("kafka_share_partitioned")`` with the same
+    ``client_factory`` / ``client_kwargs`` / ``max_poll_records`` options
+    as ``kafka_share``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_share_partitioned"
+
+    def schema(self) -> str:
+        return SHARE_SCHEMA
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return ShareGroupPartitionedReader(self.options)

@@ -245,3 +245,171 @@ def test_share_group_source_without_factory_documents_na(spark):
 
     with pytest.raises(NotImplementedError, match="wire protocol"):
         share_group_source(spark)
+
+
+# ---- partitioned reader: driver leases metadata, executors read payloads ---
+
+
+def test_lease_batch_metadata_only(tmp_path):
+    from console_datagen_spark.sources.share_group import LeaseRef
+
+    a = _spool(tmp_path, n=6)
+    refs = a.lease_batch(4)
+    assert len(refs) == 4 and all(isinstance(r, LeaseRef) for r in refs)
+    # filename-derived metadata matches what poll() reads from payloads
+    b = FileSpoolShareClient(str(tmp_path / "spool"))
+    rest = b.poll(10)
+    assert len(rest) == 2  # leases exclude records from other consumers
+    keys_a = {(r.topic, r.partition, r.offset) for r in refs}
+    keys_b = {(r.topic, r.partition, r.offset) for r in rest}
+    assert not keys_a & keys_b
+    # topic names containing dashes still parse (partition/offset are the
+    # LAST two filename segments)
+    c = FileSpoolShareClient(str(tmp_path / "spool2"))
+    c.offer([{"topic": "my-dashed-topic", "partition": 3, "offset": 17,
+              "key": None, "value": "x", "timestamp_ms": 0}])
+    (ref,) = c.lease_batch(1)
+    assert (ref.topic, ref.partition, ref.offset) == ("my-dashed-topic", 3, 17)
+
+
+def _preader(tmp_path, max_poll=100, lease_ms=30_000):
+    import json
+
+    from console_datagen_spark.sources.share_group import (
+        ShareGroupPartitionedReader,
+    )
+
+    return ShareGroupPartitionedReader(
+        {
+            "client_factory": FACTORY,
+            "client_kwargs": json.dumps(
+                {"spool_dir": str(tmp_path / "spool"), "lease_ms": lease_ms}
+            ),
+            "max_poll_records": str(max_poll),
+        }
+    )
+
+
+def test_partitioned_reader_splits_by_topic_partition(tmp_path):
+    from console_datagen_spark.sources.share_group import read_spooled_rows
+
+    client = _spool(tmp_path, n=12)  # 3 topics x 2 partitions
+    r = _preader(tmp_path)
+    start = r.initialOffset()
+    end = r.latestOffset()
+    assert end == {"seq": 12}
+    splits = r.partitions(start, end)
+    # one split per (topic, partition) -- per-partition lease accounting
+    assert sorted((s.topic, s.partition) for s in splits) == [
+        ("t0", 0), ("t0", 1), ("t1", 0), ("t1", 1), ("t2", 0), ("t2", 1),
+    ]
+    rows = [row for s in splits for row in read_spooled_rows(s)]
+    assert len(rows) == 12
+    # payload metadata agrees with the split assignment
+    for s in splits:
+        for row in read_spooled_rows(s):
+            assert (row[0], row[1]) == (s.topic, s.partition)
+    # nothing settled until commit
+    assert client.pending() == 12
+    r.commit(end)
+    assert client.pending() == 0
+
+
+def test_partitioned_reader_commit_respects_batch_boundaries(tmp_path):
+    client = _spool(tmp_path, n=6)
+    r = _preader(tmp_path, max_poll=4)
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()  # leases 4
+    o2 = r.latestOffset()  # leases remaining 2
+    assert (o1, o2) == ({"seq": 4}, {"seq": 6})
+    assert len(r.partitions(o1, o2)[0].records) + sum(
+        len(s.records) for s in r.partitions(o1, o2)[1:]
+    ) == 2
+    r.commit(o1)  # settles only batch 1's four records
+    assert client.pending() == 2
+    r.commit(o2)
+    assert client.pending() == 0
+    assert o0 == {"seq": 0}
+
+
+def test_partitioned_reader_crash_redelivers(tmp_path):
+    _spool(tmp_path, n=3, lease_ms=50)
+    r = _preader(tmp_path, lease_ms=50)
+    r.latestOffset()  # leases all 3, then the "driver dies" -- no commit
+    time.sleep(0.06)
+    r2 = _preader(tmp_path)
+    end = r2.latestOffset()
+    assert end == {"seq": 3}  # expired leases redelivered as new deliveries
+    # replaying the dead driver's range yields the empty sentinel split
+    splits = r2.partitions({"seq": 90}, {"seq": 93})
+    assert len(splits) == 1 and splits[0].records == []
+    r2.commit(end)
+    probe = FileSpoolShareClient(str(tmp_path / "spool"))
+    assert probe.pending() == 0
+
+
+def test_partitioned_source_counts_match_classic_topology(spark, tmp_path):
+    """End-to-end through Spark: the partition-parallel share source feeds
+    count_records unchanged and matches the S2 batch result, with every
+    record individually settled."""
+    from console_datagen_spark.sources.kafka_io import (
+        share_group_source_partitioned,
+    )
+    from console_datagen_spark.streaming.counters import count_records
+
+    records = [
+        {
+            "topic": f"t{i % 3}",
+            "partition": i % 2,
+            "offset": i,
+            "key": f"k{i}",
+            "value": f"v{i}",
+            "timestamp_ms": 1_700_000_000_000 + i,
+        }
+        for i in range(60)
+    ]
+    FileSpoolShareClient(str(tmp_path / "spool")).offer(records)
+
+    stream = share_group_source_partitioned(
+        spark,
+        client_factory=FACTORY,
+        client_kwargs={"spool_dir": str(tmp_path / "spool"), "lease_ms": 300_000},
+        max_poll_records=25,  # force multiple micro-batches
+    )
+    q = (
+        count_records(stream, cluster="share")
+        .writeStream.format("memory")
+        .queryName("share_counts_part")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    probe = FileSpoolShareClient(str(tmp_path / "spool"))
+    deadline = time.time() + 120
+    while probe.pending() > 10 and time.time() < deadline:
+        time.sleep(0.2)
+    probe.offer(
+        [{"topic": "flush", "partition": 0, "offset": 10**6, "key": None,
+          "value": None, "timestamp_ms": 1_700_000_000_000}]
+    )
+    while probe.pending() > 1 and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+
+    got = {
+        (r.topic, r.partition): r["count"]
+        for r in spark.sql("SELECT * FROM share_counts_part").collect()
+    }
+    got.pop(("flush", 0), None)
+    batch = spark.createDataFrame(
+        [(x["topic"], x["partition"], x["offset"]) for x in records],
+        "topic STRING, partition INT, offset BIGINT",
+    )
+    want = {
+        (r.topic, r.partition): r["count"]
+        for r in count_records(batch, cluster="share").collect()
+    }
+    assert got == want
+    assert probe.pending() <= 1
