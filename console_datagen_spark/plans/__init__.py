@@ -15,6 +15,8 @@ from . import windows  # noqa: F401
 from . import dedup  # noqa: F401
 from . import temporal_plans  # noqa: F401
 from . import sequences  # noqa: F401
+from . import chunking  # noqa: F401
+from . import bloom  # noqa: F401
 from . import text_analysis  # noqa: F401
 from . import pipeline  # noqa: F401
 from . import generator_plans  # noqa: F401

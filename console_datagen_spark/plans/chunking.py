@@ -1,0 +1,107 @@
+"""Training-sequence preparation: document chunking + sequence packing.
+
+The two operators that sit between curation and the trainer in an LLM
+data pipeline (beyond-reference north-star tier, SURVEY §2.11):
+
+- ``text_chunking``: split every document into fixed-size token windows
+  with overlap (window 64, stride 48 → 16-token overlap) — the standard
+  context-window chunking step. Pure built-ins: one ``split``, one
+  ``sequence``+``explode`` over the per-doc chunk count, one ``slice``
+  per chunk; zero UDFs, zero shuffles beyond the final ORDER BY (the
+  explode is a narrow map-side fanout, so at 100 TB this runs entirely
+  within the scan stage).
+- ``pipeline_pack_sequences``: deterministic sequence packing — assign
+  docs (ordered by doc_id within each source) to fixed token-budget bins
+  by exclusive-prefix-sum floor division. This is the order-stable batch
+  analog of greedy packing: bin boundaries depend only on the prefix
+  sums, so the result is partition-count-invariant and both engines
+  replay it exactly. One window (shuffle on source) + one hash agg.
+
+Chunk-count law: n_chunks = 1 if n ≤ W else ceil((n − W)/S) + 1, so the
+last chunk always has between S−(W−S)=2·S−W and W tokens and every token
+is covered at least once (tokens in positions k·S+1..k·S+W).
+"""
+
+from __future__ import annotations
+
+from .registry import sql_query
+
+DOCS = ("documents",)
+
+_W = 64  # chunk window (tokens)
+_S = 48  # stride (W - S = 16-token overlap)
+
+_CHUNK_SPARK = (
+    "SELECT doc_id, chunk_id, "
+    f"CAST(size(slice(toks, chunk_id * {_S} + 1, {_W})) AS INT) AS chunk_tokens, "
+    f"md5(array_join(slice(toks, chunk_id * {_S} + 1, {_W}), ' ')) AS chunk_hash "
+    "FROM ("
+    "  SELECT doc_id, toks, "
+    "         explode(sequence(0, n_chunks - 1)) AS chunk_id FROM ("
+    f"    SELECT doc_id, toks, CASE WHEN n <= {_W} THEN 1 "
+    f"           ELSE CAST(CEIL((n - {_W}) / {_S}.0) AS INT) + 1 END AS n_chunks "
+    "    FROM (SELECT doc_id, split(text, ' ') AS toks, "
+    "                 size(split(text, ' ')) AS n FROM documents) t0) t1) t2 "
+    "ORDER BY doc_id, chunk_id"
+)
+
+_CHUNK_DUCK = (
+    "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, "
+    "CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INT) AS chunk_tokens, "
+    "md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) "
+    "  AS chunk_hash "
+    "FROM ("
+    "  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_id "
+    "  FROM ("
+    "    SELECT doc_id, toks, CASE WHEN n <= 64 THEN 1 "
+    "           ELSE CAST(CEIL((n - 64) / 48.0) AS INT) + 1 END AS n_chunks "
+    "    FROM (SELECT doc_id, string_split(text, ' ') AS toks, "
+    "                 len(string_split(text, ' ')) AS n FROM documents) t0) t1) t2 "
+    "ORDER BY doc_id, chunk_id"
+)
+
+sql_query(
+    "text_chunking",
+    _CHUNK_SPARK,
+    oracle=_CHUNK_DUCK,
+    tables=DOCS,
+    tags=("text", "chunking", "training"),
+    doc=f"fixed-window token chunking (window {_W}, stride {_S}): every doc "
+    "-> overlapping context-window chunks, hash-certified per chunk",
+)
+
+
+_BUDGET = 2048  # tokens per packed sequence bin
+
+_PACK_CORE = (
+    "SELECT source, CAST(FLOOR(prefix / {budget}.0) AS BIGINT) AS bin, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+    "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+    "FROM ("
+    "  SELECT source, doc_id, n_tokens, "
+    "         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+    "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix "
+    "  FROM ({tokens}) d) w "
+    "GROUP BY source, CAST(FLOOR(prefix / {budget}.0) AS BIGINT) "
+    "ORDER BY source, bin"
+)
+
+sql_query(
+    "pipeline_pack_sequences",
+    _PACK_CORE.format(
+        budget=_BUDGET,
+        tokens="SELECT source, doc_id, size(split(text, ' ')) AS n_tokens "
+        "FROM documents",
+    ),
+    oracle=_PACK_CORE.format(
+        budget=_BUDGET,
+        tokens="SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens "
+        "FROM documents",
+    ),
+    tables=DOCS,
+    tags=("pipeline", "packing", "training"),
+    doc=f"deterministic sequence packing: docs -> {_BUDGET}-token bins per "
+    "source via exclusive-prefix-sum floor division (order-stable, "
+    "partition-invariant)",
+)
