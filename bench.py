@@ -45,6 +45,11 @@ HEADLINE = [
     "text_tfidf_topk",
     "pipeline_curation",
     "pipeline_training_mix",
+    "seq_funnel",
+    "cdc_latest_state",
+    "text_chunking",
+    "pipeline_pack_sequences",
+    "dedup_bloom_prefilter",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 
