@@ -79,21 +79,9 @@ def _bloom_sql(
     )
 
 
-_SPARK_UNPACK = (
-    "SELECT doc_id, explode(transform(sequence(1, size(l) - 7), "
-    "i -> concat_ws(' ', slice(l, i, 8)))) AS s FROM toks"
-)
-
 _DUCK_UNPACK = (
     "SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 7), "
     "i -> array_to_string(l[i:i+7], ' '))) AS s FROM toks"
-)
-
-_BLOOM_SPARK = _bloom_sql(
-    tok_id=token_id_sql_spark("s"),
-    div="DIV",
-    shift=lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})",
-    unpack=_SPARK_UNPACK,
 )
 
 _BLOOM_DUCK = (
@@ -107,6 +95,48 @@ _BLOOM_DUCK = (
     .replace("split(text, ' ')", "string_split(text, ' ')")
     .replace("size(string_split(text, ' '))", "len(string_split(text, ' '))")
 )
+
+
+_SPARK_POS = "explode(array(" + ", ".join(
+    f"({a} * h + {b}) % {_M}" for a, b in _COEFFS) + "))"
+
+# Spark side: positions come from ONE generator expression
+# (explode(array(...))) instead of the oracle's UNION ALL — Spark inlines
+# CTE references, so a 3-way UNION ALL would re-run the whole n-gram
+# pipeline per branch; the generator fans out in-place. DuckDB
+# materializes CTEs, so its UNION ALL form costs one evaluation anyway.
+# No persist: the exploded n-gram frame is corpus-sized times 8 — at
+# 100 TB recomputing the scan (2 evaluations: probe + exact verify)
+# beats caching it.
+_BLOOM_SPARK = (
+    "WITH toks AS (SELECT doc_id, split(text, ' ') AS l FROM documents "
+    "              WHERE size(split(text, ' ')) >= 8), "
+    "sh AS (SELECT doc_id, explode(transform(sequence(1, size(l) - 7), "
+    "       i -> concat_ws(' ', slice(l, i, 8)))) AS s FROM toks), "
+    f"ids AS (SELECT DISTINCT doc_id, {token_id_sql_spark('s')} % {HASH_PRIME} AS h FROM sh), "
+    "hold AS (SELECT DISTINCT h FROM ids WHERE doc_id % 10 = 0), "
+    f"hpos AS (SELECT {_SPARK_POS} AS p FROM hold), "
+    "words AS (SELECT CAST(p DIV 32 AS INT) AS word, "
+    "          bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))) AS mask "
+    "          FROM hpos GROUP BY CAST(p DIV 32 AS INT)), "
+    "corpus AS (SELECT doc_id, h FROM ids WHERE doc_id % 10 <> 0), "
+    f"cpos AS (SELECT doc_id, h, {_SPARK_POS} AS p FROM corpus), "
+    "probe AS (SELECT c.doc_id, c.h, "
+    "          CASE WHEN (COALESCE(w.mask, 0) & "
+    "               shiftleft(CAST(1 AS BIGINT), CAST(c.p % 32 AS INT))) <> 0 "
+    "               THEN 1 ELSE 0 END AS ok "
+    "          FROM cpos c LEFT JOIN words w ON CAST(c.p DIV 32 AS INT) = w.word), "
+    "bloomhits AS (SELECT doc_id, h FROM probe GROUP BY doc_id, h "
+    f"              HAVING SUM(ok) = {len(_COEFFS)}), "
+    "nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom "
+    "       FROM bloomhits GROUP BY doc_id), "
+    "ne AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact "
+    "       FROM corpus c JOIN hold ON c.h = hold.h GROUP BY c.doc_id) "
+    "SELECT nb.doc_id, n_bloom, COALESCE(n_exact, 0) AS n_exact, "
+    "       CAST(n_bloom >= COALESCE(n_exact, 0) AS INT) AS no_false_neg "
+    "FROM nb LEFT JOIN ne ON nb.doc_id = ne.doc_id ORDER BY nb.doc_id"
+)
+
 
 sql_query(
     "dedup_bloom_prefilter",
