@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_embedding",
     "sim_topk_brute",
     "sim_ivf_multiprobe",
+    "sim_pq_topk",
     "win_tumbling_hour",
     "win_session_30m",
     "win_gapfill_hours",

@@ -314,6 +314,9 @@ def dup_components(
             .groupBy("src")
             .agg(F.min("component").alias("nb_min"))
         )
+        # carry the did-this-label-shrink flag in the frame itself: the
+        # convergence check is then a count over the just-checkpointed
+        # partitions instead of an extra new-vs-old join per round
         new_labels = _checkpoint(
             labels.join(nb_min, labels["id"] == nb_min["src"], "left")
             .select(
@@ -322,15 +325,12 @@ def dup_components(
                     labels["component"],
                     F.coalesce(F.col("nb_min"), labels["component"]),
                 ).alias("component"),
+                (F.coalesce(F.col("nb_min"), labels["component"])
+                 < labels["component"]).cast("int").alias("chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("chg") == 1).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     if changed != 0:

@@ -381,6 +381,95 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFr
     )
 
 
+PQ_M = 8  # subspaces (64-dim vectors -> 8 x 8-dim subvectors)
+PQ_DIM = 8
+PQ_CODES = 16  # codes per subspace (4-bit codes)
+
+
+def _pq_sqdist(a, b):
+    """Exact integer squared L2 over two permille long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvectors(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, j, sv): integer-permille 8-dim subvectors, one row per
+    (vector, subspace). The permille floor is IEEE-identical in DuckDB, so
+    the whole PQ pipeline is hash-exact."""
+    iv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    subs = F.array(*[F.slice(iv, j * PQ_DIM + 1, PQ_DIM) for j in range(PQ_M)])
+    return embeddings.select(
+        F.col("vec_id").alias(id_col), F.posexplode(subs).alias("j", "sv")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame, k: int = 5, max_query_id: int = 20
+) -> DataFrame:
+    """(query_id, neighbor_id, rnk, adist) — product-quantization ANN.
+
+    The memory-side scale technique IVF doesn't cover: corpus vectors are
+    compressed to PQ_M 4-bit codes (here 8 codes = 4 bytes per 64-dim
+    vector, a 64x compression over float32) and distances are evaluated
+    against the codes, not the vectors:
+
+    - codebooks: per subspace j, the ``PQ_CODES`` permille subvectors of
+      vec_id < PQ_CODES (deterministic sampled codebook — a production
+      build would Lloyd-refine each subspace like ``kmeans_int_iterate``;
+      sampling keeps the certified surface simple);
+    - encode: per (vector, subspace), argmin integer squared-L2 code
+      (ties -> smaller code id). One broadcast join of 8x16 codebook rows
+      + one per-(vector, subspace) window;
+    - ADC (asymmetric distance computation): per query, the 8x16 table of
+      query-subvector-to-code distances is broadcast; approximate distance
+      is the SUM over subspaces of the table entry for the corpus code —
+      an equi-join on (j, code) + one hash agg, never touching corpus
+      vectors again;
+    - top-k per query by (adist, neighbor_id).
+
+    Everything is integer, so the DuckDB oracle replays it bit-for-bit.
+    At 100 TB the encoded corpus (4 B/vector) is what sits in RAM/disk
+    cache, and the same ADC join composes with the IVF cluster pruning of
+    ``sim_ivf_topk`` (probe only the encoded vectors of nprobe clusters).
+    """
+    sub = _pq_subvectors(embeddings)
+    cb = sub.where(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").cast("int").alias("code"), "j", F.col("sv").alias("cv")
+    )
+    dist = _pq_sqdist(F.col("sv"), F.col("cv"))
+    enc_w = Window.partitionBy("vec_id", "j").orderBy("d", "code")
+    encoded = (
+        sub.join(F.broadcast(cb), "j")
+        .select("vec_id", "j", "code", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(enc_w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", "code")
+    )
+    qsub = _pq_subvectors(
+        embeddings.where(F.col("vec_id") < max_query_id), id_col="query_id"
+    )
+    dtable = qsub.join(F.broadcast(cb), "j").select(
+        "query_id", "j", "code", dist.alias("qd")
+    )
+    scored = (
+        encoded.join(F.broadcast(dtable), ["j", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("adist"))
+    )
+    topk_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(topk_w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "adist")
+    )
+
+
 def kmeans_int_iterate(
     embeddings: DataFrame, centroid_mod: int = 25, iterations: int = 2
 ) -> DataFrame:

@@ -390,3 +390,50 @@ df_query(
     "argmax-dot assignment, floor-mean centroids — the iterative tier "
     "hash-checked (the float variant stays rows-only by design)",
 )
+
+
+def _pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    return S.pq_topk(emb).orderBy("query_id", "rnk")
+
+
+# integer squared-L2 between two permille lists, DuckDB spelling
+_DUCK_PQ_D = (
+    "CAST(list_sum(list_transform(generate_series(1, 8), "
+    "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT)"
+)
+
+df_query(
+    "sim_pq_topk",
+    _pq_topk,
+    oracle=(
+        "WITH iv AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "  x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS v FROM embeddings), "
+        "sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv FROM iv, "
+        "        (SELECT unnest(generate_series(0, 7)) AS j) js), "
+        "cb AS (SELECT CAST(vec_id AS INT) AS code, j, sv AS cv FROM sub "
+        "       WHERE vec_id < 16), "
+        f"enc0 AS (SELECT s.vec_id, s.j, c.code, {_DUCK_PQ_D} AS d "
+        "         FROM sub s JOIN cb c ON s.j = c.j), "
+        "encoded AS (SELECT vec_id, j, code FROM ("
+        "  SELECT vec_id, j, code, ROW_NUMBER() OVER ("
+        "    PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM enc0) t "
+        "  WHERE rn = 1), "
+        f"dtable AS (SELECT s.vec_id AS query_id, s.j, c.code, {_DUCK_PQ_D} AS qd "
+        "           FROM sub s JOIN cb c ON s.j = c.j WHERE s.vec_id < 20), "
+        "scored AS (SELECT d.query_id, e.vec_id AS neighbor_id, "
+        "           CAST(SUM(qd) AS BIGINT) AS adist "
+        "           FROM encoded e JOIN dtable d "
+        "           ON e.j = d.j AND e.code = d.code "
+        "           WHERE e.vec_id <> d.query_id GROUP BY 1, 2) "
+        "SELECT query_id, neighbor_id, rnk, adist FROM ("
+        "  SELECT query_id, neighbor_id, adist, CAST(ROW_NUMBER() OVER ("
+        "    PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rnk "
+        "  FROM scored) t WHERE rnk <= 5 ORDER BY query_id, rnk"
+    ),
+    tables=EMB,
+    tags=("similarity", "ann", "pq"),
+    doc="product-quantization ANN top-5: 8x4-bit codes per vector (64x "
+    "compression), integer sampled codebooks, broadcast ADC tables, "
+    "equi-join distance evaluation — hash-exact vs DuckDB",
+)
