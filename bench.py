@@ -34,6 +34,7 @@ HEADLINE = [
     "sim_topk_brute",
     "sim_ivf_multiprobe",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     "win_tumbling_hour",
     "win_session_30m",
     "win_gapfill_hours",

@@ -470,6 +470,88 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    max_query_id: int = 20,
+    centroid_mod: int = 25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_id, neighbor_id, rnk, adist) — IVF-pruned PQ: the production
+    ANN composition.
+
+    IVF contributes the COMPUTE cut (only ``nprobe`` clusters' vectors are
+    scored per query — partition pruning against the persisted index,
+    operators/ivf_index.py) and PQ contributes the MEMORY cut (scored
+    vectors are 4-byte codes, distances come from the broadcast ADC
+    table). The two are orthogonal, exactly as in FAISS's IVFPQ: cluster
+    assignment/probing uses the float cosine coarse quantizer
+    (deterministic — identical fold order both engines), in-cluster
+    ranking uses the integer ADC distance (hash-exact).
+    """
+    assigned = assign_clusters(embeddings, centroid_mod).select("vec_id", "cluster")
+    n = with_norm(embeddings)
+    cent = n.where(F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    qbase = n.where(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qscored = qbase.join(F.broadcast(cent)).select(
+        "query_id",
+        "cid",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(qw))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("cluster"))
+    )
+    # candidate set: vectors of the probed clusters (at most one row per
+    # (query, vector) — each vector lives in exactly one cluster)
+    cand = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    sub = _pq_subvectors(embeddings)
+    cb = sub.where(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").cast("int").alias("code"), "j", F.col("sv").alias("cv")
+    )
+    dist = _pq_sqdist(F.col("sv"), F.col("cv"))
+    enc_w = Window.partitionBy("vec_id", "j").orderBy("d", "code")
+    encoded = (
+        sub.join(F.broadcast(cb), "j")
+        .select("vec_id", "j", "code", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(enc_w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", "code")
+    )
+    qsub = _pq_subvectors(
+        embeddings.where(F.col("vec_id") < max_query_id), id_col="query_id"
+    )
+    dtable = qsub.join(F.broadcast(cb), "j").select(
+        "query_id", "j", "code", dist.alias("qd")
+    )
+    scored = (
+        cand.join(encoded, "vec_id")
+        .join(F.broadcast(dtable), ["query_id", "j", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("adist"))
+    )
+    topk_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(topk_w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "adist")
+    )
+
+
 def kmeans_int_iterate(
     embeddings: DataFrame, centroid_mod: int = 25, iterations: int = 2
 ) -> DataFrame:

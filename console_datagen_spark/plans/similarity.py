@@ -437,3 +437,66 @@ df_query(
     "compression), integer sampled codebooks, broadcast ADC tables, "
     "equi-join distance evaluation — hash-exact vs DuckDB",
 )
+
+
+def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    return S.ivfpq_topk(emb).orderBy("query_id", "rnk")
+
+
+df_query(
+    "sim_ivfpq_topk",
+    _ivfpq_topk,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        # -- IVF coarse quantizer: float-cosine assignment + nprobe=2 probes
+        "cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n "
+        "         WHERE vec_id % 25 = 0), "
+        "ascore AS (SELECT n.vec_id, cid, "
+        "           list_inner_product(n.v, cv) / (n.nrm * cn) AS cos "
+        "           FROM n, cent), "
+        "assigned AS (SELECT vec_id, cid AS cluster FROM "
+        "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "   ORDER BY cos DESC, cid) AS rn FROM ascore) t WHERE rn = 1), "
+        "qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n "
+        "       WHERE vec_id < 20), "
+        "qscore AS (SELECT query_id, cid, "
+        "           list_inner_product(qv, cv) / (qn * cn) AS cos "
+        "           FROM qs, cent), "
+        "probes AS (SELECT query_id, cid AS cluster FROM "
+        "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "   ORDER BY cos DESC, cid) AS rn FROM qscore) t WHERE rn <= 2), "
+        "cand AS (SELECT query_id, a.vec_id FROM assigned a "
+        "         JOIN probes USING (cluster) WHERE a.vec_id <> query_id), "
+        # -- PQ fine quantizer: integer codes + broadcast ADC tables
+        "iv AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "  x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS v FROM embeddings), "
+        "sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv FROM iv, "
+        "        (SELECT unnest(generate_series(0, 7)) AS j) js), "
+        "cb AS (SELECT CAST(vec_id AS INT) AS code, j, sv AS cv FROM sub "
+        "       WHERE vec_id < 16), "
+        f"enc0 AS (SELECT s.vec_id, s.j, c.code, {_DUCK_PQ_D} AS d "
+        "         FROM sub s JOIN cb c ON s.j = c.j), "
+        "encoded AS (SELECT vec_id, j, code FROM ("
+        "  SELECT vec_id, j, code, ROW_NUMBER() OVER ("
+        "    PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM enc0) t "
+        "  WHERE rn = 1), "
+        f"dtable AS (SELECT s.vec_id AS query_id, s.j, c.code, {_DUCK_PQ_D} AS qd "
+        "           FROM sub s JOIN cb c ON s.j = c.j WHERE s.vec_id < 20), "
+        "scored AS (SELECT cand.query_id, e.vec_id AS neighbor_id, "
+        "           CAST(SUM(qd) AS BIGINT) AS adist "
+        "           FROM cand JOIN encoded e ON cand.vec_id = e.vec_id "
+        "           JOIN dtable d ON d.query_id = cand.query_id "
+        "             AND d.j = e.j AND d.code = e.code "
+        "           GROUP BY 1, 2) "
+        "SELECT query_id, neighbor_id, rnk, adist FROM ("
+        "  SELECT query_id, neighbor_id, adist, CAST(ROW_NUMBER() OVER ("
+        "    PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rnk "
+        "  FROM scored) t WHERE rnk <= 5 ORDER BY query_id, rnk"
+    ),
+    tables=EMB,
+    tags=("similarity", "ann", "ivf", "pq"),
+    doc="IVFPQ ANN top-5: nprobe=2 cosine cluster pruning (compute cut) "
+    "composed with 4-bit PQ ADC ranking (memory cut) — the FAISS-style "
+    "production composition, hash-exact vs DuckDB",
+)
