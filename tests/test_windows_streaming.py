@@ -218,3 +218,41 @@ def test_rate_per_bucket_shape(spark):
     buckets = rate_per_bucket(produced, 10).collect()
     # each 10 s bucket holds 10x one plateau value
     assert sorted(r.n for r in buckets) == sorted(v * 10 for v in RATE_VALUES)
+
+
+def test_cdc_latest_wins_streaming_equals_batch(
+    spark, events, replay_dir, sf_dir, tmp_path
+):
+    """The latest-wins compaction (cdc_latest_state's semantics) run as a
+    streaming aggregation over the replayed fixture equals the batch
+    result AND the registered batch query — one definition, two modes."""
+    from console_datagen_spark.plans import all_queries
+    from console_datagen_spark.streaming.cdc import latest_wins
+
+    stream = replay_stream(spark, replay_dir, events.schema)
+    q = (
+        latest_wins(stream)
+        .writeStream.format("memory")
+        .queryName("cdc_parity")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.last_event_id, r.last_type, r.last_value, r.n_versions)
+        for r in spark.sql("SELECT * FROM cdc_parity").collect()
+    }
+    want = {
+        r.user_id: (r.last_event_id, r.last_type, r.last_value, r.n_versions)
+        for r in latest_wins(events).collect()
+    }
+    assert got == want and len(want) > 0
+    # ...and both agree with the registered windowed batch query over the
+    # same fixture dir
+    reg = {
+        r.user_id: (r.last_event_id, r.last_type, r.last_value, r.n_versions)
+        for r in all_queries()["cdc_latest_state"].spark(spark, sf_dir).collect()
+    }
+    assert reg == want
