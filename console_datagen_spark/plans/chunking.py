@@ -105,3 +105,60 @@ sql_query(
     "source via exclusive-prefix-sum floor division (order-stable, "
     "partition-invariant)",
 )
+
+
+# Composed prep flow: chunk docs into context windows, then pack the
+# CHUNKS (not the raw docs) into per-source token-budget bins — what a
+# trainer actually consumes. Chunks are ordered (doc_id, chunk_id) within
+# each source; bin assignment is the same exclusive-prefix-sum floor
+# division as pipeline_pack_sequences, so the composition stays
+# order-stable and partition-invariant.
+_CHUNKS_TOKENS_SPARK = (
+    "SELECT source, doc_id, chunk_id, "
+    f"CAST(size(slice(toks, chunk_id * {_S} + 1, {_W})) AS BIGINT) AS n_tokens "
+    "FROM ("
+    "  SELECT source, doc_id, toks, "
+    "         explode(sequence(0, n_chunks - 1)) AS chunk_id FROM ("
+    f"    SELECT source, doc_id, toks, CASE WHEN n <= {_W} THEN 1 "
+    f"           ELSE CAST(CEIL((n - {_W}) / {_S}.0) AS INT) + 1 END AS n_chunks "
+    "    FROM (SELECT source, doc_id, split(text, ' ') AS toks, "
+    "                 size(split(text, ' ')) AS n FROM documents) t0) t1) t2"
+)
+
+_CHUNKS_TOKENS_DUCK = (
+    "SELECT source, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+    "CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT) AS n_tokens "
+    "FROM ("
+    "  SELECT source, doc_id, toks, unnest(generate_series(0, n_chunks - 1)) "
+    "         AS chunk_id FROM ("
+    "    SELECT source, doc_id, toks, CASE WHEN n <= 64 THEN 1 "
+    "           ELSE CAST(CEIL((n - 64) / 48.0) AS INT) + 1 END AS n_chunks "
+    "    FROM (SELECT source, doc_id, string_split(text, ' ') AS toks, "
+    "                 len(string_split(text, ' ')) AS n FROM documents) t0) t1) t2"
+)
+
+_CHUNK_PACK_CORE = (
+    "SELECT source, CAST(FLOOR(prefix / {budget}.0) AS BIGINT) AS bin, "
+    "CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+    "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+    "FROM ("
+    "  SELECT source, doc_id, n_tokens, "
+    "         COALESCE(SUM(n_tokens) OVER (PARTITION BY source "
+    "           ORDER BY doc_id, chunk_id "
+    "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix "
+    "  FROM ({chunks}) c) w "
+    "GROUP BY source, CAST(FLOOR(prefix / {budget}.0) AS BIGINT) "
+    "ORDER BY source, bin"
+)
+
+sql_query(
+    "pipeline_chunk_pack",
+    _CHUNK_PACK_CORE.format(budget=_BUDGET, chunks=_CHUNKS_TOKENS_SPARK),
+    oracle=_CHUNK_PACK_CORE.format(budget=_BUDGET, chunks=_CHUNKS_TOKENS_DUCK),
+    tables=DOCS,
+    tags=("pipeline", "chunking", "packing", "training"),
+    doc=f"composed prep flow: {_W}-token chunking (stride {_S}) -> "
+    f"{_BUDGET}-token bin packing of the CHUNKS per source — the "
+    "end-to-end trainer-feed layout, fully hash-certified",
+)
