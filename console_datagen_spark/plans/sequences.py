@@ -225,3 +225,29 @@ sql_query(
     "each engine's exact answer; verdict columns are deterministic and "
     "hash-match even though raw sketch values differ across engines",
 )
+
+
+# Strict-adjacency pattern matching (the MATCH_RECOGNIZE analog that
+# plain SQL can express portably): find view -> click -> purchase runs in
+# three CONSECUTIVE events of one user, ordered by event_id. Unlike
+# seq_funnel (first-ever stages, any gaps) this is the tight-sequence
+# variant — one window sort per user, two lead() columns, zero joins.
+sql_query(
+    "seq_adjacent_pattern",
+    "SELECT user_id, event_id AS start_event, "
+    "next_id AS click_event, next2_id AS purchase_event FROM ("
+    "  SELECT user_id, event_id, event_type, "
+    "    LEAD(event_type, 1) OVER w AS next_type, "
+    "    LEAD(event_id, 1) OVER w AS next_id, "
+    "    LEAD(event_type, 2) OVER w AS next2_type, "
+    "    LEAD(event_id, 2) OVER w AS next2_id "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) t "
+    "WHERE event_type = 'view' AND next_type = 'click' "
+    "  AND next2_type = 'purchase' "
+    "ORDER BY user_id, start_event",
+    tables=EV,
+    tags=("sequence", "pattern", "window"),
+    doc="strict-adjacency pattern match (view,click,purchase in 3 "
+    "consecutive events per user): lead()-based MATCH_RECOGNIZE analog, "
+    "zero joins",
+)

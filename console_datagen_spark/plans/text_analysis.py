@@ -370,3 +370,29 @@ sql_query(
     doc="benchmark decontamination: corpus docs sharing an 8-token run with "
     "the holdout set (hash semi-join; GPT-3-style n-gram overlap check)",
 )
+
+
+def _lang_confusion_sql(size_fn: str, filter_fn: str, split_fn: str) -> str:
+    """Label-noise audit: confusion matrix of the labeled lang column vs
+    the n-gram langid prediction — the cross-lingual-contamination check a
+    curation pipeline runs before trusting per-language mix weights. One
+    scan + one hash agg over the langid scoring projection."""
+    inner = _langid_sql(size_fn, filter_fn, split_fn)
+    return (
+        f"WITH pred AS ({inner.replace(' ORDER BY doc_id', '')}) "
+        "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_agree "
+        "FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang"
+    )
+
+
+sql_query(
+    "text_lang_confusion",
+    _lang_confusion_sql("size", "filter", "split"),
+    oracle=_lang_confusion_sql("len", "list_filter", "string_split"),
+    tables=DOCS,
+    tags=("text", "langid", "quality"),
+    doc="labeled-vs-predicted language confusion matrix (label-noise / "
+    "cross-lingual contamination audit)",
+)
