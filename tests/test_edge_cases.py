@@ -78,3 +78,80 @@ def test_norm_of_zero_vector_no_crash(spark):
     )
     row = with_norm(emb).first()
     assert row.nrm == 0.0  # division guards are the caller's concern
+
+
+# ---- training-prep tier (chunking / packing / bloom / PQ) ------------------
+
+
+def _run_sql(spark, name, view_df):
+    """Run a registered SQL query against an in-memory documents view."""
+    from console_datagen_spark.plans import all_queries
+
+    view_df.createOrReplaceTempView("documents")
+    spec = all_queries()[name]
+    # sql_query specs re-register views from sf_dir; call spark.sql on the
+    # oracle-identical Spark text instead, against the temp view
+    import console_datagen_spark.plans.chunking as C
+
+    sql = {
+        "text_chunking": C._CHUNK_SPARK,
+    }[name]
+    return spark.sql(sql)
+
+
+def test_chunking_single_and_empty_docs(spark, tiny_docs):
+    """Docs shorter than one window yield exactly one chunk covering all
+    tokens; empty text still yields one (empty-ish) chunk — never zero
+    rows per doc, never a crash."""
+    out = _run_sql(spark, "text_chunking", tiny_docs).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == {0, 1, 2, 3}
+    for doc_id, rows in per_doc.items():
+        assert len(rows) == 1  # all tiny docs fit one 64-token window
+        assert rows[0].chunk_id == 0
+
+
+def test_chunk_count_law():
+    """n_chunks = 1 if n <= W else ceil((n-W)/S) + 1 covers every token
+    exactly: last chunk's window reaches position >= n."""
+    import math
+
+    W, S = 64, 48
+    for n in [1, 63, 64, 65, 111, 112, 113, 160, 161, 1000, 5000]:
+        k = 1 if n <= W else math.ceil((n - W) / S) + 1
+        last_start = (k - 1) * S + 1
+        assert last_start + W - 1 >= n, n  # full coverage
+        if k > 1:
+            # one fewer chunk would leave a tail uncovered
+            assert (k - 2) * S + W < n, n
+
+
+def test_bloom_prefilter_no_false_negatives_column(spark, sf_dir):
+    from console_datagen_spark.plans import all_queries
+
+    out = all_queries()["dedup_bloom_prefilter"].spark(spark, sf_dir)
+    bad = out.where(F.col("no_false_neg") == 0).count()
+    assert bad == 0  # by construction: every exact hit is a bloom hit
+
+
+def test_pq_topk_is_plausible_ann(spark, sf_dir):
+    """PQ ranks must overlap the exact brute-force top-k far above chance
+    (sanity that the ADC distance isn't garbage)."""
+    from console_datagen_spark.catalog import register_views
+    from console_datagen_spark.operators.similarity import pq_topk
+
+    emb = register_views(spark, sf_dir, ("embeddings",))["embeddings"]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, k=20, max_query_id=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, k=5, max_query_id=10).collect()
+    }
+    # each query contributes 5 approx pairs; require >= 20% land in the
+    # exact top-20 (chance level is ~20/4000 = 0.5%)
+    overlap = len(exact & approx) / max(len(approx), 1)
+    assert overlap >= 0.2, overlap
