@@ -135,3 +135,56 @@ def test_filter_known_duplicates(spark, tmp_path):
     q.awaitTermination(60)
     assert [r.id for r in emitted] == [2]
     assert "fp" not in emitted[0].asDict()
+
+
+# ---- persisted IVFPQ index (codes-only, partition-pruned ADC) --------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_path(spark, embeddings, tmp_path_factory):
+    from console_datagen_spark.operators.ivf_index import build_ivfpq_index
+
+    p = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    build_ivfpq_index(embeddings, p)
+    return p
+
+
+def test_ivfpq_index_is_codes_only(spark, ivfpq_path):
+    import pathlib
+
+    idx = spark.read.parquet(ivfpq_path)
+    assert set(idx.columns) == {"vec_id", "codes", "cluster"}
+    row = idx.limit(1).collect()[0]
+    assert len(row.codes) == 8  # PQ_M 4-bit codes, no raw vectors stored
+    dirs = list(pathlib.Path(ivfpq_path).glob("cluster=*"))
+    assert len(dirs) > 1
+
+
+def test_ivfpq_probe_matches_inmemory(spark, embeddings, ivfpq_path):
+    from console_datagen_spark.operators.ivf_index import probe_ivfpq_index
+    from console_datagen_spark.operators.similarity import ivfpq_topk
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rnk, r.adist)
+        for r in probe_ivfpq_index(spark, ivfpq_path, embeddings).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rnk, r.adist)
+        for r in ivfpq_topk(embeddings).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_ivfpq_probe_prunes_partitions(spark, embeddings, ivfpq_path):
+    """The probed scan must read only the probed clusters' partitions —
+    PartitionFilters present in the physical plan."""
+    from console_datagen_spark.operators.ivf_index import probe_ivfpq_index
+
+    df = probe_ivfpq_index(spark, ivfpq_path, embeddings, max_query_id=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition filter actually constrains cluster (not an empty list)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1)
