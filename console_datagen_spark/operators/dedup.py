@@ -143,12 +143,18 @@ def lsh_candidate_pairs(
     candidate path are the one k-min agg and the (band, bh) self-join.
     """
     mins = minhash_mins(documents, k, n, shingles_df, ids_df)
-    n_bands = k // rows_per_band
+    # ceil-divide so a k not divisible by rows_per_band forms a partial
+    # last band from the trailing permutations (same banding as grouping
+    # rows by floor(perm / rows_per_band) would produce)
+    n_bands = -(-k // rows_per_band)
 
     def band_hash(j: int):
         acc = F.lit(0).cast("long")
         for r in range(rows_per_band):
-            acc = acc + (F.lit(r + 1) * F.col(f"mh{j * rows_per_band + r}"))
+            perm = j * rows_per_band + r
+            if perm >= k:
+                break
+            acc = acc + (F.lit(r + 1) * F.col(f"mh{perm}"))
         return F.pmod(acc, F.lit(HASH_PRIME))
 
     wide = mins.select(

@@ -88,21 +88,13 @@ def build_ivfpq_index(
     is ~64x smaller than the raw corpus and a probe reads only the probed
     clusters' partitions of a tiny file. Layout:
     (vec_id, codes array<int>) partitioned by ``cluster``."""
-    from .similarity import PQ_CODES, _pq_sqdist, _pq_subvectors
+    from .similarity import pq_encode
 
     assigned = assign_clusters(embeddings, centroid_mod).select(
         "vec_id", "cluster"
     )
-    sub = _pq_subvectors(embeddings)
-    cb = sub.where(F.col("vec_id") < PQ_CODES).select(
-        F.col("vec_id").cast("int").alias("code"), "j", F.col("sv").alias("cv")
-    )
-    enc_w = Window.partitionBy("vec_id", "j").orderBy("d", "code")
-    encoded = (
-        sub.join(F.broadcast(cb), "j")
-        .select("vec_id", "j", "code", _pq_sqdist(F.col("sv"), F.col("cv")).alias("d"))
-        .withColumn("rn", F.row_number().over(enc_w))
-        .where(F.col("rn") == 1)
+    packed = (
+        pq_encode(embeddings)
         .groupBy("vec_id")
         .agg(
             F.transform(
@@ -112,7 +104,7 @@ def build_ivfpq_index(
         )
     )
     (
-        encoded.join(assigned, "vec_id")
+        packed.join(assigned, "vec_id")
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(path)
@@ -132,55 +124,30 @@ def probe_ivfpq_index(
     clusters' partitions (PartitionFilters in the scan). Distances come
     from the broadcast query-to-code tables; corpus vectors are never
     read — the probe touches the 4-byte codes only."""
-    from .similarity import PQ_CODES, _pq_sqdist, _pq_subvectors
+    from .similarity import _adc_topk, coarse_probes, pq_dtable
 
-    n = with_norm(embeddings)
-    cent = n.where(F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    qbase = n.where(F.col("vec_id") < max_query_id).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    qscored = qbase.join(F.broadcast(cent)).select(
-        "query_id",
-        "cid",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
-    )
-    qw = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(qw))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", F.col("cid").alias("cluster"))
-    )
-    # k-row collect (queries x nprobe) -> static IN-list so the parquet
-    # scan prunes partitions at plan time (PartitionFilters), the same
-    # O(small) collect class as IVF centroids
-    probe_clusters = [r.cluster for r in probes.select("cluster").distinct().collect()]
+    # k-row collect (queries x nprobe, the same O(small) class as IVF
+    # centroids); the collected rows seed BOTH the static IN-list that
+    # prunes the parquet scan at plan time (PartitionFilters) AND the
+    # broadcast probe frame, so the centroid-scoring job runs once
+    probe_rows = coarse_probes(
+        embeddings, max_query_id, centroid_mod, nprobe
+    ).collect()
+    probes = spark.createDataFrame(probe_rows, "query_id LONG, cluster LONG")
+    probe_clusters = sorted({r.cluster for r in probe_rows})
     index = spark.read.parquet(path).where(F.col("cluster").isin(probe_clusters))
 
-    sub = _pq_subvectors(embeddings)
-    cb = sub.where(F.col("vec_id") < PQ_CODES).select(
-        F.col("vec_id").cast("int").alias("code"), "j", F.col("sv").alias("cv")
-    )
-    qsub = _pq_subvectors(
-        embeddings.where(F.col("vec_id") < max_query_id), id_col="query_id"
-    )
-    dtable = qsub.join(F.broadcast(cb), "j").select(
-        "query_id", "j", "code", _pq_sqdist(F.col("sv"), F.col("cv")).alias("qd")
-    )
     long_codes = index.select(
         "vec_id", "cluster", F.posexplode("codes").alias("j", "code")
     )
     scored = (
         long_codes.join(F.broadcast(probes), "cluster")
         .where(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(dtable), ["query_id", "j", "code"])
+        .join(
+            F.broadcast(pq_dtable(embeddings, max_query_id)),
+            ["query_id", "j", "code"],
+        )
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd").alias("adist"))
     )
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "adist")
-    )
+    return _adc_topk(scored, k)

@@ -408,6 +408,87 @@ def _pq_subvectors(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """(code, j, cv): the deterministic sampled codebooks — the PQ_CODES
+    permille subvectors of vec_id < PQ_CODES per subspace. (A production
+    build would Lloyd-refine each subspace like ``kmeans_int_iterate``;
+    sampling keeps the certified surface simple.)"""
+    return _pq_subvectors(embeddings).where(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").cast("int").alias("code"), "j", F.col("sv").alias("cv")
+    )
+
+
+def pq_encode(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, j, code): every corpus vector's per-subspace argmin-L2
+    code (ties -> smaller code id). One broadcast join of 8x16 codebook
+    rows + one per-(vector, subspace) window."""
+    sub = _pq_subvectors(embeddings)
+    cb = pq_codebook(embeddings)
+    enc_w = Window.partitionBy("vec_id", "j").orderBy("d", "code")
+    return (
+        sub.join(F.broadcast(cb), "j")
+        .select(
+            "vec_id", "j", "code", _pq_sqdist(F.col("sv"), F.col("cv")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(enc_w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", "code")
+    )
+
+
+def pq_dtable(embeddings: DataFrame, max_query_id: int = 20) -> DataFrame:
+    """(query_id, j, code, qd): per-query ADC distance tables — the
+    query-subvector-to-code integer squared-L2 for every (subspace, code).
+    Broadcast-sized: queries x PQ_M x PQ_CODES rows."""
+    qsub = _pq_subvectors(
+        embeddings.where(F.col("vec_id") < max_query_id), id_col="query_id"
+    )
+    return qsub.join(F.broadcast(pq_codebook(embeddings)), "j").select(
+        "query_id", "j", "code", _pq_sqdist(F.col("sv"), F.col("cv")).alias("qd")
+    )
+
+
+def coarse_probes(
+    embeddings: DataFrame,
+    max_query_id: int = 20,
+    centroid_mod: int = 25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(query_id, cluster): each query's nprobe nearest IVF centroids by
+    float cosine (deterministic — identical fold order both engines)."""
+    n = with_norm(embeddings)
+    cent = n.where(F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    qbase = n.where(F.col("vec_id") < max_query_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qscored = qbase.join(F.broadcast(cent)).select(
+        "query_id",
+        "cid",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        qscored.withColumn("rn", F.row_number().over(qw))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("cluster"))
+    )
+
+
+def _adc_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "adist")
+    )
+
+
 def pq_topk(
     embeddings: DataFrame, k: int = 5, max_query_id: int = 20
 ) -> DataFrame:
@@ -437,37 +518,14 @@ def pq_topk(
     cache, and the same ADC join composes with the IVF cluster pruning of
     ``sim_ivf_topk`` (probe only the encoded vectors of nprobe clusters).
     """
-    sub = _pq_subvectors(embeddings)
-    cb = sub.where(F.col("vec_id") < PQ_CODES).select(
-        F.col("vec_id").cast("int").alias("code"), "j", F.col("sv").alias("cv")
-    )
-    dist = _pq_sqdist(F.col("sv"), F.col("cv"))
-    enc_w = Window.partitionBy("vec_id", "j").orderBy("d", "code")
-    encoded = (
-        sub.join(F.broadcast(cb), "j")
-        .select("vec_id", "j", "code", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(enc_w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "j", "code")
-    )
-    qsub = _pq_subvectors(
-        embeddings.where(F.col("vec_id") < max_query_id), id_col="query_id"
-    )
-    dtable = qsub.join(F.broadcast(cb), "j").select(
-        "query_id", "j", "code", dist.alias("qd")
-    )
     scored = (
-        encoded.join(F.broadcast(dtable), ["j", "code"])
+        pq_encode(embeddings)
+        .join(F.broadcast(pq_dtable(embeddings, max_query_id)), ["j", "code"])
         .where(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd").alias("adist"))
     )
-    topk_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(topk_w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "adist")
-    )
+    return _adc_topk(scored, k)
 
 
 def ivfpq_topk(
@@ -490,28 +548,7 @@ def ivfpq_topk(
     ranking uses the integer ADC distance (hash-exact).
     """
     assigned = assign_clusters(embeddings, centroid_mod).select("vec_id", "cluster")
-    n = with_norm(embeddings)
-    cent = n.where(F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    qbase = n.where(F.col("vec_id") < max_query_id).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    qscored = qbase.join(F.broadcast(cent)).select(
-        "query_id",
-        "cid",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
-    )
-    qw = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
-    probes = (
-        qscored.withColumn("rn", F.row_number().over(qw))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", F.col("cid").alias("cluster"))
-    )
+    probes = coarse_probes(embeddings, max_query_id, centroid_mod, nprobe)
     # candidate set: vectors of the probed clusters (at most one row per
     # (query, vector) — each vector lives in exactly one cluster)
     cand = (
@@ -519,37 +556,16 @@ def ivfpq_topk(
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    sub = _pq_subvectors(embeddings)
-    cb = sub.where(F.col("vec_id") < PQ_CODES).select(
-        F.col("vec_id").cast("int").alias("code"), "j", F.col("sv").alias("cv")
-    )
-    dist = _pq_sqdist(F.col("sv"), F.col("cv"))
-    enc_w = Window.partitionBy("vec_id", "j").orderBy("d", "code")
-    encoded = (
-        sub.join(F.broadcast(cb), "j")
-        .select("vec_id", "j", "code", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(enc_w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "j", "code")
-    )
-    qsub = _pq_subvectors(
-        embeddings.where(F.col("vec_id") < max_query_id), id_col="query_id"
-    )
-    dtable = qsub.join(F.broadcast(cb), "j").select(
-        "query_id", "j", "code", dist.alias("qd")
-    )
     scored = (
-        cand.join(encoded, "vec_id")
-        .join(F.broadcast(dtable), ["query_id", "j", "code"])
+        cand.join(pq_encode(embeddings), "vec_id")
+        .join(
+            F.broadcast(pq_dtable(embeddings, max_query_id)),
+            ["query_id", "j", "code"],
+        )
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qd").alias("adist"))
     )
-    topk_w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(topk_w))
-        .where(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "adist")
-    )
+    return _adc_topk(scored, k)
 
 
 def kmeans_int_iterate(

@@ -456,10 +456,14 @@ class ShareGroupPartitionedReader(DataSourceStreamReader):
       like the simple reader.
 
     Crash before commit: the in-memory lease table dies with the driver,
-    the leases expire, the spool redelivers — at-least-once. ``partitions``
-    for a range the rebuilt reader never leased returns no splits (the
-    records come back as NEW deliveries in later batches instead, which is
-    the share-group contract: redelivery is a new delivery, not a replay).
+    the leases expire, the spool redelivers — at-least-once. After a
+    restart the rebuilt reader's sequence numbers restart at 0 while
+    Spark's checkpoint carries the old high-water mark, so batch ranges
+    can misalign with the stored lease table; commit therefore only
+    ACCEPTs batches that ``partitions`` actually served to Spark, and
+    RELEASEs (requeues) any unserved batch falling below the commit
+    offset — a record is either delivered-then-acked or redelivered,
+    never silently dropped.
     """
 
     def __init__(self, options: dict):
@@ -479,8 +483,8 @@ class ShareGroupPartitionedReader(DataSourceStreamReader):
             )
         self._max_poll = int(options.get("max_poll_records", 500))
         self._seq = 0
-        # [(lo, hi, [LeaseRef])] for every uncommitted batch, in order
-        self._batches: list[tuple[int, int, list[LeaseRef]]] = []
+        # {(lo, hi): ([LeaseRef], served)} for every uncommitted batch
+        self._batches: dict[tuple[int, int], tuple[list[LeaseRef], bool]] = {}
 
     def initialOffset(self) -> dict:
         return {"seq": 0}
@@ -489,14 +493,15 @@ class ShareGroupPartitionedReader(DataSourceStreamReader):
         leases = self._client.lease_batch(self._max_poll)
         lo, hi = self._seq, self._seq + len(leases)
         if leases:
-            self._batches.append((lo, hi, leases))
+            self._batches[(lo, hi)] = (leases, False)
             self._seq = hi
         return {"seq": self._seq}
 
     def partitions(self, start: dict, end: dict):
         by_tp: dict[tuple[str, int], list] = {}
-        for lo, hi, leases in self._batches:
+        for (lo, hi), (leases, _served) in self._batches.items():
             if lo >= start["seq"] and hi <= end["seq"]:
+                self._batches[(lo, hi)] = (leases, True)
                 for ref in leases:
                     by_tp.setdefault((ref.topic, ref.partition), []).append(
                         (ref.path, ref.offset)
@@ -514,14 +519,18 @@ class ShareGroupPartitionedReader(DataSourceStreamReader):
         return read_spooled_rows(partition)
 
     def commit(self, end: dict) -> None:
-        keep: list[tuple[int, int, list[LeaseRef]]] = []
-        for lo, hi, leases in self._batches:
+        keep: dict[tuple[int, int], tuple[list[LeaseRef], bool]] = {}
+        for (lo, hi), (leases, served) in self._batches.items():
             if hi > end["seq"]:
-                keep.append((lo, hi, leases))
+                keep[(lo, hi)] = (leases, served)
                 continue
+            # served batches settle for good; an unserved batch below the
+            # commit offset (range misalignment after a restart) must NOT
+            # be accepted — release it so the records redeliver
+            ack = ACCEPT if served else RELEASE
             for ref in leases:
                 try:
-                    self._client.acknowledge(ref.delivery_id, ACCEPT)
+                    self._client.acknowledge(ref.delivery_id, ack)
                 except StaleLeaseError:
                     pass  # lease lapsed mid-batch: redelivers, at-least-once
         self._batches = keep

@@ -83,27 +83,15 @@ def test_norm_of_zero_vector_no_crash(spark):
 # ---- training-prep tier (chunking / packing / bloom / PQ) ------------------
 
 
-def _run_sql(spark, name, view_df):
-    """Run a registered SQL query against an in-memory documents view."""
-    from console_datagen_spark.plans import all_queries
-
-    view_df.createOrReplaceTempView("documents")
-    spec = all_queries()[name]
-    # sql_query specs re-register views from sf_dir; call spark.sql on the
-    # oracle-identical Spark text instead, against the temp view
-    import console_datagen_spark.plans.chunking as C
-
-    sql = {
-        "text_chunking": C._CHUNK_SPARK,
-    }[name]
-    return spark.sql(sql)
-
-
 def test_chunking_single_and_empty_docs(spark, tiny_docs):
     """Docs shorter than one window yield exactly one chunk covering all
     tokens; empty text still yields one (empty-ish) chunk — never zero
-    rows per doc, never a crash."""
-    out = _run_sql(spark, "text_chunking", tiny_docs).collect()
+    rows per doc, never a crash. Runs the registered query's Spark SQL
+    text against an in-memory documents view."""
+    import console_datagen_spark.plans.chunking as C
+
+    tiny_docs.createOrReplaceTempView("documents")
+    out = spark.sql(C._CHUNK_SPARK).collect()
     per_doc = {}
     for r in out:
         per_doc.setdefault(r.doc_id, []).append(r)

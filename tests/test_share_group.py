@@ -322,14 +322,13 @@ def test_partitioned_reader_commit_respects_batch_boundaries(tmp_path):
     o1 = r.latestOffset()  # leases 4
     o2 = r.latestOffset()  # leases remaining 2
     assert (o1, o2) == ({"seq": 4}, {"seq": 6})
-    assert len(r.partitions(o1, o2)[0].records) + sum(
-        len(s.records) for s in r.partitions(o1, o2)[1:]
-    ) == 2
+    # Spark plans each micro-batch range before committing it
+    assert sum(len(s.records) for s in r.partitions(o0, o1)) == 4
+    assert sum(len(s.records) for s in r.partitions(o1, o2)) == 2
     r.commit(o1)  # settles only batch 1's four records
     assert client.pending() == 2
     r.commit(o2)
     assert client.pending() == 0
-    assert o0 == {"seq": 0}
 
 
 def test_partitioned_reader_crash_redelivers(tmp_path):
@@ -343,6 +342,8 @@ def test_partitioned_reader_crash_redelivers(tmp_path):
     # replaying the dead driver's range yields the empty sentinel split
     splits = r2.partitions({"seq": 90}, {"seq": 93})
     assert len(splits) == 1 and splits[0].records == []
+    # serving the batch then committing settles it
+    r2.partitions(r2.initialOffset(), end)
     r2.commit(end)
     probe = FileSpoolShareClient(str(tmp_path / "spool"))
     assert probe.pending() == 0
@@ -413,3 +414,28 @@ def test_partitioned_source_counts_match_classic_topology(spark, tmp_path):
     }
     assert got == want
     assert probe.pending() <= 1
+
+
+def test_partitioned_reader_commit_releases_unserved_batches(tmp_path):
+    """Restart-misalignment guard: a batch that was leased but never
+    served via partitions() must be RELEASED (requeued) by commit, never
+    ACCEPT-acked — committing ranges the rebuilt reader never delivered
+    would otherwise silently drop records (at-least-once violation)."""
+    client = _spool(tmp_path, n=4)
+    r = _preader(tmp_path)
+    end = r.latestOffset()  # leases all 4; partitions() never called
+    assert end == {"seq": 4}
+    r.commit(end)
+    # nothing was delivered, so nothing may be settled: all 4 records
+    # must still be in the spool and immediately re-leasable
+    assert client.pending() == 4
+    fresh = FileSpoolShareClient(str(tmp_path / "spool"))
+    assert len(fresh.poll(10)) == 4
+
+    # the normal path still settles: serve, then commit
+    r2 = _preader(tmp_path)
+    fresh.close()  # release the probe's leases first
+    end2 = r2.latestOffset()
+    r2.partitions(r2.initialOffset(), end2)
+    r2.commit(end2)
+    assert client.pending() == 0
