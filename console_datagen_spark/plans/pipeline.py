@@ -183,3 +183,31 @@ sql_query(
     doc="fused corpus-curation pipeline: exact dedup -> quality gate -> "
     "8-gram decontamination -> per-language stratified mix -> token report",
 )
+
+
+# Temperature-flattened mix weighting (T=0.5 via sqrt): the standard
+# rebalancing that upweights small sources in a training mix. Weights are
+# floored to integer permille BEFORE the normalizing sum so every
+# aggregate is order-free integer arithmetic (a raw double SUM() OVER ()
+# would be partition-order-dependent); sqrt and double division are
+# IEEE-identical in both engines, so the whole thing hash-matches with
+# the oracle reusing the same SQL text verbatim.
+sql_query(
+    "pipeline_temperature_mix",
+    "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "           FROM documents GROUP BY source), "
+    "w AS (SELECT source, n_docs, "
+    "      CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS wt "
+    "      FROM c), "
+    "t AS (SELECT source, n_docs, wt, SUM(wt) OVER () AS sw, "
+    "      SUM(n_docs) OVER () AS total FROM w) "
+    "SELECT source, n_docs, "
+    "CAST(FLOOR(n_docs * 1000.0 / total) AS BIGINT) AS raw_share_permille, "
+    "CAST(FLOOR(wt * 1000.0 / sw) AS BIGINT) AS temp_share_permille, "
+    "CAST(FLOOR(5000 * wt * 1.0 / sw) AS BIGINT) AS alloc_docs "
+    "FROM t ORDER BY source",
+    tables=("documents",),
+    tags=("pipeline", "mix", "temperature"),
+    doc="temperature-flattened (T=0.5, sqrt) source mix weighting: "
+    "integer-permille weights, order-free sums, 5000-doc allocation",
+)
