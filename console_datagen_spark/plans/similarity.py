@@ -500,3 +500,79 @@ df_query(
     "composed with 4-bit PQ ADC ranking (memory cut) — the FAISS-style "
     "production composition, hash-exact vs DuckDB",
 )
+
+
+def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of PQ ADC against the exact brute-force truth — the
+    compression-quality gauge for the 4-bit code budget (IVF recall gauges
+    the pruning; this gauges the quantization)."""
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    brute = S.brute_force_topk(emb, k=5, max_query_id=20).select(
+        "query_id", "neighbor_id"
+    )
+    pq = (
+        S.pq_topk(emb, k=5, max_query_id=20)
+        .select("query_id", "neighbor_id")
+        .withColumn("m", F.lit(1))
+    )
+    return (
+        brute.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("m").alias("hits"))
+        .select(
+            "query_id",
+            F.col("hits").cast("long").alias("hits"),
+            (F.col("hits") * 200).cast("long").alias("recall_permille"),
+        )
+        .orderBy("query_id")
+    )
+
+
+df_query(
+    "sim_pq_recall",
+    _pq_recall,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n "
+        "      WHERE vec_id < 20), "
+        "bscored AS (SELECT query_id, c.vec_id AS neighbor_id, "
+        "            list_inner_product(qv, c.v) / (qn * c.nrm) AS cos "
+        "            FROM n c, q WHERE c.vec_id <> query_id), "
+        "brute AS (SELECT query_id, neighbor_id FROM "
+        "  (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk "
+        "   FROM bscored) t WHERE rnk <= 5), "
+        "iv AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "  x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS v FROM embeddings), "
+        "sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv FROM iv, "
+        "        (SELECT unnest(generate_series(0, 7)) AS j) js), "
+        "cb AS (SELECT CAST(vec_id AS INT) AS code, j, sv AS cv FROM sub "
+        "       WHERE vec_id < 16), "
+        f"enc0 AS (SELECT s.vec_id, s.j, c.code, {_DUCK_PQ_D} AS d "
+        "         FROM sub s JOIN cb c ON s.j = c.j), "
+        "encoded AS (SELECT vec_id, j, code FROM ("
+        "  SELECT vec_id, j, code, ROW_NUMBER() OVER ("
+        "    PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM enc0) t "
+        "  WHERE rn = 1), "
+        f"dtable AS (SELECT s.vec_id AS query_id, s.j, c.code, {_DUCK_PQ_D} AS qd "
+        "           FROM sub s JOIN cb c ON s.j = c.j WHERE s.vec_id < 20), "
+        "pscored AS (SELECT d.query_id, e.vec_id AS neighbor_id, "
+        "            CAST(SUM(qd) AS BIGINT) AS adist "
+        "            FROM encoded e JOIN dtable d "
+        "            ON e.j = d.j AND e.code = d.code "
+        "            WHERE e.vec_id <> d.query_id GROUP BY 1, 2), "
+        "pq AS (SELECT query_id, neighbor_id, 1 AS m FROM ("
+        "  SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+        "    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk "
+        "  FROM pscored) t WHERE rnk <= 5) "
+        "SELECT b.query_id, CAST(COUNT(pq.m) AS BIGINT) AS hits, "
+        "CAST(COUNT(pq.m) * 200 AS BIGINT) AS recall_permille "
+        "FROM brute b LEFT JOIN pq "
+        "ON b.query_id = pq.query_id AND b.neighbor_id = pq.neighbor_id "
+        "GROUP BY b.query_id ORDER BY b.query_id"
+    ),
+    tables=EMB,
+    tags=("similarity", "ann", "pq", "recall"),
+    doc="recall@5 of PQ ADC vs exact brute force: the quantization-"
+    "quality gauge (complements sim_ivf_recall's pruning gauge)",
+)
