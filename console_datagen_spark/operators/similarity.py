@@ -418,12 +418,12 @@ def pq_codebook(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def pq_encode(embeddings: DataFrame) -> DataFrame:
+def pq_encode(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataFrame:
     """(vec_id, j, code): every corpus vector's per-subspace argmin-L2
     code (ties -> smaller code id). One broadcast join of 8x16 codebook
     rows + one per-(vector, subspace) window."""
     sub = _pq_subvectors(embeddings)
-    cb = pq_codebook(embeddings)
+    cb = codebook if codebook is not None else pq_codebook(embeddings)
     enc_w = Window.partitionBy("vec_id", "j").orderBy("d", "code")
     return (
         sub.join(F.broadcast(cb), "j")
@@ -436,16 +436,77 @@ def pq_encode(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def pq_dtable(embeddings: DataFrame, max_query_id: int = 20) -> DataFrame:
+def pq_dtable(
+    embeddings: DataFrame,
+    max_query_id: int = 20,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
     """(query_id, j, code, qd): per-query ADC distance tables — the
     query-subvector-to-code integer squared-L2 for every (subspace, code).
     Broadcast-sized: queries x PQ_M x PQ_CODES rows."""
+    cb = codebook if codebook is not None else pq_codebook(embeddings)
     qsub = _pq_subvectors(
         embeddings.where(F.col("vec_id") < max_query_id), id_col="query_id"
     )
-    return qsub.join(F.broadcast(pq_codebook(embeddings)), "j").select(
+    return qsub.join(F.broadcast(cb), "j").select(
         "query_id", "j", "code", _pq_sqdist(F.col("sv"), F.col("cv")).alias("qd")
     )
+
+
+def pq_refine_codebook(embeddings: DataFrame) -> DataFrame:
+    """One Lloyd round per subspace: the sampled codebooks updated to the
+    elementwise floor-mean of their argmin-assigned subvectors — the
+    data-adaptive training step production PQ runs (FAISS trains each
+    subquantizer with k-means; one integer-exact round keeps the whole
+    pipeline hash-checkable, same arithmetic as ``kmeans_int_iterate``).
+    A code that attracts no vectors keeps its sampled centroid."""
+    sub = _pq_subvectors(embeddings)
+    cb0 = pq_codebook(embeddings)
+    enc_w = Window.partitionBy("vec_id", "j").orderBy("d", "code")
+    assigned = (
+        sub.join(F.broadcast(cb0), "j")
+        .select(
+            "vec_id", "j", "code", "sv",
+            _pq_sqdist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(enc_w))
+        .where(F.col("rn") == 1)
+        .select("j", "code", "sv")
+    )
+    means = (
+        assigned.select("j", "code", F.posexplode("sv").alias("p", "val"))
+        .groupBy("j", "code", "p")
+        .agg(F.floor(F.sum("val") / F.count("*")).cast("long").alias("m"))
+        .groupBy("j", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("m")))),
+                lambda s: s.getField("m"),
+            ).alias("cv1")
+        )
+    )
+    return cb0.join(means, ["j", "code"], "left").select(
+        "code", "j", F.coalesce(F.col("cv1"), F.col("cv")).alias("cv")
+    )
+
+
+def pq_lloyd_topk(
+    embeddings: DataFrame, k: int = 5, max_query_id: int = 20
+) -> DataFrame:
+    """PQ ANN with one Lloyd-refined codebook round (see
+    ``pq_refine_codebook``); same ADC evaluation as ``pq_topk``."""
+    cb1 = pq_refine_codebook(embeddings)
+    scored = (
+        pq_encode(embeddings, codebook=cb1)
+        .join(
+            F.broadcast(pq_dtable(embeddings, max_query_id, codebook=cb1)),
+            ["j", "code"],
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("adist"))
+    )
+    return _adc_topk(scored, k)
 
 
 def coarse_probes(

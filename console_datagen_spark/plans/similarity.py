@@ -576,3 +576,67 @@ df_query(
     doc="recall@5 of PQ ADC vs exact brute force: the quantization-"
     "quality gauge (complements sim_ivf_recall's pruning gauge)",
 )
+
+
+def _pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    return S.pq_lloyd_topk(emb).orderBy("query_id", "rnk")
+
+
+# the shared PQ front half: permille vectors -> subvectors -> sampled cb
+_DUCK_PQ_BASE = (
+    "iv AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+    "  x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS v FROM embeddings), "
+    "sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv FROM iv, "
+    "        (SELECT unnest(generate_series(0, 7)) AS j) js), "
+    "cb AS (SELECT CAST(vec_id AS INT) AS code, j, sv AS cv FROM sub "
+    "       WHERE vec_id < 16)"
+)
+
+df_query(
+    "sim_pq_lloyd",
+    _pq_lloyd,
+    oracle=(
+        f"WITH {_DUCK_PQ_BASE}, "
+        # assign vs sampled cb (keep sv for the mean update)
+        f"asg0 AS (SELECT s.vec_id, s.j, c.code, s.sv, {_DUCK_PQ_D} AS d "
+        "         FROM sub s JOIN cb c ON s.j = c.j), "
+        "asg AS (SELECT j, code, sv FROM ("
+        "  SELECT j, code, sv, ROW_NUMBER() OVER ("
+        "    PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM asg0) t "
+        "  WHERE rn = 1), "
+        # elementwise floor-mean update; empty codes keep the sampled cv
+        "mupd AS (SELECT j, code, i, "
+        "  CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m "
+        "  FROM asg, (SELECT unnest(generate_series(1, 8)) AS i) d "
+        "  GROUP BY j, code, i), "
+        "cb1m AS (SELECT j, code, list(m ORDER BY i) AS cv1 "
+        "         FROM mupd GROUP BY j, code), "
+        "cb1 AS (SELECT cb.code, cb.j, COALESCE(cb1m.cv1, cb.cv) AS cv "
+        "        FROM cb LEFT JOIN cb1m "
+        "        ON cb.j = cb1m.j AND cb.code = cb1m.code), "
+        # re-encode + ADC against the refined codebooks
+        f"enc0 AS (SELECT s.vec_id, s.j, c.code, {_DUCK_PQ_D} AS d "
+        "         FROM sub s JOIN cb1 c ON s.j = c.j), "
+        "encoded AS (SELECT vec_id, j, code FROM ("
+        "  SELECT vec_id, j, code, ROW_NUMBER() OVER ("
+        "    PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM enc0) t "
+        "  WHERE rn = 1), "
+        f"dtable AS (SELECT s.vec_id AS query_id, s.j, c.code, {_DUCK_PQ_D} AS qd "
+        "           FROM sub s JOIN cb1 c ON s.j = c.j WHERE s.vec_id < 20), "
+        "scored AS (SELECT d.query_id, e.vec_id AS neighbor_id, "
+        "           CAST(SUM(qd) AS BIGINT) AS adist "
+        "           FROM encoded e JOIN dtable d "
+        "           ON e.j = d.j AND e.code = d.code "
+        "           WHERE e.vec_id <> d.query_id GROUP BY 1, 2) "
+        "SELECT query_id, neighbor_id, rnk, adist FROM ("
+        "  SELECT query_id, neighbor_id, adist, CAST(ROW_NUMBER() OVER ("
+        "    PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rnk "
+        "  FROM scored) t WHERE rnk <= 5 ORDER BY query_id, rnk"
+    ),
+    tables=EMB,
+    tags=("similarity", "ann", "pq", "kmeans"),
+    doc="PQ ANN with one integer-exact Lloyd refinement of the sampled "
+    "codebooks (floor-mean subquantizer training, FAISS-style) — "
+    "hash-exact vs DuckDB",
+)
