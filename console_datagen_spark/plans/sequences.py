@@ -131,10 +131,13 @@ def _salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("pcnt"),
         )
     )
+    # D2: sum stays DECIMAL through both phases (order-immune); only the
+    # final emitted value is cast to DOUBLE so both engines render it
+    # identically (DuckDB fetchdf() degrades DECIMAL to float64).
     return (
         partial.groupBy("event_type")
         .agg(
-            F.sum("psum").cast("decimal(18,2)").alias("total"),
+            F.sum("psum").cast("decimal(18,2)").cast("double").alias("total"),
             F.sum("pcnt").cast("bigint").alias("cnt"),
         )
         .orderBy("event_type")
@@ -146,7 +149,7 @@ df_query(
     _salted_sum,
     oracle=(
         "SELECT event_type, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total, "
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total, "
         "CAST(COUNT(*) AS BIGINT) AS cnt "
         "FROM events GROUP BY event_type ORDER BY event_type"
     ),

@@ -1,8 +1,10 @@
 """Verify-skill harness: drive the driver contract in a fresh process.
 
 Runs entry() under a hostile (non-UTC) session timezone, then the full
-Spark-vs-DuckDB compare over every oracle_sql() entry at sf0.01 using the
-same normalizer as tests/test_oracle.py. Exit 0 only if all match.
+Spark-vs-DuckDB compare over every oracle_sql() entry at sf0.01 using BOTH
+the lenient normalizer (diagnostics) and the driver-faithful strict_canon
+(value-hash gate) from tests/test_oracle.py. Exit 0 only if all match both
+ways — this is the (scale, canonicalizer) point the driver actually grades.
 """
 import sys
 
@@ -13,7 +15,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
-from tests.test_oracle import normalize
+from tests.test_oracle import normalize, strict_canon
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -73,13 +75,23 @@ for i, (name, fn) in enumerate(sorted(queries.items())):
         print(f"[{i+1}/{len(queries)}] {name}: rows-only, {n} rows", flush=True)
         continue
     try:
-        got = normalize(fn(spark, sf).toPandas())
-        want = normalize(con.execute(sql).fetchdf())
+        got_pd = fn(spark, sf).toPandas()
+        want_pd = con.execute(sql).fetchdf()
+        got = normalize(got_pd)
+        want = normalize(want_pd)
         assert list(got.columns) == list(want.columns), (
             f"columns {list(got.columns)} vs {list(want.columns)}"
         )
         assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
         pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+        # Driver-faithful value-hash gate: strict_canon does NOT fold
+        # Decimal->float, so a Decimal('101951.00')-vs-"101951.0" drift
+        # (the agg_salted_sum r4 escape) fails HERE at sf0.01, before any
+        # driver run, instead of only in CORRECTNESS_r{N}.json.
+        pd.testing.assert_frame_equal(
+            strict_canon(got_pd), strict_canon(want_pd),
+            check_dtype=False, obj=f"{name} (strict-hash)",
+        )
         print(f"[{i+1}/{len(queries)}] {name}: OK ({len(got)} rows)", flush=True)
     except Exception as exc:
         msg = str(exc).splitlines()[0][:200]
