@@ -35,6 +35,7 @@ HEADLINE = [
     "sim_ivf_multiprobe",
     "sim_pq_topk",
     "sim_ivfpq_topk",
+    "sim_pq_rerank",
     "win_tumbling_hour",
     "win_session_30m",
     "win_gapfill_hours",

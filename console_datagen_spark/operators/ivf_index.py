@@ -85,7 +85,7 @@ def build_ivfpq_index(
 ) -> None:
     """Persist the FULL at-scale ANN index: cluster-partitioned parquet of
     PQ codes — 8 small ints per vector instead of 64 floats, so the index
-    is ~64x smaller than the raw corpus and a probe reads only the probed
+    is ~21x smaller than the raw corpus and a probe reads only the probed
     clusters' partitions of a tiny file. Layout:
     (vec_id, codes array<int>) partitioned by ``cluster``."""
     from .similarity import pq_encode

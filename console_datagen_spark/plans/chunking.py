@@ -15,7 +15,20 @@ data pipeline (beyond-reference north-star tier, SURVEY §2.11):
   by exclusive-prefix-sum floor division. This is the order-stable batch
   analog of greedy packing: bin boundaries depend only on the prefix
   sums, so the result is partition-count-invariant and both engines
-  replay it exactly. One window (shuffle on source) + one hash agg.
+  replay it exactly.
+
+  Scale shape (hierarchical prefix sum): the Spark side does NOT run one
+  window over each source's whole doc stream (at 100 TB with few sources
+  that is a single-reducer sort). Instead docs are blocked by
+  ``doc_id DIV 1000``; per-(source, block) token totals are hash-aggregated
+  (partial map-side), the exclusive prefix over those totals runs on the
+  tiny one-row-per-block table, and the offsets broadcast-join back onto
+  the detail rows whose window is partitioned by (source, block) — so the
+  widest in-partition sort is one block, never one source. Provably
+  identical bins: block number is monotone in doc_id, so
+  ``prefix(doc) = sum(earlier blocks) + sum(earlier docs in same block)``
+  — exactly the single-window exclusive prefix, which remains the DuckDB
+  oracle; the strict-hash compare certifies the equivalence per run.
 
 Chunk-count law: n_chunks = 1 if n ≤ W else ceil((n − W)/S) + 1, so the
 last chunk always has between S−(W−S)=2·S−W and W tokens and every token
@@ -72,6 +85,33 @@ sql_query(
 
 
 _BUDGET = 2048  # tokens per packed sequence bin
+_BLOCK = 1000  # docs per prefix-sum block (hierarchical packing, Spark side)
+
+# Hierarchical exclusive prefix sum (Spark dialect). {order} is the
+# within-block sort key ("doc_id" for doc packing, "doc_id, chunk_id" for
+# chunk packing); {detail} yields (source, doc_id[, chunk_id], n_tokens).
+# Spark inlines the `d` CTE into both branches (detail + block totals), so
+# the token scan runs twice — acceptable: it is a map-side projection, and
+# the win is that no window partition ever exceeds one block.
+_PACK_HIER_SPARK = (
+    "WITH d AS ("
+    "  SELECT *, doc_id DIV {block} AS blk FROM ({detail}) t0), "
+    "offs AS ("
+    "  SELECT source, blk, "
+    "         COALESCE(SUM(tot) OVER (PARTITION BY source ORDER BY blk "
+    "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS block_off "
+    "  FROM (SELECT source, blk, SUM(n_tokens) AS tot FROM d "
+    "        GROUP BY source, blk) b) "
+    "SELECT source, CAST(FLOOR(prefix / {budget}.0) AS BIGINT) AS bin, {outer_agg} "
+    "FROM ("
+    "  SELECT /*+ BROADCAST(o) */ d.source, d.doc_id, d.n_tokens, "
+    "         o.block_off + COALESCE(SUM(d.n_tokens) OVER ("
+    "           PARTITION BY d.source, d.blk ORDER BY {order} "
+    "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix "
+    "  FROM d JOIN offs o ON d.source <=> o.source AND d.blk <=> o.blk) w "
+    "GROUP BY source, CAST(FLOOR(prefix / {budget}.0) AS BIGINT) "
+    "ORDER BY source, bin"
+)
 
 _PACK_CORE = (
     "SELECT source, CAST(FLOOR(prefix / {budget}.0) AS BIGINT) AS bin, "
@@ -89,10 +129,15 @@ _PACK_CORE = (
 
 sql_query(
     "pipeline_pack_sequences",
-    _PACK_CORE.format(
+    _PACK_HIER_SPARK.format(
         budget=_BUDGET,
-        tokens="SELECT source, doc_id, size(split(text, ' ')) AS n_tokens "
+        block=_BLOCK,
+        detail="SELECT source, doc_id, size(split(text, ' ')) AS n_tokens "
         "FROM documents",
+        order="d.doc_id",
+        outer_agg="CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc",
     ),
     oracle=_PACK_CORE.format(
         budget=_BUDGET,
@@ -103,7 +148,9 @@ sql_query(
     tags=("pipeline", "packing", "training"),
     doc=f"deterministic sequence packing: docs -> {_BUDGET}-token bins per "
     "source via exclusive-prefix-sum floor division (order-stable, "
-    "partition-invariant)",
+    "partition-invariant); Spark side is the hierarchical per-block "
+    "prefix sum (no single-reducer source sort), oracle is the plain "
+    "window — the hash compare certifies bin-identity",
 )
 
 
@@ -154,7 +201,15 @@ _CHUNK_PACK_CORE = (
 
 sql_query(
     "pipeline_chunk_pack",
-    _CHUNK_PACK_CORE.format(budget=_BUDGET, chunks=_CHUNKS_TOKENS_SPARK),
+    _PACK_HIER_SPARK.format(
+        budget=_BUDGET,
+        block=_BLOCK,
+        detail=_CHUNKS_TOKENS_SPARK,
+        order="d.doc_id, d.chunk_id",
+        outer_agg="CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs",
+    ),
     oracle=_CHUNK_PACK_CORE.format(budget=_BUDGET, chunks=_CHUNKS_TOKENS_DUCK),
     tables=DOCS,
     tags=("pipeline", "chunking", "packing", "training"),

@@ -9,7 +9,7 @@ from console_datagen_spark.operators.ivf_index import (
     probe_ivf_index,
     query_vectors,
 )
-from console_datagen_spark.operators.similarity import ivf_topk
+from console_datagen_spark.operators.similarity import PQ_M, ivf_topk
 from console_datagen_spark.streaming.enrich import (
     enrich_stream,
     filter_known_duplicates,
@@ -155,7 +155,7 @@ def test_ivfpq_index_is_codes_only(spark, ivfpq_path):
     idx = spark.read.parquet(ivfpq_path)
     assert set(idx.columns) == {"vec_id", "codes", "cluster"}
     row = idx.limit(1).collect()[0]
-    assert len(row.codes) == 8  # PQ_M 4-bit codes, no raw vectors stored
+    assert len(row.codes) == PQ_M  # PQ_M 6-bit codes, no raw vectors stored
     dirs = list(pathlib.Path(ivfpq_path).glob("cluster=*"))
     assert len(dirs) > 1
 
