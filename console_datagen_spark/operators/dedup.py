@@ -107,7 +107,6 @@ def minhash_mins(
 
 
 def minhash_signatures(
-    spark: SparkSession,
     documents: DataFrame,
     k: int = 8,
     n: int = 3,
@@ -125,7 +124,6 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    spark: SparkSession,
     documents: DataFrame,
     k: int = 8,
     rows_per_band: int = 2,

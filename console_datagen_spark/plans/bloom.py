@@ -43,28 +43,31 @@ def _positions(src: str, cols: str) -> str:
 
 
 def _bloom_sql(
-    tok_id: str, div: str, shift: str, unpack: str
+    tok_id: str, div: str, shift, unpack: str, split_expr: str, size_expr: str
 ) -> str:
     """The full two-stage pipeline in one dialect.
 
-    ``div`` is the integer-division spelling, ``shift(e)`` the 1<<e
-    spelling, ``unpack`` the 8-gram explode clause.
+    ``div`` is the integer-division spelling; ``shift(col)`` renders the
+    1 << (col % 32) probe bit for a FULL column expression (taking the
+    expression, not patching generated SQL, keeps the probe correct for
+    any qualifier — the bare/qualified variants below differ only in the
+    argument); ``unpack`` is the 8-gram explode clause; ``split_expr`` /
+    ``size_expr`` the tokenizer spellings.
     """
-    one_shift_p = shift("CAST(p % 32 AS INT)")
     return (
-        "WITH toks AS (SELECT doc_id, split(text, ' ') AS l FROM documents "
-        "              WHERE size(split(text, ' ')) >= 8), "
+        f"WITH toks AS (SELECT doc_id, {split_expr} AS l FROM documents "
+        f"              WHERE {size_expr} >= 8), "
         f"sh AS ({unpack}), "
         f"ids AS (SELECT DISTINCT doc_id, {tok_id} % {HASH_PRIME} AS h FROM sh), "
         "hold AS (SELECT DISTINCT h FROM ids WHERE doc_id % 10 = 0), "
         f"hpos AS ({_positions('hold', 'h')}), "
         f"words AS (SELECT CAST(p {div} 32 AS INT) AS word, "
-        f"          bit_or({one_shift_p}) AS mask "
+        f"          bit_or({shift('CAST(p % 32 AS INT)')}) AS mask "
         f"          FROM hpos GROUP BY CAST(p {div} 32 AS INT)), "
         "corpus AS (SELECT doc_id, h FROM ids WHERE doc_id % 10 <> 0), "
         f"cpos AS ({_positions('corpus', 'doc_id, h')}), "
         "probe AS (SELECT c.doc_id, c.h, "
-        f"          CASE WHEN (COALESCE(w.mask, 0) & {one_shift_p.replace('(p', '(c.p')}) <> 0 "
+        f"          CASE WHEN (COALESCE(w.mask, 0) & {shift('CAST(c.p % 32 AS INT)')}) <> 0 "
         "               THEN 1 ELSE 0 END AS ok "
         f"          FROM cpos c LEFT JOIN words w ON CAST(c.p {div} 32 AS INT) = w.word), "
         "bloomhits AS (SELECT doc_id, h FROM probe GROUP BY doc_id, h "
@@ -84,16 +87,13 @@ _DUCK_UNPACK = (
     "i -> array_to_string(l[i:i+7], ' '))) AS s FROM toks"
 )
 
-_BLOOM_DUCK = (
-    _bloom_sql(
-        tok_id=token_id_sql_duck("s"),
-        div="//",
-        shift=lambda e: f"(CAST(1 AS BIGINT) << {e})",
-        unpack=_DUCK_UNPACK,
-    )
-    # DuckDB spells split/size differently inside the toks CTE
-    .replace("split(text, ' ')", "string_split(text, ' ')")
-    .replace("size(string_split(text, ' '))", "len(string_split(text, ' '))")
+_BLOOM_DUCK = _bloom_sql(
+    tok_id=token_id_sql_duck("s"),
+    div="//",
+    shift=lambda col: f"(CAST(1 AS BIGINT) << {col})",
+    unpack=_DUCK_UNPACK,
+    split_expr="string_split(text, ' ')",
+    size_expr="len(string_split(text, ' '))",
 )
 
 

@@ -97,7 +97,7 @@ df_query(
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, DOCS)["documents"]
-    return D.minhash_signatures(spark, docs, k=_K).orderBy("doc_id", "perm")
+    return D.minhash_signatures(docs, k=_K).orderBy("doc_id", "perm")
 
 
 df_query(
@@ -127,7 +127,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unheld — consumed exactly once by the verify fanout.
     ids = _minhash_cache.hold(D.doc_shingle_ids(docs))
     cand = D.lsh_candidate_pairs(
-        spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND, ids_df=ids
+        docs, k=_K, rows_per_band=_ROWS_PER_BAND, ids_df=ids
     )
     return D.ngram_jaccard_pairs(
         docs,
@@ -343,7 +343,7 @@ def _edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min aggregation); lazily-persisted copy, same as _minhash_pairs
     ids = _edit_cache.hold(D.doc_shingle_ids(docs), materialize=False)
     cand = D.lsh_candidate_pairs(
-        spark, docs, k=_K, rows_per_band=_ROWS_PER_BAND, ids_df=ids
+        docs, k=_K, rows_per_band=_ROWS_PER_BAND, ids_df=ids
     )
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))

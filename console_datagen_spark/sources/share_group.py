@@ -50,7 +50,9 @@ shapes are provided:
   the same lease-accounting split Spark's built-in Kafka source uses
   (driver plans offset ranges, executors fetch). Only the KIP-932 wire
   protocol remains N/A; a wire client exposing ``lease_batch`` semantics
-  (acquire returning record metadata) drops in unchanged.
+  (acquire returning record metadata) drops in unchanged — it does NOT
+  need to be picklable: the reader's ``__getstate__`` strips the client
+  and lease table from the copy Spark pickles to executors for ``read``.
 """
 
 from __future__ import annotations
@@ -514,6 +516,18 @@ class ShareGroupPartitionedReader(DataSourceStreamReader):
             SharePartitionSplit(t, p, recs)
             for (t, p), recs in sorted(by_tp.items())
         ]
+
+    def __getstate__(self):
+        # Spark pickles the READER to executors so read() can run there,
+        # but read() only uses its split argument — exclude the client
+        # and the lease table from the executor payload. This is also
+        # what makes the "wire client drops in unchanged" claim true: a
+        # socket-holding client never needs to be picklable, because only
+        # the driver-resident instance ever touches self._client.
+        state = self.__dict__.copy()
+        state["_client"] = None
+        state["_batches"] = {}
+        return state
 
     def read(self, partition: SharePartitionSplit):
         return read_spooled_rows(partition)

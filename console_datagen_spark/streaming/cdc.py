@@ -20,7 +20,12 @@ current.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def latest_wins(records: DataFrame, key_cols: tuple[str, ...] = ("user_id",)) -> DataFrame:
@@ -35,4 +40,200 @@ def latest_wins(records: DataFrame, key_cols: tuple[str, ...] = ("user_id",)) ->
         F.max_by("event_type", "event_id").alias("last_type"),
         F.max_by("value", "event_id").alias("last_value"),
         F.count("*").cast("bigint").alias("n_versions"),
+    )
+
+
+# ---- TTL'd-key variant: latest-wins + idle-key eviction --------------------
+#
+# The plain max_by aggregation keeps O(keys) state FOREVER. The reference
+# treats a partition with no activity for 5 minutes as stale
+# (CounterProgressCheck.java:80-90); this variant turns that staleness
+# tier into state EVICTION: a key idle longer than the TTL is dropped
+# from the state store and reported once with evicted=true. At 100 TB of
+# changelog with a churning key space, that is the difference between
+# state bounded by the ACTIVE key count and state that grows without
+# bound over the job's lifetime.
+
+CDC_TTL_MS = 5 * 60 * 1000  # the reference's 5-minute staleness tier
+
+CDC_STATE_SCHEMA = (
+    "last_event_id LONG, last_type STRING, last_value DOUBLE, n_versions LONG"
+)
+CDC_OUTPUT_SCHEMA = (
+    "user_id LONG, last_event_id LONG, last_type STRING, last_value DOUBLE, "
+    "n_versions LONG, evicted BOOLEAN"
+)
+
+
+def _make_cdc_ttl_update(ttl_ms: int):
+    """Update function bound to one TTL (closure — cloudpickle ships the
+    bound value to executors; tests shrink it to seconds so eviction is
+    observable without waiting 5 minutes)."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # no record for this key within the TTL: emit the final
+            # snapshot flagged evicted and free the state slot (a later
+            # record for the key starts a fresh version history)
+            last_id, last_type, last_value, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "last_event_id": [last_id],
+                    "last_type": [last_type],
+                    "last_value": [last_value],
+                    "n_versions": [n],
+                    "evicted": [True],
+                }
+            )
+            return
+        best = state.get if state.exists else (-1, None, None, 0)
+        last_id, last_type, last_value, n = best
+        for pdf in batches:
+            n += len(pdf)
+            mx = int(pdf["event_id"].max())
+            if mx > last_id:
+                row = pdf.loc[pdf["event_id"].idxmax()]
+                last_id = mx
+                last_type = str(row["event_type"])
+                last_value = float(row["value"])
+        state.update((last_id, last_type, last_value, n))
+        # reset the idle clock on every arrival (timeouts re-arm per
+        # invocation, so the deadline is always last-activity + TTL)
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "last_event_id": [last_id],
+                "last_type": [last_type],
+                "last_value": [last_value],
+                "n_versions": [n],
+                "evicted": [False],
+            }
+        )
+
+    return update
+
+
+def latest_wins_stateful(records: DataFrame, ttl_ms: int = CDC_TTL_MS) -> DataFrame:
+    """Streaming latest-wins compaction with idle-key TTL eviction.
+
+    Same per-key result columns as ``latest_wins`` plus ``evicted``:
+    update-mode rows carry evicted=false; a key silent for ``ttl_ms``
+    (default: the reference's 5-minute staleness tier) is emitted once
+    with evicted=true and removed from the state store. Uses
+    ``applyInPandasWithState`` with a processing-time timeout — the
+    executable spelling in this container; ``CdcTtlProcessor`` below is
+    the transformWithState timer spelling.
+    """
+    return (
+        records.select("user_id", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_cdc_ttl_update(ttl_ms),
+            outputStructType=CDC_OUTPUT_SCHEMA,
+            stateStructType=CDC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+# ---- transformWithState timer spelling ------------------------------------
+#
+# The successor API expresses the same TTL eviction with explicit timers:
+# every arrival re-registers a processing-time timer at now + TTL, and
+# handleExpiredTimer fires when a key's newest timer lapses with no
+# newer arrival. Requires the RocksDB state store provider and the
+# protobuf wheel (transformWithState's Python state-server protocol);
+# tests gate on availability, same honest-gap policy as the Kafka jar.
+
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle  # noqa: E402
+
+
+class CdcTtlProcessor(StatefulProcessor):
+    """Latest-wins CDC state with timer-driven idle-key eviction."""
+
+    def __init__(self, ttl_ms: int = CDC_TTL_MS) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("latest", CDC_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        got = self._state.get() if self._state.exists() else None
+        last_id, last_type, last_value, n = got if got is not None else (
+            -1, None, None, 0,
+        )
+        for pdf in rows:
+            n += len(pdf)
+            mx = int(pdf["event_id"].max())
+            if mx > last_id:
+                row = pdf.loc[pdf["event_id"].idxmax()]
+                last_id = mx
+                last_type = str(row["event_type"])
+                last_value = float(row["value"])
+        self._state.update((last_id, last_type, last_value, n))
+        # slide the eviction deadline: drop any armed timer, re-arm at
+        # now + TTL (listTimers/deleteTimer keep exactly one live timer)
+        now = timerValues.getCurrentProcessingTimeInMs()
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(now + self._ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "last_event_id": [last_id],
+                "last_type": [last_type],
+                "last_value": [last_value],
+                "n_versions": [n],
+                "evicted": [False],
+            }
+        )
+
+    def handleExpiredTimer(
+        self, key: tuple[Any, ...], timerValues: Any, expiredTimerInfo: Any
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        got = self._state.get() if self._state.exists() else None
+        if got is None:
+            return
+        last_id, last_type, last_value, n = got
+        self._state.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "last_event_id": [last_id],
+                "last_type": [last_type],
+                "last_value": [last_value],
+                "n_versions": [n],
+                "evicted": [True],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def latest_wins_tws(records: DataFrame, ttl_ms: int = CDC_TTL_MS) -> DataFrame:
+    """``latest_wins_stateful`` on the transformWithState API (timers)."""
+    return (
+        records.select("user_id", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=CdcTtlProcessor(ttl_ms),
+            outputStructType=CDC_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
     )

@@ -78,12 +78,18 @@ def partitions_needing_truncation(
 
     ``offsets`` has (topic, partition, offset) rows; the min/max pair
     replaces the reference's two OffsetSpec round-trips (J4 → single agg).
+    The reference's listOffsets "latest" is the END offset (one past the
+    last record), so the observed max RECORD offset maps to end = max+1:
+    depth counts every resident record and ``truncate_before = end``
+    deletes them all, exactly like delete_records(before=endOffset).
     """
     return (
         offsets.groupBy("topic", "partition")
         .agg(F.min("offset").alias("earliest"), F.max("offset").alias("latest"))
-        .where(F.col("latest") - F.col("earliest") >= max_topic_depth)
-        .select("topic", "partition", F.col("latest").alias("truncate_before"))
+        .where(F.col("latest") + 1 - F.col("earliest") >= max_topic_depth)
+        .select(
+            "topic", "partition", (F.col("latest") + 1).alias("truncate_before")
+        )
     )
 
 
@@ -138,16 +144,20 @@ class TruncationGate:
             key = (r["topic"], r["partition"])
             self._earliest.setdefault(key, r["earliest"])
             self._latest[key] = max(self._latest.get(key, r["latest"]), r["latest"])
-            if self._latest[key] - self._earliest[key] >= self.max_topic_depth:
-                cut = self._latest[key]
+            # listOffsets "latest" is the END offset (one past the newest
+            # record), so the observed max record offset + 1 is the depth
+            # numerator and the cut — delete_records(before=endOffset)
+            # semantics, retaining nothing (DataGenerator.java:553-575)
+            end = self._latest[key] + 1
+            if end - self._earliest[key] >= self.max_topic_depth:
                 need.append(
                     {
                         "topic": key[0],
                         "partition": key[1],
-                        "truncate_before": cut,
+                        "truncate_before": end,
                     }
                 )
-                self._earliest[key] = cut
+                self._earliest[key] = end
         return need
 
 

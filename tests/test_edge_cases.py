@@ -39,7 +39,7 @@ def test_jaccard_identical_docs_1000_permille(spark, tiny_docs):
 
 
 def test_minhash_on_degenerate_corpus(spark, tiny_docs):
-    sigs = D.minhash_signatures(spark, tiny_docs, k=4)
+    sigs = D.minhash_signatures(tiny_docs, k=4)
     rows = sigs.collect()
     assert {r.doc_id for r in rows} == {0, 3}
     assert len(rows) == 8  # 2 docs x 4 perms

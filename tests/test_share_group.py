@@ -315,6 +315,29 @@ def test_partitioned_reader_splits_by_topic_partition(tmp_path):
     assert client.pending() == 0
 
 
+def test_partitioned_reader_pickles_without_client_state(tmp_path):
+    """Spark ships the reader to executors for read(); the pickled copy
+    must exclude the client and lease table (a socket-holding wire client
+    must never be forced through serialization)."""
+    import pickle
+
+    _spool(tmp_path, n=4)
+    r = _preader(tmp_path)
+    end = r.latestOffset()
+    splits = r.partitions(r.initialOffset(), end)
+    # make the driver-side client un-picklable, as a real wire client
+    # holding a socket would be
+    r._client._socket = __import__("threading").Lock()
+    clone = pickle.loads(pickle.dumps(r))
+    assert clone._client is None and clone._batches == {}
+    # the executor-side copy still serves reads from its split argument
+    rows = [row for s in splits for row in clone.read(s)]
+    assert len(rows) == 4
+    # driver instance unaffected: commit still settles its leases
+    del r._client._socket
+    r.commit(end)
+
+
 def test_partitioned_reader_commit_respects_batch_boundaries(tmp_path):
     client = _spool(tmp_path, n=6)
     r = _preader(tmp_path, max_poll=4)

@@ -99,8 +99,10 @@ def test_truncation_predicate(spark):
     )
     need = CT.partitions_needing_truncation(offsets, 5000).collect()
     assert len(need) == 1
+    # cut = max record offset + 1: the listOffsets END offset, so the
+    # delete retains nothing (delete_records(before=endOffset) parity)
     assert (need[0].topic, need[0].partition, need[0].truncate_before) == (
-        "t1", 0, 5900,
+        "t1", 0, 5901,
     )
 
 
@@ -122,12 +124,13 @@ def test_truncation_gate_accumulates_across_batches():
     assert gate.observe([_mm("t1", 0, 0, 1999)]) == []
     assert gate.observe([_mm("t1", 0, 2000, 3999)]) == []
     need = gate.observe([_mm("t1", 0, 4000, 5999)])
-    assert need == [{"topic": "t1", "partition": 0, "truncate_before": 5999}]
+    # cut = end offset (5999 + 1): records 0-5999 are all deleted
+    assert need == [{"topic": "t1", "partition": 0, "truncate_before": 6000}]
     # earliest advanced to the cut: a replayed/next small batch must NOT re-fire
     assert gate.observe([_mm("t1", 0, 6000, 6099)]) == []
     # ...until a further full depth accumulates past the cut
     assert gate.observe([_mm("t1", 0, 6100, 11000)]) == [
-        {"topic": "t1", "partition": 0, "truncate_before": 11000}
+        {"topic": "t1", "partition": 0, "truncate_before": 11001}
     ]
 
 
@@ -136,7 +139,13 @@ def test_truncation_gate_per_partition_isolation():
     need = gate.observe(
         [_mm("t1", 0, 0, 250), _mm("t1", 1, 0, 50), _mm("t2", 0, 0, 99)]
     )
-    assert need == [{"topic": "t1", "partition": 0, "truncate_before": 250}]
+    # (t2, 0) holds EXACTLY max_topic_depth records (offsets 0-99): the
+    # end-offset depth fires at the boundary, as the reference's
+    # latest - earliest >= maxTopicDepth does
+    assert need == [
+        {"topic": "t1", "partition": 0, "truncate_before": 251},
+        {"topic": "t2", "partition": 0, "truncate_before": 100},
+    ]
 
 
 def test_truncation_gate_broker_seed_after_restart():
@@ -152,7 +161,7 @@ def test_truncation_gate_broker_seed_after_restart():
     gate = CT.TruncationGate(max_topic_depth=5000, broker_offsets=broker_offsets)
     need = gate.observe([_mm("t1", 0, 4000, 5200)])
     assert probed == [("t1", 0)]
-    assert need == [{"topic": "t1", "partition": 0, "truncate_before": 5200}]
+    assert need == [{"topic": "t1", "partition": 0, "truncate_before": 5201}]
     # probe happens once per partition, not per batch
     assert gate.observe([_mm("t1", 0, 5300, 5400)]) == []
     assert probed == [("t1", 0)]
