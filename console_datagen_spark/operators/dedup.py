@@ -312,7 +312,9 @@ def dup_components(
         .select("id", F.col("id").alias("component"))
     )
     changed = -1
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nb_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -343,7 +345,41 @@ def dup_components(
             f"({changed} labels still changing); raise max_iter to at "
             "least the largest component's diameter"
         )
+    global _last_component_rounds
+    _last_component_rounds = rounds
     return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+# Telemetry for the most recent dup_components run: rounds executed until
+# the fixpoint (including the final no-change confirmation round). The
+# round count is a driver-side loop property, not a dataset property, so
+# it is exposed here (and asserted in tests) rather than as an
+# oracle-checkable column.
+_last_component_rounds: int | None = None
+
+
+def last_component_rounds() -> int | None:
+    """Rounds the most recent ``dup_components`` call took to converge."""
+    return _last_component_rounds
+
+
+def dup_component_stats(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """(csize, n_components): the near-dup cluster size histogram.
+
+    The scale-facing telemetry view of ``dup_components``: how many
+    clusters of each size the pair graph induces. At 100 TB this is the
+    number an operator actually watches (a single giant component means
+    the LSH threshold is too loose; millions of size-2 components mean
+    near-exact dupes dominate). Two hash aggregations over the label
+    table — both shuffle one row per component / per size.
+    """
+    labels = dup_components(pairs, id_a=id_a, id_b=id_b)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("csize"))
+    return sizes.groupBy("csize").agg(
+        F.count("*").cast("long").alias("n_components")
+    )
 
 
 def simhash_fingerprints(

@@ -81,3 +81,22 @@ def stratified_sample(
     for value, p in sorted(permille.items()):
         rate = F.when(col == value, F.lit(p)).otherwise(rate)
     return df.where(hash_bucket(id_col, salt) < rate)
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_permille: Column | str, salt: str = "v1"
+) -> DataFrame:
+    """Keep each row with probability ``weight_permille/1000`` — the soft
+    quality-weighted corpus sampling modern curation pipelines run
+    (probability ∝ a per-row quality/score column rather than a hard
+    filter). Still a pure function of (id, salt): the keep decision is
+    ``hash_bucket(id) < weight``, so membership is partition-invariant,
+    replay-stable and oracle-reproducible, and — like every sampler here —
+    it is a scan-level predicate with no shuffle. Expected kept mass is
+    Σw/1000 without any global pass over the data."""
+    w = (
+        F.col(weight_permille)
+        if isinstance(weight_permille, str)
+        else weight_permille
+    )
+    return df.where(hash_bucket(id_col, salt) < w)

@@ -381,3 +381,75 @@ df_query(
     tags=("dedup", "fuzzy", "lsh"),
     doc="fuzzy dedup: LSH candidates verified by exact levenshtein distance",
 )
+
+
+def _components_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(spark, sf_dir)
+    return D.dup_component_stats(pairs).orderBy("csize")
+
+
+df_query(
+    "dedup_components_stats",
+    _components_stats,
+    oracle=(
+        # same min-reachable-id components as dedup_components, rolled up
+        # into the cluster-size histogram an operator actually watches
+        f"WITH RECURSIVE {_DUCK_PAIRS}, "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(id, r) AS ("
+        "  SELECT src, src FROM edges "
+        "  UNION "
+        "  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), "
+        "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), "
+        "csizes AS (SELECT component, COUNT(*) AS csize FROM comp "
+        "           GROUP BY component) "
+        "SELECT csize, COUNT(*) AS n_components FROM csizes "
+        "GROUP BY csize ORDER BY csize"
+    ),
+    tables=DOCS,
+    tags=("dedup", "components", "iterative", "telemetry"),
+    doc="near-dup cluster size histogram: dup_components labels rolled up "
+    "to (csize, n_components) — the convergence/threshold health gauge; "
+    "driver round count exposed via operators.dedup.last_component_rounds",
+)
+
+
+def _keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    pairs = _minhash_pairs(spark, sf_dir)
+    labels = D.dup_components(pairs)
+    # the drop list: every clustered doc that is not its cluster's keeper
+    drops = labels.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    return (
+        docs.join(drops, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+df_query(
+    "dedup_keepers",
+    _keepers,
+    oracle=(
+        # end-to-end dedup: apply dup_components' drop list to the corpus
+        f"WITH RECURSIVE {_DUCK_PAIRS}, "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(id, r) AS ("
+        "  SELECT src, src FROM edges "
+        "  UNION "
+        "  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), "
+        "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), "
+        "drops AS (SELECT id FROM comp WHERE id <> component) "
+        "SELECT lang, COUNT(*) AS n_kept FROM documents d "
+        "WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.id = d.doc_id) "
+        "GROUP BY lang ORDER BY lang"
+    ),
+    tables=DOCS,
+    tags=("dedup", "components", "pipeline"),
+    doc="end-to-end near-dup removal: corpus anti-joined against the "
+    "dup_components drop list (cluster members that are not the min-id "
+    "keeper), rolled up per lang — the dedup tier's actual output shape",
+)

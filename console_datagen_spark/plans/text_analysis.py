@@ -396,3 +396,47 @@ sql_query(
     doc="labeled-vs-predicted language confusion matrix (label-noise / "
     "cross-lingual contamination audit)",
 )
+
+
+def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    # weight = distinct-token ratio in permille, capped at 900: the soft
+    # quality signal (low-diversity docs keep a small but nonzero chance)
+    w = F.expr(
+        "least(900, size(array_distinct(split(text, ' '))) * 1000 "
+        "DIV size(split(text, ' ')))"
+    )
+    kept = weighted_sample(docs.withColumn("w", w), "doc_id", "w")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.expr("CAST(sum(w) DIV count(*) AS BIGINT)").alias(
+                "mean_w_permille"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+df_query(
+    "sample_weighted",
+    _sample_weighted,
+    oracle=(
+        "WITH w AS (SELECT doc_id, lang, "
+        "  LEAST(900, len(list_distinct(string_split(text, ' '))) * 1000 "
+        "        // len(string_split(text, ' '))) AS w "
+        "  FROM documents) "
+        "SELECT lang, COUNT(*) AS n_kept, "
+        "CAST(SUM(w) // COUNT(*) AS BIGINT) AS mean_w_permille FROM w "
+        "WHERE (('0x' || substr(md5(concat('v1:', CAST(doc_id AS VARCHAR)))"
+        ",1,15))::BIGINT % 1000) < w "
+        "GROUP BY lang ORDER BY lang"
+    ),
+    tables=DOCS,
+    tags=("sampling", "quality", "weighted"),
+    doc="quality-weighted sampling: keep probability = per-doc distinct-"
+    "token permille (capped 900) — soft curation via stable hash bucket",
+)

@@ -188,3 +188,35 @@ def test_ivfpq_probe_prunes_partitions(spark, embeddings, ivfpq_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cluster" in m.group(1)
+
+
+def test_opq_permute_hash_exact_vs_oracle(spark, sf_dir):
+    """pq_topk over an OPQ-permuted corpus must stay hash-exact: the
+    DuckDB side replays the permutation by redefining the embeddings view
+    with the same literal dim order, then runs the UNCHANGED sim_pq_topk
+    oracle SQL."""
+    import duckdb
+
+    from console_datagen_spark.operators.similarity import opq_permute, pq_topk
+    from console_datagen_spark.plans import all_queries
+    from tests.test_oracle import normalize
+
+    # fixed non-trivial permutation: reverse each 8-dim block
+    perm = tuple(b * 8 + (7 - i) for b in range(8) for i in range(8))
+    emb = register_views(spark, sf_dir, ("embeddings",))["embeddings"]
+    got = normalize(pq_topk(opq_permute(emb, perm)).toPandas())
+
+    idx = ", ".join(f"embedding[{p + 1}]" for p in perm)
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT vec_id, [{idx}] AS embedding, label "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = normalize(
+        duck.execute(all_queries()["sim_pq_topk"].oracle).fetchdf()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

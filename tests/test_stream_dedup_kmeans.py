@@ -199,3 +199,21 @@ def test_kmeans_assignments(spark, embeddings):
     assert sorted((r.vec_id, r.cluster) for r in rows) == sorted(
         (r.vec_id, r.cluster) for r in again
     )
+
+
+def test_dup_component_stats_and_rounds_telemetry(spark):
+    from console_datagen_spark.operators import dedup as D
+
+    # {1,2,3,4} (size 4), {9,11} (size 2), {20,21} (size 2)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 11), (20, 21)], "doc_a LONG, doc_b LONG"
+    )
+    hist = {
+        (r.csize, r.n_components)
+        for r in D.dup_component_stats(pairs).collect()
+    }
+    assert hist == {(4, 1), (2, 2)}
+    # rounds telemetry: the 4-chain needs 3 label rounds + 1 confirming
+    # round; must be recorded and bounded by the default max_iter
+    rounds = D.last_component_rounds()
+    assert rounds is not None and 2 <= rounds <= 20, rounds
