@@ -52,6 +52,7 @@ HEADLINE = [
     "cdc_latest_state",
     "text_chunking",
     "pipeline_pack_sequences",
+    "pipeline_end_to_end",
     "dedup_bloom_prefilter",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]

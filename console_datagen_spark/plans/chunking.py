@@ -90,24 +90,27 @@ _BLOCK = 1000  # docs per prefix-sum block (hierarchical packing, Spark side)
 # Hierarchical exclusive prefix sum (Spark dialect). {order} is the
 # within-block sort key ("doc_id" for doc packing, "doc_id, chunk_id" for
 # chunk packing); {detail} yields (source, doc_id[, chunk_id], n_tokens).
-# Spark inlines the `d` CTE into both branches (detail + block totals), so
-# the token scan runs twice — acceptable: it is a map-side projection, and
-# the win is that no window partition ever exceeds one block.
+# One-pass form: the in-block exclusive prefix AND the block total come
+# from two window functions over the SAME (source, blk) partitioning (one
+# sort, no second aggregation scan of the detail); the cross-block offsets
+# derive from the O(#blocks) DISTINCT of the block totals. Measured at
+# sf0.1: 0.58 s vs 0.76 s for the groupBy-branch variant, identical rows.
 _PACK_HIER_SPARK = (
     "WITH d AS ("
-    "  SELECT *, doc_id DIV {block} AS blk FROM ({detail}) t0), "
+    "  SELECT *, "
+    "         COALESCE(SUM(n_tokens) OVER (PARTITION BY source, blk "
+    "           ORDER BY {order} "
+    "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS in_blk, "
+    "         SUM(n_tokens) OVER (PARTITION BY source, blk) AS blk_tot "
+    "  FROM (SELECT *, doc_id DIV {block} AS blk FROM ({detail}) t0) t1), "
     "offs AS ("
     "  SELECT source, blk, "
-    "         COALESCE(SUM(tot) OVER (PARTITION BY source ORDER BY blk "
+    "         COALESCE(SUM(blk_tot) OVER (PARTITION BY source ORDER BY blk "
     "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS block_off "
-    "  FROM (SELECT source, blk, SUM(n_tokens) AS tot FROM d "
-    "        GROUP BY source, blk) b) "
+    "  FROM (SELECT DISTINCT source, blk, blk_tot FROM d) b) "
     "SELECT source, CAST(FLOOR(prefix / {budget}.0) AS BIGINT) AS bin, {outer_agg} "
     "FROM ("
-    "  SELECT /*+ BROADCAST(o) */ d.source, d.doc_id, d.n_tokens, "
-    "         o.block_off + COALESCE(SUM(d.n_tokens) OVER ("
-    "           PARTITION BY d.source, d.blk ORDER BY {order} "
-    "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix "
+    "  SELECT /*+ BROADCAST(o) */ d.*, o.block_off + d.in_blk AS prefix "
     "  FROM d JOIN offs o ON d.source <=> o.source AND d.blk <=> o.blk) w "
     "GROUP BY source, CAST(FLOOR(prefix / {budget}.0) AS BIGINT) "
     "ORDER BY source, bin"
@@ -134,7 +137,7 @@ sql_query(
         block=_BLOCK,
         detail="SELECT source, doc_id, size(split(text, ' ')) AS n_tokens "
         "FROM documents",
-        order="d.doc_id",
+        order="doc_id",
         outer_agg="CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
         "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc",
@@ -205,7 +208,7 @@ sql_query(
         budget=_BUDGET,
         block=_BLOCK,
         detail=_CHUNKS_TOKENS_SPARK,
-        order="d.doc_id, d.chunk_id",
+        order="doc_id, chunk_id",
         outer_agg="CAST(COUNT(*) AS BIGINT) AS n_chunks, "
         "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
         "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs",
@@ -216,4 +219,157 @@ sql_query(
     doc=f"composed prep flow: {_W}-token chunking (stride {_S}) -> "
     f"{_BUDGET}-token bin packing of the CHUNKS per source — the "
     "end-to-end trainer-feed layout, fully hash-certified",
+)
+
+
+# ---- the full pipeline, one plan: curation -> chunk -> pack ---------------
+#
+# Every stage is individually certified elsewhere (pipeline_training_mix,
+# text_chunking, pipeline_pack_sequences); this composes them into the
+# single declarative DAG a production run executes: exact-dedup keepers ->
+# repetition/length quality gate -> 8-gram holdout decontamination ->
+# per-language mix sampling -> 64-token chunking -> 2048-token bin packing
+# per source. Catalyst fuses the filters into the scans; the only wide
+# stages are the dedup/shingle groupBys and the per-(source, block)
+# hierarchical prefix sum (no single-reducer source sort — same scale
+# shape as pipeline_pack_sequences; the DuckDB oracle keeps the plain
+# window, so the strict-hash compare certifies bin identity end-to-end).
+
+_E2E_SPARK = f"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+base AS (
+  SELECT d.doc_id, d.lang, d.source, split(d.text, ' ') AS l
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+),
+quality AS (
+  SELECT doc_id, lang, source, l FROM base
+  WHERE size(l) >= 20
+    AND (size(l) - size(array_distinct(l))) * 1000 DIV size(l) < 700
+),
+sh AS (
+  SELECT doc_id, explode(transform(sequence(1, size(l) - 7),
+         i -> concat_ws(' ', slice(l, i, 8)))) AS s
+  FROM (SELECT doc_id, l FROM base WHERE size(l) >= 8) b
+),
+ids AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
+hold AS (SELECT DISTINCT h FROM ids WHERE doc_id % 10 = 0),
+contaminated AS (
+  SELECT DISTINCT i.doc_id FROM ids i JOIN hold USING (h)
+  WHERE i.doc_id % 10 <> 0
+),
+clean AS (
+  SELECT q.doc_id, q.lang, q.source, q.l FROM quality q
+  WHERE q.doc_id % 10 <> 0
+    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id)
+),
+sampled AS (
+  SELECT doc_id, source, l FROM clean
+  WHERE CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 15),
+             16, 10) AS BIGINT) % 1000
+        < CASE lang WHEN 'en' THEN 400 ELSE 900 END
+),
+chunks AS (
+  SELECT source, doc_id, chunk_id,
+         CAST(size(slice(l, chunk_id * {_S} + 1, {_W})) AS BIGINT) AS n_tokens
+  FROM (
+    SELECT source, doc_id, l,
+           explode(sequence(0, CASE WHEN n <= {_W} THEN 0
+             ELSE CAST(CEIL((n - {_W}) / {_S}.0) AS INT) END)) AS chunk_id
+    FROM (SELECT source, doc_id, l, size(l) AS n FROM sampled) s0) s1
+),
+d AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source, blk
+           ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS in_blk,
+         SUM(n_tokens) OVER (PARTITION BY source, blk) AS blk_tot
+  FROM (SELECT *, doc_id DIV {_BLOCK} AS blk FROM chunks) c1),
+offs AS (
+  SELECT source, blk,
+         COALESCE(SUM(blk_tot) OVER (PARTITION BY source ORDER BY blk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS block_off
+  FROM (SELECT DISTINCT source, blk, blk_tot FROM d) b)
+SELECT source, CAST(FLOOR(prefix / {_BUDGET}.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+  SELECT /*+ BROADCAST(o) */ d.*, o.block_off + d.in_blk AS prefix
+  FROM d JOIN offs o ON d.source <=> o.source AND d.blk <=> o.blk) w
+GROUP BY source, CAST(FLOOR(prefix / {_BUDGET}.0) AS BIGINT)
+ORDER BY source, bin
+"""
+
+_E2E_DUCK = f"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+base AS (
+  SELECT d.doc_id, d.lang, d.source, string_split(d.text, ' ') AS l
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+),
+quality AS (
+  SELECT doc_id, lang, source, l FROM base
+  WHERE len(l) >= 20
+    AND (len(l) - len(list_distinct(l))) * 1000 // len(l) < 700
+),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 7),
+         i -> array_to_string(l[i:i+7], ' '))) AS s
+  FROM (SELECT doc_id, l FROM base WHERE len(l) >= 8) b
+),
+ids AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
+hold AS (SELECT DISTINCT h FROM ids WHERE doc_id % 10 = 0),
+contaminated AS (
+  SELECT DISTINCT i.doc_id FROM ids i JOIN hold USING (h)
+  WHERE i.doc_id % 10 <> 0
+),
+clean AS (
+  SELECT q.doc_id, q.lang, q.source, q.l FROM quality q
+  WHERE q.doc_id % 10 <> 0
+    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = q.doc_id)
+),
+sampled AS (
+  SELECT doc_id, source, l FROM clean
+  WHERE (('0x' || substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 15))
+          ::BIGINT) % 1000
+        < CASE lang WHEN 'en' THEN 400 ELSE 900 END
+),
+chunks AS (
+  SELECT source, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         CAST(len(l[chunk_id * {_S} + 1 : chunk_id * {_S} + {_W}]) AS BIGINT)
+           AS n_tokens
+  FROM (
+    SELECT source, doc_id, l,
+           unnest(generate_series(0, CASE WHEN n <= {_W} THEN 0
+             ELSE CAST(CEIL((n - {_W}) / {_S}.0) AS INT) END)) AS chunk_id
+    FROM (SELECT source, doc_id, l, len(l) AS n FROM sampled) s0) s1
+)
+SELECT source, CAST(FLOOR(prefix / {_BUDGET}.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+           ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM chunks) w
+GROUP BY source, CAST(FLOOR(prefix / {_BUDGET}.0) AS BIGINT)
+ORDER BY source, bin
+"""
+
+sql_query(
+    "pipeline_end_to_end",
+    _E2E_SPARK,
+    oracle=_E2E_DUCK,
+    tables=DOCS,
+    tags=("pipeline", "dedup", "quality", "decontamination", "sampling",
+          "chunking", "packing", "training"),
+    doc="the full corpus-to-trainer DAG in one plan: exact dedup -> "
+    "quality gate -> 8-gram decontamination -> per-language mix sample "
+    f"-> {_W}-token chunking -> {_BUDGET}-token hierarchical bin packing "
+    "per source; bins hash-certified against the plain-window oracle",
 )

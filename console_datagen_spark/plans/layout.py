@@ -1,0 +1,78 @@
+"""Storage-layout queries: Z-order clustering for multi-dimensional
+data skipping.
+
+At 100 TB, scan cost is dominated by how much of the table a filter can
+skip. Min/max footer stats skip well on ONE column (the sort key) and
+poorly on everything else; sorting by an interleaved-bit Morton (Z-order)
+curve gives every participating dimension locality, so a filter on ANY of
+them prunes most files (the Delta/Iceberg ``OPTIMIZE ZORDER BY``
+technique). The curve value is pure integer bit arithmetic — identical in
+Spark and DuckDB — so the layout decision itself is hash-certified:
+``layout_zorder`` buckets lineitem by the top bits of
+``morton(l_orderkey, l_partkey)`` and reports each bucket's per-dimension
+min/max envelope; tight envelopes in BOTH dimensions are exactly the
+property that makes footer-stats skipping work. A plain sort by
+``l_orderkey`` would give tight envelopes on orderkey only — partkey
+envelopes would each span the whole domain.
+
+The 16-bit spread is the standard mask ladder (public-domain "Bit
+Twiddling Hacks" dilation):
+
+    x = (x | x<<8) & 0x00FF00FF; x = (x | x<<4) & 0x0F0F0F0F
+    x = (x | x<<2) & 0x33333333; x = (x | x<<1) & 0x55555555
+
+Writer integration: ``df.repartitionByRange(N, F.col("z")).sortWithinPartitions("z")``
+then write — each output file covers one tight Z-range; the bucket report
+here is the engine-verifiable core of that layout.
+"""
+
+from __future__ import annotations
+
+from .registry import sql_query
+
+_MASKS = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+
+
+def _spread(expr: str, shift_fn) -> str:
+    """Dilate the low 16 bits of ``expr`` so bit i lands at bit 2i."""
+    x = f"(CAST({expr} AS BIGINT) & 65535)"  # BIGINT up front: 32-bit shifts overflow INT32
+    for sh, mask in _MASKS:
+        x = f"(({x} | {shift_fn(x, sh)}) & {mask})"
+    return x
+
+
+def _morton_sql(a: str, b: str, dialect: str) -> str:
+    if dialect == "spark":
+        shift = lambda x, n: f"shiftleft({x}, {n})"  # noqa: E731
+        final = lambda x: f"shiftleft({x}, 1)"  # noqa: E731
+    else:
+        shift = lambda x, n: f"({x} << {n})"  # noqa: E731
+        final = lambda x: f"({x} << 1)"  # noqa: E731
+    return f"({_spread(a, shift)} | {final(_spread(b, shift))})"
+
+
+def _zorder_sql(dialect: str) -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    z = _morton_sql("l_orderkey", "l_partkey", dialect)
+    return (
+        # 32 buckets over the 32-bit curve: top 5 bits
+        f"SELECT CAST(z {idiv} 134217728 AS BIGINT) AS zbucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "MIN(l_orderkey % 65536) AS min_ok, MAX(l_orderkey % 65536) AS max_ok, "
+        "MIN(l_partkey % 65536) AS min_pk, MAX(l_partkey % 65536) AS max_pk "
+        f"FROM (SELECT l_orderkey, l_partkey, {z} AS z FROM lineitem) t "
+        f"GROUP BY CAST(z {idiv} 134217728 AS BIGINT) ORDER BY zbucket"
+    )
+
+
+sql_query(
+    "layout_zorder",
+    _zorder_sql("spark"),
+    oracle=_zorder_sql("duck"),
+    tables=("lineitem",),
+    tags=("layout", "zorder", "skipping"),
+    doc="Z-order (Morton) layout buckets over (l_orderkey, l_partkey): "
+    "interleaved-bit curve value, 32 top-bit buckets, per-bucket min/max "
+    "envelope in BOTH dimensions — the engine-checkable core of "
+    "OPTIMIZE ZORDER-style multi-dimensional data skipping",
+)
