@@ -381,6 +381,52 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFr
     )
 
 
+def semantic_dup_pairs(
+    embeddings: DataFrame,
+    centroid_mod: int = 25,
+    threshold: float = 0.4,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """(cluster, vec_a, vec_b) — SemDeDup-style cluster-bounded near-dups.
+
+    The SemDeDup recipe (Abbas et al., arXiv:2303.09540): cluster the
+    embedding space first, then search for semantic duplicates ONLY within
+    each cluster — the pairwise cosine check never crosses cluster
+    boundaries, so the candidate space is Σ|cluster|² instead of n².
+    At 100 TB this is the key cut: the within-cluster self-join is an
+    equi-join on the cluster id (one shuffle co-locating each cluster),
+    and cluster granularity (k = n/centroid_mod) bounds the per-task
+    quadratic work. Complements ``embedding_dup_pairs_lsh``: LSH bounds
+    candidates by hash collision (exact-recall knob per band), SemDeDup
+    bounds them by semantic locality (recall limited to same-cluster
+    pairs — the documented tradeoff of the paper).
+
+    Pass a persisted ``assigned`` frame (from ``assign_clusters``) when
+    the caller reuses the assignment (e.g. for the keeper roll-up).
+    """
+    a = assigned if assigned is not None else assign_clusters(embeddings, centroid_mod)
+    va = a.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = a.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        va.join(vb, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) > threshold
+        )
+        .select("cluster", "vec_a", "vec_b")
+    )
+
+
 # Round-5 geometry: finer subspaces + bigger codebooks. 16 subspaces x
 # 4 dims x 64 codes (6-bit) = 12 B per 64-dim vector (21x compression vs
 # float32) and, with one Lloyd round, recall@5 = 0.58 at sf0.01 — vs 0.30

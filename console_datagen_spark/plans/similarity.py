@@ -685,3 +685,86 @@ df_query(
     "IndexRefineFlat pattern): raw-vector reads stay O(shortlist) per "
     "query at any corpus size; recall@5 0.70 at sf0.01 vs 0.45 pure-ADC",
 )
+
+
+# ---- SemDeDup: cluster-bounded semantic dedup ------------------------------
+
+# nearest-centroid assignment CTE shared by the two SemDeDup queries —
+# identical text to the assignment stage of the IVF oracles above
+_DUCK_ASSIGNED = (
+    f"{_DUCK_NORM}, "
+    "cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n "
+    "         WHERE vec_id % 25 = 0), "
+    "ascore AS (SELECT n.vec_id, n.v, n.nrm, cid, "
+    "           list_inner_product(n.v, cv) / (n.nrm * cn) AS cos "
+    "           FROM n, cent), "
+    "assigned AS (SELECT vec_id, v, nrm, cid AS cluster FROM "
+    "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "   ORDER BY cos DESC, cid) AS rn FROM ascore) t WHERE rn = 1), "
+    "sempairs AS (SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b "
+    "             FROM assigned a JOIN assigned b "
+    "             ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+    "             WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4)"
+)
+
+_sem_cache = CacheSlot()
+
+
+def _semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _sem_cache.release()
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    # the assignment is consumed by both sides of the within-cluster
+    # self-join; hold it so the centroid argmax runs once, not twice
+    assigned = _sem_cache.hold(S.assign_clusters(emb, centroid_mod=25))
+    return S.semantic_dup_pairs(emb, threshold=0.4, assigned=assigned).orderBy(
+        "cluster", "vec_a", "vec_b"
+    )
+
+
+df_query(
+    "dedup_semantic_pairs",
+    _semantic_pairs,
+    oracle=(
+        f"WITH {_DUCK_ASSIGNED} "
+        "SELECT cluster, vec_a, vec_b FROM sempairs "
+        "ORDER BY cluster, vec_a, vec_b"
+    ),
+    tables=EMB,
+    tags=("dedup", "similarity", "semantic"),
+    doc="SemDeDup (arXiv:2303.09540) semantic near-dup pairs: k-means-style "
+    "cluster assignment bounds the pairwise cosine check to within-cluster "
+    "equi-joins — candidate volume is sum(|cluster|^2), never n^2",
+)
+
+
+def _semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    pairs = _semantic_pairs(spark, sf_dir)
+    # greedy min-id keeper rule: any vector that collides with a lower id
+    # in its cluster is dropped (one pass — no iterative components; a
+    # chain a<b<c drops b and c, keeping exactly one rep per chain head)
+    drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return (
+        emb.join(drops, "vec_id", "left_anti")
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .orderBy("label")
+    )
+
+
+df_query(
+    "dedup_semantic",
+    _semantic_keepers,
+    oracle=(
+        f"WITH {_DUCK_ASSIGNED}, "
+        "drops AS (SELECT DISTINCT vec_b AS vec_id FROM sempairs) "
+        "SELECT label, COUNT(*) AS n_kept FROM embeddings e "
+        "WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = e.vec_id) "
+        "GROUP BY label ORDER BY label"
+    ),
+    tables=EMB,
+    tags=("dedup", "similarity", "semantic", "pipeline"),
+    doc="SemDeDup end-to-end: corpus anti-joined against the semantic-dup "
+    "drop list (greedy min-id keeper per within-cluster dup chain), rolled "
+    "up per label — the dedup tier's output shape over embeddings",
+)
