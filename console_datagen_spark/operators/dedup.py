@@ -26,7 +26,7 @@ LLM-pipeline surface required by the north star.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import HASH_PRIME, minhash_coeffs, token_id
 from ..functions.text import shingles, tokens
@@ -123,7 +123,7 @@ def minhash_signatures(
     ).selectExpr("doc_id", "CAST(perm AS INT) AS perm", "minhash")
 
 
-def lsh_candidate_pairs(
+def minhash_bands(
     documents: DataFrame,
     k: int = 8,
     rows_per_band: int = 2,
@@ -131,14 +131,15 @@ def lsh_candidate_pairs(
     shingles_df: DataFrame | None = None,
     ids_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs from banded MinHash signatures.
+    """(doc_id, band, bh) — banded MinHash signature hashes.
 
     Band hash is an order-free weighted sum mod P so it needs no
     ordered string-agg. It is computed DIRECTLY from the wide min frame
     as a column expression per band (bh_j = Σ_r (r+1)·mh_{j·rpb+r} mod P),
     then stack-unpivoted — identical values to re-aggregating the row-form
-    signatures, but with zero additional shuffle: the only shuffles in the
-    candidate path are the one k-min agg and the (band, bh) self-join.
+    signatures, but with zero additional shuffle: the only shuffle in the
+    band path is the one k-min agg. This frame IS the persistable LSH
+    index shape (codes only, no text) that incremental ingest probes.
     """
     mins = minhash_mins(documents, k, n, shingles_df, ids_df)
     # ceil-divide so a k not divisible by rows_per_band forms a partial
@@ -159,9 +160,22 @@ def lsh_candidate_pairs(
         "doc_id", *[band_hash(j).alias(f"_bh{j}") for j in range(n_bands)]
     )
     stack_args = ", ".join(f"{j}, _bh{j}" for j in range(n_bands))
-    bands = wide.selectExpr(
+    return wide.selectExpr(
         "doc_id", f"stack({n_bands}, {stack_args}) AS (band, bh)"
     )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    shingles_df: DataFrame | None = None,
+    ids_df: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash signatures: an
+    equi-join on (band, bh) — only docs colliding in some band meet."""
+    bands = minhash_bands(documents, k, rows_per_band, n, shingles_df, ids_df)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -499,4 +513,87 @@ def simhash_pairs_banded(
             F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold_permille: int = 350,
+    corpus_bands: DataFrame | None = None,
+    corpus_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Flag each incoming doc as dup-of-corpus or new — the ingest shape.
+
+    The daily-crawl scenario: an existing corpus has a precomputed MinHash
+    band index (``minhash_bands`` — codes only, no text); a new batch
+    probes it. Per incoming doc the result row is
+    (doc_id, is_dup, match_id, match_permille): is_dup = 1 iff some corpus
+    doc clears the exact-Jaccard threshold, match_* identify the best such
+    match (highest permille, ties to the lowest corpus doc_id).
+
+    Scale shape: candidates come from the incoming-vs-index equi-join on
+    (band, bh) — the corpus is NEVER rescanned or self-joined; index and
+    verify cost are both O(batch + collisions), so a 100 TB corpus costs
+    only its (tiny, persistable) band index and the shingle-id lookup of
+    the colliding docs. Pass ``corpus_bands``/``corpus_ids`` to reuse a
+    persisted index instead of rebuilding it from text.
+    """
+    ids_c = corpus_ids if corpus_ids is not None else doc_shingle_ids(corpus, n)
+    ids_i = doc_shingle_ids(incoming, n)
+    bands_c = (
+        corpus_bands
+        if corpus_bands is not None
+        else minhash_bands(corpus, k, rows_per_band, n, ids_df=ids_c)
+    )
+    bands_i = minhash_bands(incoming, k, rows_per_band, n, ids_df=ids_i)
+    cand = (
+        bands_i.select(F.col("doc_id").alias("doc_new"), "band", "bh")
+        .join(bands_c.select(F.col("doc_id").alias("doc_old"), "band", "bh"),
+              ["band", "bh"])
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    # candidate-driven exact-Jaccard verify (same kernel as
+    # ngram_jaccard_pairs: fan incoming shingles over candidates, equi-join
+    # the corpus side on (doc_old, tid) — no co-shingle pair explosion)
+    fan = cand.join(ids_i.select(F.col("doc_id").alias("doc_new"), "tid"), "doc_new")
+    inter = (
+        fan.join(ids_c.select(F.col("doc_id").alias("doc_old"), "tid"),
+                 ["doc_old", "tid"])
+        .groupBy("doc_new", "doc_old")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_i = ids_i.groupBy("doc_id").agg(F.count("*").alias("sz_new"))
+    sz_c = ids_c.groupBy("doc_id").agg(F.count("*").alias("sz_old"))
+    matched = (
+        inter.join(sz_i.select(F.col("doc_id").alias("doc_new"), "sz_new"), "doc_new")
+        .join(sz_c.select(F.col("doc_id").alias("doc_old"), "sz_old"), "doc_old")
+        .select(
+            "doc_new",
+            "doc_old",
+            F.expr(
+                "CAST(inter * 1000 DIV (sz_new + sz_old - inter) AS BIGINT)"
+            ).alias("jp"),
+        )
+        .where(F.col("jp") >= threshold_permille)
+    )
+    w = Window.partitionBy("doc_new").orderBy(F.col("jp").desc(), F.col("doc_old"))
+    best = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_new").alias("doc_id"),
+            F.col("doc_old").alias("match_id"),
+            F.col("jp").alias("match_permille"),
+        )
+    )
+    return incoming.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("match_id").isNotNull().cast("int").alias("is_dup"),
+        "match_id",
+        "match_permille",
     )

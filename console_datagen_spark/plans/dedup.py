@@ -453,3 +453,69 @@ df_query(
     "dup_components drop list (cluster members that are not the min-id "
     "keeper), rolled up per lang — the dedup tier's actual output shape",
 )
+
+
+# ---- incremental ingest dedup ---------------------------------------------
+
+# the crawl-ingest split: docs with doc_id % 10 >= 8 are "today's batch",
+# the rest are the already-indexed corpus
+_INC_PRED = "doc_id % 10 >= 8"
+
+
+def _incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    corpus = docs.where(f"NOT ({_INC_PRED})")
+    incoming = docs.where(_INC_PRED)
+    return D.incremental_dedup(
+        corpus,
+        incoming,
+        k=_K,
+        rows_per_band=_ROWS_PER_BAND,
+        threshold_permille=_JACCARD_PERMILLE,
+    ).orderBy("doc_id")
+
+
+df_query(
+    "dedup_incremental",
+    _incremental,
+    oracle=(
+        # bands over the full corpus, split by the ingest predicate — the
+        # per-doc pipelines are identical, so filtering after banding
+        # equals banding each side separately
+        f"WITH {_DUCK_SIG}, "
+        f"bands AS (SELECT doc_id, perm // {_ROWS_PER_BAND} AS band, "
+        f"          SUM((perm % {_ROWS_PER_BAND} + 1) * minhash) % {HASH_PRIME} AS bh "
+        f"          FROM sig GROUP BY doc_id, perm // {_ROWS_PER_BAND}), "
+        f"cand AS (SELECT DISTINCT i.doc_id AS doc_new, c.doc_id AS doc_old "
+        f"         FROM bands i JOIN bands c ON i.band = c.band AND i.bh = c.bh "
+        f"         WHERE i.{_INC_PRED} AND NOT (c.{_INC_PRED})), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id), "
+        "inter AS (SELECT cd.doc_new, cd.doc_old, COUNT(*) AS inter "
+        "          FROM cand cd "
+        "          JOIN ids a ON a.doc_id = cd.doc_new "
+        "          JOIN ids b ON b.doc_id = cd.doc_old AND b.tid = a.tid "
+        "          GROUP BY 1, 2), "
+        "matched AS (SELECT i.doc_new, i.doc_old, "
+        "            CAST(i.inter * 1000 // (sn.sz + so.sz - i.inter) AS BIGINT) AS jp "
+        "            FROM inter i "
+        "            JOIN sizes sn ON i.doc_new = sn.doc_id "
+        "            JOIN sizes so ON i.doc_old = so.doc_id "
+        f"           WHERE i.inter * 1000 // (sn.sz + so.sz - i.inter) "
+        f"                 >= {_JACCARD_PERMILLE}), "
+        "best AS (SELECT doc_new AS doc_id, doc_old AS match_id, jp AS match_permille "
+        "         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_new "
+        "               ORDER BY jp DESC, doc_old) AS rn FROM matched) t "
+        "         WHERE rn = 1) "
+        f"SELECT d.doc_id, "
+        "CAST(CASE WHEN b.match_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup, "
+        "b.match_id, b.match_permille "
+        f"FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id "
+        f"WHERE d.{_INC_PRED} ORDER BY d.doc_id"
+    ),
+    tables=DOCS,
+    tags=("dedup", "minhash", "lsh", "incremental"),
+    doc="incremental ingest dedup: today's batch probes the corpus's "
+    "persistable MinHash band index (equi-join on (band, bh)), exact-"
+    "Jaccard verify on collisions only — the corpus is never rescanned; "
+    "per batch doc: is_dup flag + best corpus match",
+)
