@@ -440,3 +440,90 @@ df_query(
     doc="quality-weighted sampling: keep probability = per-doc distinct-"
     "token permille (capped 900) — soft curation via stable hash bucket",
 )
+
+
+# ---- bigram-LM fluency score ----------------------------------------------
+
+
+def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language-model quality proxy, integer-exact.
+
+    The KenLM-shaped fluency gate of a curation pipeline, restated so the
+    oracle can hash it: corpus-wide MLE bigram probability
+    P(w2|w1) = C(w1 w2) / C(w1), floored to permille per bigram
+    occurrence, then floor-averaged per document. Low scores flag
+    unnatural token streams (boilerplate, shredded markup, gibberish)
+    exactly like a real LM perplexity filter — with counts instead of
+    backoff weights.
+
+    Scale shape: two corpus-wide hash aggregations (bigram counts,
+    unigram counts) + two equi-joins keyed on 60-bit hashes — fixed-width
+    BIGINT shuffles, no strings on the wire after the hash projection;
+    AQE broadcasts the count tables iff they measure small (vocab-bound,
+    not corpus-bound). No UDFs, whole-stage codegen throughout.
+    """
+    from ..functions.hashing import token_id
+    from ..functions.text import shingles, tokens
+
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    tk = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    # per-OCCURRENCE bigrams (no distinct: frequency is the signal here)
+    bgo = tk.select(
+        "doc_id",
+        F.explode(shingles(F.col("toks"), 2)).alias("s"),
+    ).select(
+        "doc_id",
+        token_id(F.col("s")).alias("bid"),
+        token_id(F.split(F.col("s"), " ")[0]).alias("wid"),
+    )
+    uni = (
+        tk.select(F.explode("toks").alias("w"))
+        .select(token_id(F.col("w")).alias("wid"))
+        .groupBy("wid")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = bgo.groupBy("bid").agg(F.count("*").alias("c2"))
+    return (
+        bgo.join(big, "bid")
+        .join(uni, "wid")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("SUM(c2 * 1000 DIV c1) DIV COUNT(*)").alias("lm_permille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+from ..functions.hashing import token_id_sql_duck as _tid  # noqa: E402
+
+_WID_EXPR = _tid("string_split(s, ' ')[1]")
+
+df_query(
+    "text_bigram_lm",
+    _bigram_lm,
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "              FROM documents WHERE len(string_split(text, ' ')) >= 2), "
+        "bg AS (SELECT doc_id, unnest(list_transform("
+        "       generate_series(1, len(l)-1), "
+        "       i -> array_to_string(l[i:i+1], ' '))) AS s FROM toks), "
+        f"bgo AS (SELECT doc_id, {_tid('s')} AS bid, "
+        f"        {_WID_EXPR} AS wid FROM bg), "
+        "uni AS (SELECT wid, COUNT(*) AS c1 FROM "
+        f"        (SELECT {_tid('w')} AS wid FROM "
+        "          (SELECT unnest(l) AS w FROM toks)) GROUP BY wid), "
+        "bc AS (SELECT bid, COUNT(*) AS c2 FROM bgo GROUP BY bid) "
+        "SELECT doc_id, COUNT(*) AS n_bigrams, "
+        "CAST(SUM(c2 * 1000 // c1) // COUNT(*) AS BIGINT) AS lm_permille "
+        "FROM bgo JOIN bc USING (bid) JOIN uni USING (wid) "
+        "GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("text", "quality", "lm"),
+    doc="bigram-LM fluency score: corpus MLE P(w2|w1) floored to permille "
+    "per occurrence, floor-averaged per doc — the count-based analogue of "
+    "a perplexity quality filter, hash-exact on both engines",
+)
