@@ -54,6 +54,9 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "pipeline_end_to_end",
     "dedup_bloom_prefilter",
+    "dedup_semantic",
+    "dedup_incremental",
+    "text_bigram_lm",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 

@@ -557,9 +557,27 @@ def incremental_dedup(
         .select("doc_new", "doc_old")
         .distinct()
     )
-    # candidate-driven exact-Jaccard verify (same kernel as
-    # ngram_jaccard_pairs: fan incoming shingles over candidates, equi-join
-    # the corpus side on (doc_old, tid) — no co-shingle pair explosion)
+    return flag_incoming_candidates(
+        cand, ids_c, ids_i, incoming, threshold_permille
+    )
+
+
+def flag_incoming_candidates(
+    cand: DataFrame,
+    ids_c: DataFrame,
+    ids_i: DataFrame,
+    incoming: DataFrame,
+    threshold_permille: int = 350,
+) -> DataFrame:
+    """Exact-Jaccard verify + per-doc flag roll-up over a candidate set.
+
+    The shared back half of the ingest-dedup path (in-memory and
+    persisted-index variants): candidate-driven verify (same kernel as
+    ngram_jaccard_pairs — fan incoming shingles over candidates, equi-join
+    the corpus side on (doc_old, tid), no co-shingle pair explosion), then
+    best-match selection and the (doc_id, is_dup, match_id,
+    match_permille) roll-up over the full incoming batch.
+    """
     fan = cand.join(ids_i.select(F.col("doc_id").alias("doc_new"), "tid"), "doc_new")
     inter = (
         fan.join(ids_c.select(F.col("doc_id").alias("doc_old"), "tid"),
