@@ -29,4 +29,6 @@ from . import generator_plans  # noqa: F401
 from . import analytics  # noqa: F401
 from . import relational  # noqa: F401
 from . import layout  # noqa: F401  # round-5 additions stay after the 50-entry window
+from . import versioning  # noqa: F401
+from . import vocab  # noqa: F401
 from .registry import QuerySpec, all_queries, get_query  # noqa: F401

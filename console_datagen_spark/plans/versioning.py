@@ -1,0 +1,76 @@
+"""Corpus snapshot versioning queries — the data-lake diff/audit shapes.
+
+A 100 TB training corpus is rebuilt in snapshots; the operational questions
+are "what changed since the last snapshot" (diff) and "which docs does each
+snapshot share" (overlap audit). Both are restated so content comparison
+happens on 128-bit hashes, never text: the full-outer join shuffles
+(doc_id, md5) pairs — fixed-width rows — and Catalyst prunes the text
+column out of the scan entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register_views
+from .registry import df_query
+
+DOCS = ("documents",)
+
+# deterministic snapshot simulation over the fixture corpus:
+# - the OLD snapshot is missing every 11th doc (they are "added" later)
+#   and carries a reversed text for every 17th doc (those are "changed")
+# - the NEW snapshot is missing every 13th doc ("removed" since old)
+_OLD_PRED = "doc_id % 11 != 0"
+_NEW_PRED = "doc_id % 13 != 0"
+_CHG_PRED = "doc_id % 17 = 0"
+
+
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    old = docs.where(_OLD_PRED).select(
+        "doc_id",
+        F.md5(
+            F.when(F.expr(_CHG_PRED), F.reverse(F.col("text"))).otherwise(
+                F.col("text")
+            )
+        ).alias("h_old"),
+    )
+    new = docs.where(_NEW_PRED).select("doc_id", F.md5("text").alias("h_new"))
+    joined = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("status")
+    )
+
+
+df_query(
+    "corpus_snapshot_diff",
+    _snapshot_diff,
+    oracle=(
+        "WITH old AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0 "
+        "             THEN reverse(text) ELSE text END) AS h_old "
+        f"            FROM documents WHERE {_OLD_PRED}), "
+        "new AS (SELECT doc_id, md5(text) AS h_new "
+        f"       FROM documents WHERE {_NEW_PRED}), "
+        "j AS (SELECT CASE WHEN o.h_old IS NULL THEN 'added' "
+        "             WHEN n.h_new IS NULL THEN 'removed' "
+        "             WHEN o.h_old <> n.h_new THEN 'changed' "
+        "             ELSE 'unchanged' END AS status "
+        "      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id) "
+        "SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status"
+    ),
+    tables=DOCS,
+    tags=("versioning", "cdc", "pipeline"),
+    doc="snapshot diff: added/removed/changed/unchanged counts between two "
+    "corpus snapshots — full-outer join on doc_id comparing md5 content "
+    "hashes only (text never crosses the shuffle; column pruned at scan)",
+)
