@@ -57,6 +57,8 @@ HEADLINE = [
     "dedup_semantic",
     "dedup_incremental",
     "text_bigram_lm",
+    "corpus_snapshot_diff",
+    "vocab_bpe_merges",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 

@@ -139,18 +139,11 @@ _FOLD_MERGE = (
 )
 
 
-def bpe_merges_plan(documents: DataFrame, rounds: int = 3) -> DataFrame:
-    """(round, left, right, pair_count) — the merge table as ONE plan.
-
-    Declarative variant of ``bpe_train``: each round's argmax pair is a
-    1-row sorted-limit frame that is broadcast back into the next round's
-    fold expression as columns, so NO driver action happens at all — the
-    whole ``rounds``-deep recurrence is a single Catalyst plan the oracle
-    replays CTE-for-CTE. Each round re-derives the previous state (the
-    plan is a tree, not a DAG), so cost grows 2^rounds — right for the
-    small fixed merge counts the registered query certifies; production
-    vocab induction uses ``bpe_train`` (checkpointed loop, linear cost).
-    """
+def _bpe_rounds(
+    documents: DataFrame, rounds: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """(per-round 1-row merge frames, final symbol state) — shared by the
+    merge-table and tokenize/compression plans."""
     state = _init_symbols(word_freqs(documents))
     outs = []
     for rnd in range(1, rounds + 1):
@@ -171,7 +164,53 @@ def bpe_merges_plan(documents: DataFrame, rounds: int = 3) -> DataFrame:
             state.crossJoin(F.broadcast(best))
             .select("word", "freq", F.expr(_FOLD_MERGE).alias("syms"))
         )
+    return outs, state
+
+
+def bpe_merges_plan(documents: DataFrame, rounds: int = 3) -> DataFrame:
+    """(round, left, right, pair_count) — the merge table as ONE plan.
+
+    Declarative variant of ``bpe_train``: each round's argmax pair is a
+    1-row sorted-limit frame that is broadcast back into the next round's
+    fold expression as columns, so NO driver action happens at all — the
+    whole ``rounds``-deep recurrence is a single Catalyst plan the oracle
+    replays CTE-for-CTE. Each round re-derives the previous state (the
+    plan is a tree, not a DAG), so cost grows 2^rounds — right for the
+    small fixed merge counts the registered query certifies; production
+    vocab induction uses ``bpe_train`` (checkpointed loop, linear cost).
+    """
+    outs, _ = _bpe_rounds(documents, rounds)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def bpe_compression_by_lang(documents: DataFrame, rounds: int = 3) -> DataFrame:
+    """(lang, total_chars, total_syms, compression_permille) — the trained
+    merges APPLIED: every doc's tokens re-counted under the final symbol
+    state. The gauge a tokenizer team actually watches: how much of the
+    corpus the first ``rounds`` merges compress, per language (merges
+    trained on one dominant language compress others less).
+
+    Plan shape: corpus tokens equi-join the (vocab-bound) final state on
+    word — the per-doc explode is map-side, the join key is the word
+    string, and AQE broadcasts the vocab side when it measures small.
+    """
+    _, state = _bpe_rounds(documents, rounds)
+    vocab = state.select("word", F.size("syms").alias("n_syms"))
+    occ = documents.select(
+        "lang", F.explode(tokens("text")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        occ.join(vocab, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.length("word")).alias("total_chars"),
+            F.sum("n_syms").alias("total_syms"),
+            F.expr(
+                "CAST(SUM(n_syms) * 1000 DIV SUM(length(word)) AS BIGINT)"
+            ).alias("compression_permille"),
+        )
+        .orderBy("lang")
+    )

@@ -76,3 +76,40 @@ sql_query(
     "envelope in BOTH dimensions — the engine-checkable core of "
     "OPTIMIZE ZORDER-style multi-dimensional data skipping",
 )
+
+
+# ---- key-skew telemetry ----------------------------------------------------
+
+# the at-scale shuffle-health gauge behind operators/skew.py: before
+# keying a 100 TB aggregation on a column, measure how hot its hottest
+# key is. skew_permille = 1000 * max_key_count * n_keys / total — 1000
+# means perfectly uniform, 10x that means the hottest key holds ~10
+# uniform key-shares and the groupBy wants salting (salted_agg) or AQE
+# skew handling. Two hash aggregations, both map-side combining.
+
+
+def _skew_sql(idiv: str) -> str:
+    return (
+        "WITH pk AS (SELECT event_type, user_id, COUNT(*) AS cnt "
+        "            FROM events GROUP BY event_type, user_id) "
+        "SELECT event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "CAST(SUM(cnt) AS BIGINT) AS total, "
+        "CAST(MAX(cnt) AS BIGINT) AS max_key, "
+        f"CAST(MAX(cnt) * 1000 * COUNT(*) {idiv} SUM(cnt) AS BIGINT) "
+        "  AS skew_permille "
+        "FROM pk GROUP BY event_type ORDER BY event_type"
+    )
+
+
+sql_query(
+    "agg_key_skew",
+    _skew_sql("DIV"),
+    oracle=_skew_sql("//"),
+    tables=("events",),
+    tags=("telemetry", "skew", "agg"),
+    doc="per-event-type key-skew gauge over user_id: n_keys / total / "
+    "hottest-key count / skew permille (1000 = uniform) — the measurement "
+    "that decides between a plain groupBy and operators/skew.salted_agg "
+    "at 100 TB",
+)

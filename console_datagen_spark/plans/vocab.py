@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import register_views
-from ..operators.bpe import bpe_merges_plan
+from ..operators.bpe import bpe_compression_by_lang, bpe_merges_plan
 from .registry import df_query
 
 _ROUNDS = 3
@@ -69,4 +69,40 @@ df_query(
     "freq-weighted distinct-word table — adjacent-pair count, argmax, "
     "leftmost-nonoverlapping merge fold; fully declarative single plan, "
     "round-exact vs the DuckDB CTE replay",
+)
+
+
+def _bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    return bpe_compression_by_lang(docs, rounds=_ROUNDS)
+
+
+def _duck_bpe_compression_sql(rounds: int = _ROUNDS) -> str:
+    # reuse the training CTE chain, then join the corpus occurrences to
+    # the final state's per-word symbol counts
+    base = _duck_bpe_sql(rounds)
+    ctes = base[len("WITH ") : base.index(" SELECT CAST(round")]
+    return (
+        "WITH " + ctes + ", "
+        "occ AS (SELECT lang, unnest(string_split(text, ' ')) AS word "
+        "        FROM documents), "
+        f"vocab AS (SELECT word, len(syms) AS n_syms FROM s{rounds}) "
+        "SELECT lang, CAST(SUM(length(o.word)) AS BIGINT) AS total_chars, "
+        "CAST(SUM(n_syms) AS BIGINT) AS total_syms, "
+        "CAST(SUM(n_syms) * 1000 // SUM(length(o.word)) AS BIGINT) "
+        "  AS compression_permille "
+        "FROM occ o JOIN vocab v ON o.word = v.word WHERE o.word <> '' "
+        "GROUP BY lang ORDER BY lang"
+    )
+
+
+df_query(
+    "vocab_bpe_compression",
+    _bpe_compression,
+    oracle=_duck_bpe_compression_sql(),
+    tables=DOCS,
+    tags=("text", "vocab", "bpe", "telemetry"),
+    doc="trained BPE merges applied: per-lang corpus compression gauge "
+    "(chars vs post-merge symbols, permille) — corpus tokens equi-join "
+    "the vocab-bound final state; detects merges overfit to one language",
 )
