@@ -40,3 +40,80 @@ def fingerprint_dedup_stream(
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
+
+
+def index_probe_dedup_stream(
+    stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint_path: str,
+    threshold_permille: int = 350,
+    n_buckets: int = 64,
+):
+    """Streaming near-dup ingest against a SELF-MAINTAINING persisted index.
+
+    The full crawl-ingest loop as one streaming query: each micro-batch is
+    (1) exact-deduped within itself (md5, min doc_id wins), (2) probed
+    against the persisted MinHash band index (partition-pruned — see
+    operators/dedup_index.probe_minhash_index), (3) survivors are appended
+    to the corpus store AND their band signatures appended to the index,
+    so a doc in batch N+1 duplicating a batch-N doc is caught. State
+    lives entirely in the two parquet stores — the streaming query itself
+    is stateless, so recovery is the checkpoint's source offsets plus the
+    already-appended stores (idempotent per batch up to re-appended
+    survivors of an uncommitted batch — the standard at-least-once
+    foreachBatch contract).
+
+    Returns the StreamingQuery. ``stream`` must carry (doc_id, text, ts).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import doc_shingle_ids, minhash_bands
+    from ..operators.dedup_index import probe_minhash_index
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # (1) within-batch exact dedup — keep the lowest doc_id per text
+        w_first = (
+            batch.groupBy(F.md5("text").alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .drop("_h")
+        )
+        batch = batch.join(w_first, "doc_id", "left_semi")
+        # (2) cross-batch probe of the persisted index
+        if os.path.exists(index_path):
+            corpus = spark.read.parquet(corpus_path)
+            flags = probe_minhash_index(
+                spark,
+                index_path,
+                corpus,
+                batch,
+                threshold_permille=threshold_permille,
+                n_buckets=n_buckets,
+            )
+            keep_ids = flags.where(F.col("is_dup") == 0).select("doc_id")
+            kept = batch.join(keep_ids, "doc_id", "left_semi")
+        else:
+            kept = batch
+        # (3) append survivors to the corpus store and the band index
+        kept.persist()
+        try:
+            kept.write.mode("append").parquet(corpus_path)
+            bands = minhash_bands(kept, ids_df=doc_shingle_ids(kept))
+            (
+                bands.withColumn("bucket", F.pmod(F.col("bh"), F.lit(n_buckets)))
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(index_path)
+            )
+        finally:
+            kept.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -59,3 +59,56 @@ def test_probe_prunes_bucket_partitions(spark, split_docs, index_path):
         for i in range(len(plan))
         if plan.startswith("PartitionFilters", i)
     ), plan[:2000]
+
+
+def test_streaming_index_probe_dedup(spark, tmp_path):
+    """Two micro-batch runs: batch 2's near-copy of a batch-1 doc is
+    dropped by the index the first run built; genuinely new docs pass."""
+    from console_datagen_spark.streaming.dedup_stream import (
+        index_probe_dedup_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "index")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = index_probe_dedup_stream(stream, idx, corpus, ckpt, n_buckets=8)
+        q.awaitTermination()  # availableNow terminates; failures propagate
+
+    import datetime
+    import shutil
+
+    def drop_file(rows, name):
+        # the file source lists FILES in src, not nested directories —
+        # write the batch elsewhere and move the part file in flat
+        stage = src.parent / f"_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage), mode="overwrite"
+        )
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"{name}.parquet"))
+
+    t0 = datetime.datetime(2024, 1, 1)
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog today", t0),
+        (2, "pack my box with five dozen liquor jugs right now", t0),
+        (3, "pack my box with five dozen liquor jugs right now", t0),  # exact dup of 2
+    ]
+    drop_file(b1, "b1")
+    run_once()
+    kept1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert kept1 == {1, 2}  # within-batch exact dup dropped
+
+    b2 = [
+        (11, "the quick brown fox jumps over the lazy dog tonight", t0),  # near-dup of 1
+        (12, "completely different words about distributed query engines", t0),
+    ]
+    drop_file(b2, "b2")
+    run_once()
+    kept2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert kept2 == {1, 2, 12}  # 11 caught by the index built in run 1
