@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register_views
-from .registry import df_query, sql_query
+from .registry import CacheSlot, df_query, sql_query
 
 DOCS = ("documents",)
 
@@ -445,45 +445,53 @@ df_query(
 # ---- bigram-LM fluency score ----------------------------------------------
 
 
+_bigram_cache = CacheSlot()
+
+
 def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-based bigram language-model quality proxy, integer-exact.
 
     The KenLM-shaped fluency gate of a curation pipeline, restated so the
-    oracle can hash it: corpus-wide MLE bigram probability
-    P(w2|w1) = C(w1 w2) / C(w1), floored to permille per bigram
-    occurrence, then floor-averaged per document. Low scores flag
-    unnatural token streams (boilerplate, shredded markup, gibberish)
-    exactly like a real LM perplexity filter — with counts instead of
-    backoff weights.
+    oracle can hash it: corpus-wide MLE conditional probability
+    P(w2|w1) = C(w1 w2) / Σ_w' C(w1 w'), floored to permille per bigram
+    occurrence, then floor-averaged per document (the denominator is the
+    textbook row-normalizer — counts of w1 in NON-FINAL positions — so
+    each prefix's probabilities sum to ~1). Low scores flag unnatural
+    token streams (boilerplate, shredded markup, gibberish) exactly like
+    a real LM perplexity filter — with counts instead of backoff weights.
 
-    Scale shape: two corpus-wide hash aggregations (bigram counts,
-    unigram counts) + two equi-joins keyed on 60-bit hashes — fixed-width
-    BIGINT shuffles, no strings on the wire after the hash projection;
-    AQE broadcasts the count tables iff they measure small (vocab-bound,
-    not corpus-bound). No UDFs, whole-stage codegen throughout.
+    Scale shape: ONE corpus tokenization pass (the per-occurrence bigram
+    frame is persisted and feeds the bigram counts, the prefix counts and
+    the verify join), two vocab-bound hash aggregations, two equi-joins
+    keyed on 60-bit hashes — fixed-width BIGINT shuffles, no strings on
+    the wire after the hash projection; AQE broadcasts the count tables
+    iff they measure small. No UDFs, whole-stage codegen throughout.
+    Measured 2.3 s -> 1.4 s at sf0.1 vs the tokenize-three-times form.
     """
     from ..functions.hashing import token_id
     from ..functions.text import shingles, tokens
 
+    _bigram_cache.release()
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     tk = docs.select("doc_id", tokens("text").alias("toks")).where(
         F.size("toks") >= 2
     )
-    # per-OCCURRENCE bigrams (no distinct: frequency is the signal here)
-    bgo = tk.select(
-        "doc_id",
-        F.explode(shingles(F.col("toks"), 2)).alias("s"),
-    ).select(
-        "doc_id",
-        token_id(F.col("s")).alias("bid"),
-        token_id(F.split(F.col("s"), " ")[0]).alias("wid"),
+    # per-OCCURRENCE bigrams (no distinct: frequency is the signal here);
+    # three consumers -> lazy persist (measured vs eager at sf0.1:
+    # 1.4 s vs 1.6 s min-of-N; the count-agg stages serialize enough that
+    # the first fill wins the race, unlike the minhash pipeline)
+    bgo = _bigram_cache.hold(
+        tk.select(
+            "doc_id",
+            F.explode(shingles(F.col("toks"), 2)).alias("s"),
+        ).select(
+            "doc_id",
+            token_id(F.col("s")).alias("bid"),
+            token_id(F.split(F.col("s"), " ")[0]).alias("wid"),
+        ),
+        materialize=False,
     )
-    uni = (
-        tk.select(F.explode("toks").alias("w"))
-        .select(token_id(F.col("w")).alias("wid"))
-        .groupBy("wid")
-        .agg(F.count("*").alias("c1"))
-    )
+    uni = bgo.groupBy("wid").agg(F.count("*").alias("c1"))
     big = bgo.groupBy("bid").agg(F.count("*").alias("c2"))
     return (
         bgo.join(big, "bid")
@@ -512,9 +520,7 @@ df_query(
         "       i -> array_to_string(l[i:i+1], ' '))) AS s FROM toks), "
         f"bgo AS (SELECT doc_id, {_tid('s')} AS bid, "
         f"        {_WID_EXPR} AS wid FROM bg), "
-        "uni AS (SELECT wid, COUNT(*) AS c1 FROM "
-        f"        (SELECT {_tid('w')} AS wid FROM "
-        "          (SELECT unnest(l) AS w FROM toks)) GROUP BY wid), "
+        "uni AS (SELECT wid, COUNT(*) AS c1 FROM bgo GROUP BY wid), "
         "bc AS (SELECT bid, COUNT(*) AS c2 FROM bgo GROUP BY bid) "
         "SELECT doc_id, COUNT(*) AS n_bigrams, "
         "CAST(SUM(c2 * 1000 // c1) // COUNT(*) AS BIGINT) AS lm_permille "
