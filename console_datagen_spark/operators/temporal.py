@@ -32,12 +32,21 @@ def as_of_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left rows + the latest right row at-or-before each left timestamp.
 
     ``tiebreak``: right-side column ordering ties on equal timestamps
     (highest wins, matching "latest record" semantics).
+
+    ``direction``: ``"backward"`` (default — latest right at-or-before,
+    ties to the HIGHEST tiebreak) or ``"forward"`` (earliest right
+    at-or-after, ties to the LOWEST tiebreak — the "next event" join).
+    Forward is the same union-sort carry, scanned in reverse timestamp
+    order; still one shuffle on the key.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
@@ -69,10 +78,15 @@ def as_of_join(
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
     )
     # right rows sort before left rows at the same _ts (side 0 < 1), so a
-    # left row sees same-timestamp right rows as already arrived ("<= ts")
+    # left row sees same-timestamp right rows as already arrived ("<= ts");
+    # forward scans in reverse so the carry holds the EARLIEST at-or-after
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc()]
+    else:
+        order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_tb").desc()]
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side", "_tb")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = l_tag.unionByName(r_tag)

@@ -90,3 +90,47 @@ df_query(
     tags=("join", "range"),
     doc="range join via bin equi-join + residual filter (no nested loop)",
 )
+
+
+def _asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, EV)["events"]
+    left = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = as_of_join(
+        left,
+        right,
+        key="user_id",
+        value_cols=["event_id"],
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("asof_event_id").alias("next_purchase_id"),
+    ).orderBy("user_id", "event_id")
+
+
+df_query(
+    "join_asof_next_purchase",
+    _asof_fwd,
+    oracle=(
+        # per click: the user's earliest purchase at-or-after the click ts
+        # (ties on ts broken toward the lowest purchase event_id)
+        "SELECT c.user_id, c.event_id, "
+        "( SELECT p.event_id FROM events p "
+        "  WHERE p.user_id = c.user_id AND p.event_type = 'purchase' "
+        "  AND p.ts >= c.ts "
+        "  ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_id "
+        "FROM events c WHERE c.event_type = 'click' "
+        "ORDER BY c.user_id, c.event_id"
+    ),
+    tables=EV,
+    tags=("join", "asof"),
+    doc="forward as-of join (next event at-or-after): reverse-scan union-"
+    "sort carry — the conversion-attribution shape, one shuffle, no theta",
+)
