@@ -32,4 +32,5 @@ from . import layout  # noqa: F401  # round-5 additions stay after the 50-entry 
 from . import versioning  # noqa: F401
 from . import vocab  # noqa: F401
 from . import curriculum  # noqa: F401
+from . import rag  # noqa: F401
 from .registry import QuerySpec, all_queries, get_query  # noqa: F401

@@ -28,7 +28,10 @@ here is the engine-verifiable core of that layout.
 
 from __future__ import annotations
 
-from .registry import sql_query
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from .registry import df_query, sql_query
 
 _MASKS = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
 
@@ -112,4 +115,40 @@ sql_query(
     "hottest-key count / skew permille (1000 = uniform) — the measurement "
     "that decides between a plain groupBy and operators/skew.salted_agg "
     "at 100 TB",
+)
+
+
+def _heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavy_hitters import heavy_hitters_check
+
+    ev = register_views(spark, sf_dir, ("events",))["events"]
+    # k=4 < 5 distinct event types forces real MG decrements: the sketch
+    # cannot just hold exact counts, so the guarantee booleans certify
+    # genuine bounded-memory behavior, not a degenerate exact path
+    return heavy_hitters_check(ev, "event_type", k=4)
+
+
+df_query(
+    "agg_heavy_hitters",
+    _heavy,
+    oracle=(
+        # the guarantees hold for ANY partitioning, so the oracle states
+        # them as literals and only the exact heavy count is computed —
+        # the same certified-within-tolerance contract as agg_sketch_check
+        "WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events "
+        "           GROUP BY event_type), "
+        "t AS (SELECT (SELECT COUNT(*) FROM events) AS n) "
+        "SELECT CAST(4 AS INT) AS k, "
+        "CAST((SELECT n FROM t) AS BIGINT) AS n_rows, "
+        "CAST((SELECT COUNT(*) FROM c WHERE cnt > (SELECT n FROM t) // 5) "
+        "     AS BIGINT) AS n_true_heavy, "
+        "TRUE AS all_heavy_found, TRUE AS no_overestimate, "
+        "TRUE AS underestimate_within_bound"
+    ),
+    tables=("events",),
+    tags=("telemetry", "sketch", "heavy-hitters"),
+    doc="Misra-Gries heavy hitters (k=4 over event_type): per-partition "
+    "Arrow-batched MG summaries, mergeable-summaries trim, guarantees "
+    "(all heavy found / no overestimate / error <= N/(k+1)) certified "
+    "against exact counts — partitioning-independent contract",
 )

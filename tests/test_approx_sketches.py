@@ -38,3 +38,41 @@ def test_hll_sketch_agg_merge(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     ).first()["est"]
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_misra_gries_guarantees_hold_under_repartitioning(spark, sf_dir):
+    """MG guarantee booleans must hold for ANY partitioning; the summary
+    CONTENTS may differ, the certified contract may not."""
+    from console_datagen_spark.catalog import register_views
+    from console_datagen_spark.operators.heavy_hitters import (
+        heavy_hitters_check,
+        mg_merge,
+        mg_partition_summaries,
+    )
+
+    ev = register_views(spark, sf_dir, ("events",))["events"]
+    for parts in (1, 7):
+        row = heavy_hitters_check(ev.repartition(parts), "event_type", k=4).head()
+        assert row.all_heavy_found and row.no_overestimate
+        assert row.underestimate_within_bound
+        assert row.n_true_heavy >= 1  # the fixture has hot event types
+    # summary stays within k counters
+    s = mg_merge(mg_partition_summaries(ev.repartition(7), "event_type", 4), 4)
+    assert s.count() <= 4
+
+
+def test_misra_gries_known_stream(spark):
+    from console_datagen_spark.operators.heavy_hitters import (
+        mg_merge,
+        mg_partition_summaries,
+    )
+
+    # 6 a's, 3 b's, 1 c in one partition with k=2: c must be squeezed out
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "key string").coalesce(1)
+    got = {
+        r.key: r.est
+        for r in mg_merge(mg_partition_summaries(df, "key", 2), 2).collect()
+    }
+    assert set(got) <= {"a", "b"}
+    assert got["a"] >= 6 - 10 // 3  # est >= true - N/(k+1)
