@@ -59,6 +59,8 @@ HEADLINE = [
     "text_bigram_lm",
     "corpus_snapshot_diff",
     "vocab_bpe_merges",
+    "rag_chunk_topk",
+    "agg_heavy_hitters",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 

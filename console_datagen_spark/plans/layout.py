@@ -152,3 +152,38 @@ df_query(
     "(all heavy found / no overestimate / error <= N/(k+1)) certified "
     "against exact counts — partitioning-independent contract",
 )
+
+
+def _outlier_sql(idiv: str) -> str:
+    # all arithmetic on integer cents (floor(value*100) is IEEE-identical
+    # in both engines), MAD-style robust spread: mean absolute deviation
+    # in cents; an event is an outlier when its deviation > 3x the MAD.
+    return (
+        "WITH iv AS (SELECT event_type, event_id, "
+        "            CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events), "
+        f"st AS (SELECT event_type, COUNT(*) AS n, SUM(v) {idiv} COUNT(*) AS mean_c "
+        "       FROM iv GROUP BY event_type), "
+        "dv AS (SELECT i.event_type, ABS(i.v - s.mean_c) AS dev, s.n, s.mean_c "
+        "       FROM iv i JOIN st s ON i.event_type = s.event_type), "
+        f"md AS (SELECT event_type, CAST(SUM(dev) {idiv} MAX(n) AS BIGINT) AS mad_c "
+        "       FROM dv GROUP BY event_type) "
+        "SELECT d.event_type, CAST(MAX(d.n) AS BIGINT) AS n, "
+        "CAST(MAX(d.mean_c) AS BIGINT) AS mean_c, "
+        "CAST(MAX(m.mad_c) AS BIGINT) AS mad_c, "
+        "CAST(SUM(CASE WHEN d.dev > 3 * m.mad_c THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_outliers "
+        "FROM dv d JOIN md m ON d.event_type = m.event_type "
+        "GROUP BY d.event_type ORDER BY d.event_type"
+    )
+
+
+sql_query(
+    "agg_outlier_events",
+    _outlier_sql("DIV"),
+    oracle=_outlier_sql("//"),
+    tables=("events",),
+    tags=("telemetry", "quality", "agg"),
+    doc="robust outlier gauge per event type: integer-cent values, mean "
+    "absolute deviation spread, count of >3xMAD deviants — the DQ tripwire "
+    "for a value column before it feeds training features",
+)
