@@ -31,6 +31,11 @@ _NQ = 5  # docs whose chunks act as queries
 def _rag_sql(dialect: str) -> str:
     if dialect == "spark":
         tid = token_id_sql_spark("t")
+        # the fixture corpus is one parquet file -> one input partition;
+        # without the hint the whole md5-featurization chain runs on a
+        # single core (measured 7 s -> 1.2 s at sf0.1 on local[32]). At
+        # real scale the scan has many splits and the hint is harmless.
+        hint = "/*+ REPARTITION(32) */ "
         split_ = "split(text, ' ')"
         nchunks = f"CAST(ceil(size(toks) / CAST({_W} AS DOUBLE)) AS INT)"
         chunk = f"slice(toks, (i - 1) * {_W} + 1, {_W})"
@@ -58,9 +63,10 @@ def _rag_sql(dialect: str) -> str:
         tids = f"list_transform(ctoks, t -> {tid})"
         dot = "CAST(list_inner_product(qv::DOUBLE[], cv::DOUBLE[]) AS BIGINT)"
         argmax = "list_position(vec, list_aggregate(vec, 'max')) - 1"
+        hint = ""
     # the chunk slice: Spark's slice(arr, start, len) vs DuckDB arr[a:b]
     common = (
-        f"WITH d AS (SELECT doc_id, {split_} AS toks FROM documents), "
+        f"WITH d AS (SELECT {hint}doc_id, {split_} AS toks FROM documents), "
         f"dn AS (SELECT doc_id, toks, {nchunks} AS nc FROM d), "
         f"c0 AS (SELECT doc_id, i, {chunk} AS ctoks FROM "
         f"       (SELECT doc_id, toks, nc, {seq} FROM dn) e), "
