@@ -519,3 +519,79 @@ df_query(
     "Jaccard verify on collisions only — the corpus is never rescanned; "
     "per batch doc: is_dup flag + best corpus match",
 )
+
+
+# ---- leakage-guarded train/test split -------------------------------------
+
+_BUCKET_DUCK_SPLIT = (
+    "(('0x' || substr(md5(concat('v1:', CAST({c} AS VARCHAR))),1,15))::BIGINT "
+    "% 1000)"
+)
+
+
+def _split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split leakage audit: near-dup pairs that cross split lines.
+
+    A train/test split is only sound if no near-duplicate of a test doc
+    sits in train (otherwise eval is contaminated). Composition: the
+    hash-bucket split (operators/sampling.deterministic_split) x the
+    LSH-verified near-dup pairs — one row summarizing split sizes and
+    the count of cross-split dup pairs. At 100 TB both inputs already
+    exist (split labels are an expression; pairs come from the dedup
+    pass), so the audit is two tiny joins over the pair list.
+    """
+    from ..operators.sampling import deterministic_split
+
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    labeled = deterministic_split(
+        docs.select("doc_id"), "doc_id",
+        {"train": 800, "val": 100, "test": 100},
+    )
+    pairs = _minhash_pairs(spark, sf_dir)
+    sa = labeled.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = labeled.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    crossed = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    return labeled.groupBy().agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long").alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long").alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long").alias("n_test"),
+    ).crossJoin(
+        crossed.groupBy().agg(
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+            .cast("long").alias("n_leaky_pairs")
+        )
+    )
+
+
+_b = _BUCKET_DUCK_SPLIT.format(c="doc_id")
+_ba = _BUCKET_DUCK_SPLIT.format(c="doc_a")
+_bb = _BUCKET_DUCK_SPLIT.format(c="doc_b")
+
+df_query(
+    "sample_split_leakage",
+    _split_leakage,
+    oracle=(
+        f"WITH {_DUCK_PAIRS}, "
+        "sizes2 AS (SELECT "
+        f"  CAST(SUM(CASE WHEN {_b} < 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_train, "
+        f"  CAST(SUM(CASE WHEN {_b} >= 800 AND {_b} < 900 THEN 1 ELSE 0 END) "
+        "       AS BIGINT) AS n_val, "
+        f"  CAST(SUM(CASE WHEN {_b} >= 900 THEN 1 ELSE 0 END) AS BIGINT) AS n_test "
+        "  FROM documents), "
+        "leaks AS (SELECT CAST(SUM(CASE WHEN "
+        f"  (CASE WHEN {_ba} < 800 THEN 'train' WHEN {_ba} < 900 THEN 'val' "
+        "        ELSE 'test' END) <> "
+        f"  (CASE WHEN {_bb} < 800 THEN 'train' WHEN {_bb} < 900 THEN 'val' "
+        "        ELSE 'test' END) THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_pairs "
+        "  FROM pairs) "
+        "SELECT n_train, n_val, n_test, n_leaky_pairs FROM sizes2, leaks"
+    ),
+    tables=DOCS,
+    tags=("sampling", "split", "dedup", "pipeline"),
+    doc="eval-split leakage audit: hash-bucket train/val/test sizes + the "
+    "count of LSH-verified near-dup pairs crossing split lines — the "
+    "decontamination guarantee a benchmark split needs",
+)

@@ -28,7 +28,7 @@ here is the engine-verifiable core of that layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register_views
 from .registry import df_query, sql_query
@@ -186,4 +186,50 @@ sql_query(
     doc="robust outlier gauge per event type: integer-cent values, mean "
     "absolute deviation spread, count of >3xMAD deviants — the DQ tripwire "
     "for a value column before it feeds training features",
+)
+
+
+def _salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-dim join certified against the plain-join oracle.
+
+    The salted two-sided pattern (operators/skew.salted_join): fact keys
+    get a deterministic salt, the dim side replicates salt_buckets times,
+    and the join key becomes (key, salt) — a hot supplier's rows spread
+    over salt_buckets reducers instead of one. Salting must not change
+    the answer; the DuckDB plain join IS the semantics contract.
+    """
+    from ..operators.skew import salted_join
+
+    t = register_views(spark, sf_dir, ("lineitem", "supplier"))
+    fact = t["lineitem"].select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    dim = t["supplier"].select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(fact, dim, on=["suppkey"], salt_buckets=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").cast("double").alias("total_qty"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+df_query(
+    "join_salted_volume",
+    _salted_join,
+    oracle=(
+        "SELECT s_nationkey, COUNT(*) AS n_items, "
+        "CAST(SUM(l_quantity) AS DOUBLE) AS total_qty "
+        "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "GROUP BY s_nationkey ORDER BY s_nationkey"
+    ),
+    tables=("lineitem", "supplier"),
+    tags=("join", "skew", "telemetry"),
+    doc="salted skew-safe join (fact salted, dim replicated x8) rolled up "
+    "per nation — hash-identical to the plain join, certifying salting "
+    "changes the shuffle, never the answer",
 )
