@@ -20,10 +20,17 @@ from .similarity import assign_clusters, with_norm
 
 
 def build_ivf_index(
-    embeddings: DataFrame, path: str, centroid_mod: int = 25
+    embeddings: DataFrame,
+    path: str,
+    centroid_mod: int = 25,
+    centroid_source: DataFrame | None = None,
 ) -> None:
-    """Assign clusters and persist partitioned-by-cluster parquet."""
-    assigned = assign_clusters(embeddings, centroid_mod)
+    """Assign clusters and persist partitioned-by-cluster parquet.
+
+    ``centroid_source``: see ``assign_clusters`` — pass the full corpus
+    frame when building from a subset that will later be appended to.
+    """
+    assigned = assign_clusters(embeddings, centroid_mod, centroid_source)
     (
         assigned.select("vec_id", "v", "nrm", "cluster")
         .write.mode("overwrite")
@@ -151,3 +158,25 @@ def probe_ivfpq_index(
         .agg(F.sum("qd").alias("adist"))
     )
     return _adc_topk(scored, k)
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame, path: str, centroid_source: DataFrame, centroid_mod: int = 25
+) -> None:
+    """Incremental index maintenance: assign ONLY the new batch against the
+    EXISTING centroid set and append its partitions — the corpus already
+    in the index is never re-read or re-written (at 100 TB a rebuild per
+    ingest batch is the difference between minutes and days).
+
+    ``centroid_source`` supplies the centroid vectors (the original
+    corpus frame, or any frame containing the centroid rows): centroids
+    must stay FIXED across appends or cluster assignments drift between
+    index generations and probes would miss old rows.
+    """
+    assigned = assign_clusters(new_vectors, centroid_mod, centroid_source)
+    (
+        assigned.select("vec_id", "v", "nrm", "cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(path)
+    )

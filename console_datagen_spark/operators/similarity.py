@@ -70,14 +70,26 @@ def brute_force_topk(
     return _ranked_topk(scored, k)
 
 
-def assign_clusters(embeddings: DataFrame, centroid_mod: int = 25) -> DataFrame:
+def assign_clusters(
+    embeddings: DataFrame,
+    centroid_mod: int = 25,
+    centroid_source: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, v, nrm, cluster) — nearest-centroid assignment.
 
     Centroids are the vectors with vec_id % centroid_mod == 0 (deterministic
     stand-in for k-means). Ties break toward the lower centroid id.
+
+    ``centroid_source``: frame the centroid rows are drawn from (defaults
+    to ``embeddings``). Pass the FULL corpus when assigning a subset —
+    e.g. incremental index appends — so assignments stay stable across
+    index generations.
     """
     n = with_norm(embeddings)
-    cent = n.where(F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0).select(
+    cent_base = (
+        with_norm(centroid_source) if centroid_source is not None else n
+    )
+    cent = cent_base.where(F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),

@@ -220,3 +220,30 @@ def test_opq_permute_hash_exact_vs_oracle(spark, sf_dir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_incremental_append_matches_full_rebuild(spark, embeddings, tmp_path):
+    """Index built as base+append must answer probes identically to an
+    index built in one shot — fixed centroids make assignment stable."""
+    base = embeddings.where("vec_id % 3 != 0")
+    extra = embeddings.where("vec_id % 3 = 0")
+    from console_datagen_spark.operators.ivf_index import append_to_ivf_index
+
+    p_inc = str(tmp_path / "inc")
+    build_ivf_index(base, p_inc, centroid_source=embeddings)
+    # centroids come from the FULL corpus frame in both paths (vec_id%25
+    # rows), so assignments agree between the two index generations
+    append_to_ivf_index(extra, p_inc, centroid_source=embeddings)
+    p_full = str(tmp_path / "full")
+    build_ivf_index(embeddings, p_full)
+
+    q = query_vectors(embeddings, max_query_id=20)
+    got = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in probe_ivf_index(spark, p_inc, q, k=3).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in probe_ivf_index(spark, p_full, q, k=3).collect()
+    }
+    assert got == want
