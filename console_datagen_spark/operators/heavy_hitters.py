@@ -119,3 +119,48 @@ def heavy_hitters_check(df: DataFrame, key_col: str, k: int = 16) -> DataFrame:
             "underestimate_within_bound"
         ),
     )
+
+
+# ---- streaming variant -----------------------------------------------------
+
+MG_STATE_SCHEMA = "keys ARRAY<STRING>, ests ARRAY<LONG>"
+MG_OUTPUT_SCHEMA = "key STRING, est LONG"
+
+
+def mg_stream(stream: DataFrame, key_col: str, k: int = 16) -> DataFrame:
+    """Streaming Misra–Gries: one bounded k-counter summary maintained
+    across micro-batches via applyInPandasWithState; each batch emits the
+    updated summary (update mode).
+
+    State is a single group (the sketch is global), so the stateful task
+    is one slot — but its work per batch is O(batch distinct keys) after
+    pandas value_counts, and state is O(k). For corpus-scale streams,
+    pre-aggregate per micro-batch upstream (foreachBatch + the batch
+    operators) or shard by key-hash into S independent sketches and
+    mg_merge them on read — the summaries are mergeable by construction.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, batches: Iterator[pd.DataFrame], state: "GroupState"):
+        counters: dict = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        for pdf in batches:
+            for kk, cnt in pdf["key"].value_counts().items():
+                _mg_update(counters, kk, int(cnt), k)
+        state.update((list(counters.keys()), [int(v) for v in counters.values()]))
+        yield pd.DataFrame(
+            {"key": list(counters.keys()), "est": list(counters.values())}
+        )
+
+    return (
+        stream.select(F.lit(0).alias("g"), F.col(key_col).cast("string").alias("key"))
+        .groupBy("g")
+        .applyInPandasWithState(
+            update,
+            outputStructType=MG_OUTPUT_SCHEMA,
+            stateStructType=MG_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

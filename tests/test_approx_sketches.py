@@ -76,3 +76,47 @@ def test_misra_gries_known_stream(spark):
     }
     assert set(got) <= {"a", "b"}
     assert got["a"] >= 6 - 10 // 3  # est >= true - N/(k+1)
+
+
+def test_misra_gries_streaming_across_batches(spark, tmp_path):
+    """The streaming sketch accumulates across micro-batches and keeps the
+    MG guarantee over the TOTAL stream seen so far."""
+    import shutil
+
+    from console_datagen_spark.operators.heavy_hitters import mg_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def drop_file(rows, name):
+        stage = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(rows, "key string").coalesce(1).write.parquet(
+            str(stage), mode="overwrite"
+        )
+        shutil.move(
+            str(next(stage.glob("part-*.parquet"))), str(src / f"{name}.parquet")
+        )
+
+    emitted = []
+
+    def run_once():
+        stream = spark.readStream.schema("key string").parquet(str(src))
+        q = (
+            mg_stream(stream, "key", k=2)
+            .writeStream.foreachBatch(lambda b, _: emitted.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drop_file([("a",)] * 4 + [("b",)] * 2, "b1")
+    run_once()
+    drop_file([("a",)] * 3 + [("c",)] * 2, "b2")
+    emitted.clear()
+    run_once()
+    got = {r.key: r.est for r in emitted}
+    # totals: a=7, b=2, c=2 over N=11, k=2 -> bound N/(k+1)=3
+    assert "a" in got  # 7 > 3: guaranteed present
+    assert got["a"] >= 7 - 11 // 3 and got["a"] <= 7
