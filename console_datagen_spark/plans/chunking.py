@@ -373,3 +373,42 @@ sql_query(
     f"-> {_W}-token chunking -> {_BUDGET}-token hierarchical bin packing "
     "per source; bins hash-certified against the plain-window oracle",
 )
+
+
+# ---- packing efficiency report --------------------------------------------
+
+
+def _fill_sql(size_expr: str, idiv: str) -> str:
+    # fill permille per bin vs the token budget; the report an infra team
+    # watches: underfilled bins waste accelerator steps. Telemetry over
+    # the SAME bin assignment pipeline_pack_sequences certifies (plain
+    # window form here on both sides — the hierarchical equivalence is
+    # already hash-proven by that query).
+    return (
+        f"WITH tk AS (SELECT source, doc_id, {size_expr} AS n_tokens "
+        "            FROM documents), "
+        "w AS (SELECT source, doc_id, n_tokens, "
+        "      COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix "
+        "      FROM tk), "
+        f"b AS (SELECT source, CAST(FLOOR(prefix / {_BUDGET}.0) AS BIGINT) AS bin, "
+        "       CAST(SUM(n_tokens) AS BIGINT) AS total FROM w GROUP BY 1, 2) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bins, "
+        f"CAST(MIN(total * 1000 {idiv} {_BUDGET}) AS BIGINT) AS min_fill_permille, "
+        f"CAST(MAX(total * 1000 {idiv} {_BUDGET}) AS BIGINT) AS max_fill_permille, "
+        f"CAST(SUM(total) * 1000 {idiv} (COUNT(*) * {_BUDGET}) AS BIGINT) "
+        "  AS avg_fill_permille "
+        "FROM b GROUP BY source ORDER BY source"
+    )
+
+
+sql_query(
+    "pipeline_pack_efficiency",
+    _fill_sql("size(split(text, ' '))", "DIV"),
+    oracle=_fill_sql("len(string_split(text, ' '))", "//"),
+    tables=DOCS,
+    tags=("pipeline", "packing", "telemetry"),
+    doc="bin-fill efficiency report over the deterministic packing: per "
+    "source, bin count + min/max/avg fill permille vs the token budget — "
+    "underfill here is wasted accelerator time at training",
+)

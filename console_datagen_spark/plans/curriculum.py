@@ -42,3 +42,48 @@ sql_query(
     "quality permille (desc, doc_id tiebreak) — phase 1 = cleanest docs "
     "first; per-phase count + quality envelope",
 )
+
+
+# ---- mixture-weights solver ------------------------------------------------
+
+# target language shares (permille of the training token budget) and the
+# budget itself (half the corpus tokens) — the solver turns a recipe into
+# per-source sampling rates and upsampling factors, all integer-exact
+_SHARES = {"de": 200, "en": 400, "es": 200, "fr": 100, "zh": 100}
+
+
+def _mix_solver_sql(size_expr: str, idiv: str) -> str:
+    shares = " UNION ALL ".join(
+        f"SELECT '{lang}' AS lang, {s} AS share_permille"
+        for lang, s in sorted(_SHARES.items())
+    )
+    return (
+        f"WITH tok AS (SELECT lang, CAST(SUM({size_expr}) AS BIGINT) AS tokens "
+        "             FROM documents GROUP BY lang), "
+        f"tot AS (SELECT CAST(SUM(tokens) {idiv} 2 AS BIGINT) AS budget FROM tok), "
+        f"sh AS ({shares}) "
+        "SELECT t.lang, t.tokens, "
+        f"CAST(tot.budget * s.share_permille {idiv} 1000 AS BIGINT) AS want_tokens, "
+        # sampling rate capped at a full pass; beyond that you upsample
+        f"CAST(LEAST(CAST(1000 AS BIGINT), "
+        f"  (tot.budget * s.share_permille {idiv} 1000) * 1000 {idiv} t.tokens) "
+        "  AS BIGINT) AS rate_permille, "
+        # passes over the source x100 (>100 means repeat the source)
+        f"CAST((tot.budget * s.share_permille {idiv} 1000) * 100 {idiv} t.tokens "
+        "  AS BIGINT) AS epochs_x100 "
+        "FROM tok t JOIN sh s ON t.lang = s.lang CROSS JOIN tot "
+        "ORDER BY t.lang"
+    )
+
+
+sql_query(
+    "pipeline_mix_solver",
+    _mix_solver_sql("size(split(text, ' '))", "DIV"),
+    oracle=_mix_solver_sql("len(string_split(text, ' '))", "//"),
+    tables=("documents",),
+    tags=("pipeline", "mix", "training"),
+    doc="mixture-weights solver: target per-lang token shares + budget -> "
+    "per-lang sampling rate (permille, capped at full pass) and "
+    "upsampling factor (epochs x100) — the recipe arithmetic a training "
+    "mix needs, integer-exact",
+)
