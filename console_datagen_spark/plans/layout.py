@@ -233,3 +233,38 @@ df_query(
     "per nation — hash-identical to the plain join, certifying salting "
     "changes the shuffle, never the answer",
 )
+
+
+def _pct_sql(idiv: str) -> str:
+    # exact order-statistic percentiles on integer cents, computed over
+    # the CDF of DISTINCT values: counts per (type, value) hash-aggregate
+    # map-side, the running sum then windows over the value DOMAIN
+    # (bounded, ~1e5 cents) instead of the row count — so at 100 TB no
+    # reducer ever sorts a type's full event stream. pXX = smallest value
+    # whose cumulative count covers XX% of n (percentile_disc semantics).
+    return (
+        "WITH iv AS (SELECT event_type, "
+        "            CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events), "
+        "cd AS (SELECT event_type, v, COUNT(*) AS c FROM iv "
+        "       GROUP BY event_type, v), "
+        "r AS (SELECT event_type, v, "
+        "      SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum, "
+        "      SUM(c) OVER (PARTITION BY event_type) AS n FROM cd) "
+        "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, "
+        "CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN v END) AS BIGINT) AS p50_c, "
+        "CAST(MIN(CASE WHEN cum * 100 >= 95 * n THEN v END) AS BIGINT) AS p95_c, "
+        "CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN v END) AS BIGINT) AS p99_c "
+        "FROM r GROUP BY event_type ORDER BY event_type"
+    )
+
+
+sql_query(
+    "agg_percentiles_exact",
+    _pct_sql("DIV"),
+    oracle=_pct_sql("//"),
+    tables=("events",),
+    tags=("telemetry", "agg", "percentile"),
+    doc="exact p50/p95/p99 (percentile_disc semantics) per event type on "
+    "integer cents — the deterministic twin of the approx-sketch gauge "
+    "(agg_sketch_check certifies the approximate path)",
+)

@@ -533,3 +533,59 @@ df_query(
     "per occurrence, floor-averaged per doc — the count-based analogue of "
     "a perplexity quality filter, hash-exact on both engines",
 )
+
+
+# ---- char-trigram language-ID (self-trained profiles) ----------------------
+
+
+def _langid_ngram_sql(dialect: str) -> str:
+    """Real n-gram language-ID shape: per-language char-trigram profiles
+    TRAINED FROM THE CORPUS (top-20 trigrams by frequency, deterministic
+    tie-break), docs scored by profile-hit occurrences, argmax with
+    stable tie-break, rolled up into the confusion matrix.
+
+    Scale: trigram explode is map-side; profiles are a vocab-bound agg +
+    top-20 window over (lang, trigram) counts; doc scoring is one
+    equi-join on the trigram string. No per-row Python anywhere.
+    """
+    if dialect == "spark":
+        tri = (
+            "SELECT doc_id, lang, explode(transform("
+            "sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS t "
+            "FROM documents WHERE length(text) >= 3"
+        )
+    else:
+        tri = (
+            "SELECT doc_id, lang, unnest(list_transform("
+            "generate_series(1, length(text) - 2), i -> text[i:i+2])) AS t "
+            "FROM documents WHERE length(text) >= 3"
+        )
+    return (
+        f"WITH tri AS ({tri}), "
+        "prof AS (SELECT plang, t FROM ("
+        "  SELECT lang AS plang, t, ROW_NUMBER() OVER (PARTITION BY lang "
+        "    ORDER BY COUNT(*) DESC, t) AS rn "
+        "  FROM tri GROUP BY lang, t) p WHERE rn <= 20), "
+        "sc AS (SELECT d.doc_id, p.plang, COUNT(*) AS s "
+        "       FROM tri d JOIN prof p ON d.t = p.t GROUP BY 1, 2), "
+        "best AS (SELECT doc_id, plang, ROW_NUMBER() OVER ("
+        "  PARTITION BY doc_id ORDER BY s DESC, plang) AS rn FROM sc), "
+        "pred AS (SELECT doc_id, plang AS pred_lang FROM best WHERE rn = 1) "
+        "SELECT l.lang, COALESCE(p.pred_lang, 'none') AS pred_lang, "
+        "COUNT(*) AS n "
+        "FROM documents l LEFT JOIN pred p ON l.doc_id = p.doc_id "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+sql_query(
+    "text_langid_ngram",
+    _langid_ngram_sql("spark"),
+    oracle=_langid_ngram_sql("duck"),
+    tables=DOCS,
+    tags=("text", "langid", "ngram"),
+    doc="char-trigram language-ID: per-lang top-20 trigram profiles "
+    "trained from the corpus, occurrence-count scoring, stable argmax -> "
+    "confusion matrix vs the declared lang — the faithful n-gram LID "
+    "shape (upgrades the marker-token stand-in of text_langid)",
+)
