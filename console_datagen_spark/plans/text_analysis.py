@@ -589,3 +589,50 @@ sql_query(
     "confusion matrix vs the declared lang — the faithful n-gram LID "
     "shape (upgrades the marker-token stand-in of text_langid)",
 )
+
+
+# ---- URL extraction / domain mix -------------------------------------------
+
+
+def _urls_sql(dialect: str) -> str:
+    """Domain-mix analysis — the per-domain quota input every crawl
+    pipeline needs. The fixture corpus carries no URLs, so deterministic
+    URLs are synthesized per doc (same certification pattern as
+    text_scrub_pii): doc_id picks one of 7 hosts, some with www/mixed
+    case to exercise normalization. Extract host via ERE, normalize
+    (lowercase, strip leading www.), count docs per domain.
+    """
+    hosts = (
+        "CASE CAST(doc_id % 7 AS INT) "
+        "WHEN 0 THEN 'docs.example.org' WHEN 1 THEN 'WWW.News.Example.com' "
+        "WHEN 2 THEN 'blog.example.net' WHEN 3 THEN 'www.wiki.example.org' "
+        "WHEN 4 THEN 'Forum.Example.com' WHEN 5 THEN 'docs.example.org' "
+        "ELSE 'archive.example.net' END"
+    )
+    if dialect == "spark":
+        extract = "regexp_extract(raw, 'https?://([^/ ]+)/', 1)"
+        strip_www = "regexp_replace(lower(h), '^www\\\\.', '')"
+    else:
+        extract = "regexp_extract(raw, 'https?://([^/ ]+)/', 1)"
+        strip_www = "regexp_replace(lower(h), '^www\\.', '')"
+    return (
+        f"WITH r AS (SELECT doc_id, CONCAT('see https://', {hosts}, "
+        "           '/p/', CAST(doc_id AS STRING), ' ', text) AS raw "
+        "           FROM documents), "
+        f"h AS (SELECT doc_id, {extract} AS h FROM r), "
+        f"d AS (SELECT doc_id, {strip_www} AS domain FROM h) "
+        "SELECT domain, COUNT(*) AS n_docs FROM d "
+        "GROUP BY domain ORDER BY domain"
+    ).replace("CAST(doc_id AS STRING)", "CAST(doc_id AS VARCHAR)" if dialect != "spark" else "CAST(doc_id AS STRING)")
+
+
+sql_query(
+    "text_domain_mix",
+    _urls_sql("spark"),
+    oracle=_urls_sql("duck"),
+    tables=DOCS,
+    tags=("text", "url", "domains"),
+    doc="URL extraction + domain normalization + per-domain doc counts "
+    "(synthesized deterministic URLs, same certification pattern as "
+    "text_scrub_pii) — the domain-quota input of a crawl pipeline",
+)

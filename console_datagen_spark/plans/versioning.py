@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register_views
-from .registry import df_query
+from .registry import df_query, sql_query
 
 DOCS = ("documents",)
 
@@ -73,4 +73,53 @@ df_query(
     doc="snapshot diff: added/removed/changed/unchanged counts between two "
     "corpus snapshots — full-outer join on doc_id comparing md5 content "
     "hashes only (text never crosses the shuffle; column pruned at scan)",
+)
+
+
+# ---- deletion-impact audit (right-to-erasure) ------------------------------
+
+
+def _delete_impact_sql(size_expr: str, idiv: str) -> str:
+    """Right-to-erasure impact: given a deletion list, how much of each
+    derived artifact must be rewritten — docs, context chunks (the
+    text_chunking law), packed trainer bins (the pipeline_pack_sequences
+    assignment). The bins number is the actionable one: every affected
+    bin's parquet partition gets rewritten, the rest of the corpus is
+    untouched (the point of deterministic, doc-addressable packing).
+    """
+    return (
+        f"WITH tk AS (SELECT source, doc_id, {size_expr} AS n FROM documents), "
+        "del AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0), "
+        "ch AS (SELECT doc_id, CASE WHEN n <= 64 THEN 1 "
+        "       ELSE CAST(CEIL((n - 64) / 48.0) AS INT) + 1 END AS n_chunks "
+        "       FROM tk), "
+        "w AS (SELECT source, doc_id, "
+        "      COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id "
+        "        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix "
+        "      FROM tk), "
+        f"bins AS (SELECT source, doc_id, "
+        f"         CAST(FLOOR(prefix / 2048.0) AS BIGINT) AS bin FROM w) "
+        "SELECT "
+        "CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_docs_deleted, "
+        "CAST((SELECT COALESCE(SUM(n_chunks), 0) FROM ch "
+        "      WHERE doc_id IN (SELECT doc_id FROM del)) AS BIGINT) "
+        "  AS n_chunks_deleted, "
+        "CAST((SELECT COUNT(*) FROM (SELECT DISTINCT source, bin FROM bins "
+        "      WHERE doc_id IN (SELECT doc_id FROM del)) a) AS BIGINT) "
+        "  AS n_bins_affected, "
+        "CAST((SELECT COUNT(*) FROM (SELECT DISTINCT source, bin FROM bins) a) "
+        "  AS BIGINT) AS n_bins_total"
+    )
+
+
+sql_query(
+    "compliance_delete_impact",
+    _delete_impact_sql("size(split(text, ' '))", "DIV"),
+    oracle=_delete_impact_sql("len(string_split(text, ' '))", "//"),
+    tables=DOCS,
+    tags=("versioning", "compliance", "pipeline"),
+    doc="right-to-erasure impact audit: a deletion list mapped through "
+    "the derived artifacts — docs, chunks (text_chunking law), packed "
+    "trainer bins (pack assignment) — counting exactly what must be "
+    "rewritten; deterministic packing makes deletes bin-local",
 )
