@@ -768,3 +768,67 @@ df_query(
     "drop list (greedy min-id keeper per within-cluster dup chain), rolled "
     "up per label — the dedup tier's output shape over embeddings",
 )
+
+
+# ---- per-dim feature normalization ----------------------------------------
+
+
+def _minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max normalization — the feature-scaling pass a
+    training pipeline runs before quantization or mixing embedding
+    sources. Stats are a per-dim aggregate (map-side partials over the
+    posexplode, tiny 64-row result broadcast back); the scaled values
+    floor to permille, so the whole thing is hash-exact (the double
+    arithmetic (x - min) / (max - min) is IEEE-identical in both
+    engines).
+    """
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+    stats = comp.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    return (
+        comp.where(F.col("vec_id") < 20)
+        .join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.when(
+                F.col("hi") == F.col("lo"), F.lit(0).cast("long")
+            ).otherwise(
+                F.floor(
+                    (F.col("x") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 1000
+                ).cast("long")
+            ).alias("scaled_permille"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+df_query(
+    "feat_minmax_normalize",
+    _minmax,
+    oracle=(
+        "WITH comp AS (SELECT vec_id, i - 1 AS dim, "
+        "              CAST(embedding[i] AS DOUBLE) AS x "
+        "              FROM embeddings, "
+        "              unnest(generate_series(1, len(embedding))) AS t(i)), "
+        "stats AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM comp "
+        "          GROUP BY dim) "
+        "SELECT c.vec_id, c.dim, "
+        "CASE WHEN s.hi = s.lo THEN 0 "
+        "ELSE CAST(FLOOR((c.x - s.lo) / (s.hi - s.lo) * 1000) AS BIGINT) END "
+        "  AS scaled_permille "
+        "FROM comp c JOIN stats s ON c.dim = s.dim WHERE c.vec_id < 20 "
+        "ORDER BY c.vec_id, c.dim"
+    ),
+    tables=EMB,
+    tags=("similarity", "features", "normalize"),
+    doc="per-dim min-max feature normalization to floor-permille: corpus "
+    "dim stats (tiny agg, broadcast back) applied to a query sample — "
+    "IEEE-identical double arithmetic, hash-exact",
+)
