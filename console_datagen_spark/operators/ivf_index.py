@@ -87,21 +87,21 @@ def query_vectors(embeddings: DataFrame, max_query_id: int, centroid_mod: int = 
     )
 
 
-def build_ivfpq_index(
-    embeddings: DataFrame, path: str, centroid_mod: int = 25
-) -> None:
-    """Persist the FULL at-scale ANN index: cluster-partitioned parquet of
-    PQ codes — 8 small ints per vector instead of 64 floats, so the index
-    is ~21x smaller than the raw corpus and a probe reads only the probed
-    clusters' partitions of a tiny file. Layout:
-    (vec_id, codes array<int>) partitioned by ``cluster``."""
-    from .similarity import pq_encode
+def _pack_codes(
+    vectors: DataFrame,
+    centroid_mod: int,
+    centroid_source: DataFrame | None,
+) -> DataFrame:
+    from .similarity import pq_codebook, pq_encode
 
-    assigned = assign_clusters(embeddings, centroid_mod).select(
+    assigned = assign_clusters(vectors, centroid_mod, centroid_source).select(
         "vec_id", "cluster"
     )
+    cb = (
+        pq_codebook(centroid_source) if centroid_source is not None else None
+    )
     packed = (
-        pq_encode(embeddings)
+        pq_encode(vectors, codebook=cb)
         .groupBy("vec_id")
         .agg(
             F.transform(
@@ -110,9 +110,47 @@ def build_ivfpq_index(
             ).alias("codes")
         )
     )
+    return packed.join(assigned, "vec_id")
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    centroid_mod: int = 25,
+    centroid_source: DataFrame | None = None,
+) -> None:
+    """Persist the FULL at-scale ANN index: cluster-partitioned parquet of
+    PQ codes — 8 small ints per vector instead of 64 floats, so the index
+    is ~21x smaller than the raw corpus and a probe reads only the probed
+    clusters' partitions of a tiny file. Layout:
+    (vec_id, codes array<int>) partitioned by ``cluster``.
+
+    ``centroid_source``: pins BOTH the coarse centroids and the PQ
+    codebook to a fixed frame — pass the full corpus when building from a
+    subset that ``append_to_ivfpq_index`` will later extend."""
     (
-        packed.join(assigned, "vec_id")
+        _pack_codes(embeddings, centroid_mod, centroid_source)
         .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroid_source: DataFrame,
+    centroid_mod: int = 25,
+) -> None:
+    """Incremental PQ-index maintenance: encode ONLY the new batch with
+    the PINNED coarse centroids AND PQ codebook from ``centroid_source``,
+    append its partitions. Both quantizers must stay fixed across appends
+    — drifting codebooks would make old codes and new distance tables
+    disagree. Same ingest economics as ``append_to_ivf_index``: the
+    existing index is never re-read or re-written."""
+    (
+        _pack_codes(new_vectors, centroid_mod, centroid_source)
+        .write.mode("append")
         .partitionBy("cluster")
         .parquet(path)
     )

@@ -247,3 +247,29 @@ def test_incremental_append_matches_full_rebuild(spark, embeddings, tmp_path):
         for r in probe_ivf_index(spark, p_full, q, k=3).collect()
     }
     assert got == want
+
+
+def test_ivfpq_incremental_append_matches_full_rebuild(spark, embeddings, tmp_path):
+    from console_datagen_spark.operators.ivf_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    base = embeddings.where("vec_id % 3 != 0")
+    extra = embeddings.where("vec_id % 3 = 0")
+    p_inc = str(tmp_path / "pq_inc")
+    build_ivfpq_index(base, p_inc, centroid_source=embeddings)
+    append_to_ivfpq_index(extra, p_inc, centroid_source=embeddings)
+    p_full = str(tmp_path / "pq_full")
+    build_ivfpq_index(embeddings, p_full)
+
+    got = {
+        tuple(r)
+        for r in probe_ivfpq_index(spark, p_inc, embeddings, max_query_id=10).collect()
+    }
+    want = {
+        tuple(r)
+        for r in probe_ivfpq_index(spark, p_full, embeddings, max_query_id=10).collect()
+    }
+    assert got == want
