@@ -268,3 +268,33 @@ sql_query(
     "integer cents — the deterministic twin of the approx-sketch gauge "
     "(agg_sketch_check certifies the approximate path)",
 )
+
+
+def _hist_sql(idiv: str) -> str:
+    # equi-width histogram on integer cents: bin = v DIV width; emitting
+    # (bin lo/hi, count, permille share). Two hash aggs, map-side
+    # combining; the bin count is domain-bound, not row-bound.
+    return (
+        "WITH iv AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v "
+        "            FROM events), "
+        f"b AS (SELECT v {idiv} 2500 AS bin, COUNT(*) AS c FROM iv GROUP BY 1), "
+        "t AS (SELECT SUM(c) AS n FROM b) "
+        "SELECT CAST(bin AS BIGINT) AS bin, "
+        "CAST(bin * 2500 AS BIGINT) AS lo_c, "
+        "CAST((bin + 1) * 2500 - 1 AS BIGINT) AS hi_c, "
+        "CAST(c AS BIGINT) AS n_events, "
+        f"CAST(c * 1000 {idiv} (SELECT n FROM t) AS BIGINT) AS share_permille "
+        "FROM b ORDER BY bin"
+    )
+
+
+sql_query(
+    "agg_value_histogram",
+    _hist_sql("DIV"),
+    oracle=_hist_sql("//"),
+    tables=("events",),
+    tags=("telemetry", "agg", "histogram"),
+    doc="equi-width value histogram (25.00-unit bins on integer cents) "
+    "with permille shares — the distribution snapshot behind the "
+    "outlier/percentile gauges",
+)
