@@ -123,3 +123,40 @@ sql_query(
     "trainer bins (pack assignment) — counting exactly what must be "
     "rewritten; deterministic packing makes deletes bin-local",
 )
+
+
+# ---- corpus datasheet ------------------------------------------------------
+
+
+def _datasheet_sql(size_fn: str, distinct_fn: str, split_fn: str, idiv: str) -> str:
+    ntok = f"{size_fn}({split_fn}(text, ' '))"
+    ndis = f"{size_fn}({distinct_fn}({split_fn}(text, ' ')))"
+    return (
+        f"WITH base AS (SELECT doc_id, lang, source, md5(text) AS h, "
+        f"              {ntok} AS n_tokens, "
+        f"              CASE WHEN {ntok} BETWEEN 10 AND 1000 "
+        f"                   AND {ndis} * 1000 >= 200 * {ntok} "
+        "               THEN 1 ELSE 0 END AS q_ok "
+        "              FROM documents) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, "
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+        f"CAST(SUM(n_tokens) {idiv} COUNT(*) AS BIGINT) AS avg_tokens, "
+        "CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dup_docs, "
+        "CAST(SUM(q_ok) AS BIGINT) AS n_quality_ok, "
+        f"CAST(SUM(q_ok) * 1000 {idiv} COUNT(*) AS BIGINT) AS quality_permille "
+        "FROM base"
+    )
+
+
+sql_query(
+    "corpus_datasheet",
+    _datasheet_sql("size", "array_distinct", "split", "DIV"),
+    oracle=_datasheet_sql("len", "list_distinct", "string_split", "//"),
+    tables=DOCS,
+    tags=("versioning", "telemetry", "datasheet"),
+    doc="corpus datasheet: the one-row data card (docs/langs/sources/"
+    "tokens, exact-dup docs, quality-pass permille) a dataset release "
+    "ships with — single pass, map-side combining aggregates",
+)
