@@ -595,3 +595,73 @@ df_query(
     "count of LSH-verified near-dup pairs crossing split lines — the "
     "decontamination guarantee a benchmark split needs",
 )
+
+
+# ---- integer PageRank over the near-dup graph ------------------------------
+
+_PR_ROUNDS = 3
+
+
+def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-permille PageRank on the near-dup pair graph.
+
+    Centrality over the duplication graph ranks the docs that anchor the
+    most duplication mass — dedup triage at corpus scale. Damping 0.85
+    restated in integers (pr' = 150 + 850·Σ(pr_u DIV deg_u) DIV 1000,
+    floor division everywhere) so three fixed rounds are hash-exact on
+    both engines. Each round is one equi-join on the edge list + one hash
+    agg — the standard distributed PR kernel; rounds here are fixed and
+    few, so no checkpointing is needed (cf. dup_components for the
+    fixpoint-loop shape with checkpoints).
+    """
+    pairs = _minhash_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    pr = deg.select(F.col("src").alias("id"), F.lit(1000).cast("long").alias("pr"))
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["id"])
+            .join(deg, "src")
+            .select("dst", F.expr("pr DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = contrib.select(
+            F.col("dst").alias("id"),
+            (F.lit(150) + F.expr("850 * s DIV 1000")).cast("long").alias("pr"),
+        )
+    return pr.select(F.col("id").alias("doc_id"), "pr").orderBy("doc_id")
+
+
+def _duck_pagerank(rounds: int = _PR_ROUNDS) -> str:
+    ctes = [
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT src AS id, CAST(1000 AS BIGINT) AS pr FROM deg)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"pr{k} AS (SELECT e.dst AS id, "
+            f"CAST(150 + 850 * SUM(p.pr // d.deg) // 1000 AS BIGINT) AS pr "
+            f"FROM edges e JOIN pr{k - 1} p ON e.src = p.id "
+            "JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+    return (
+        f"WITH {_DUCK_PAIRS}, " + ", ".join(ctes)
+        + f" SELECT id AS doc_id, pr FROM pr{rounds} ORDER BY doc_id"
+    )
+
+
+df_query(
+    "graph_pagerank_dups",
+    _pagerank,
+    oracle=_duck_pagerank(),
+    tables=DOCS,
+    tags=("dedup", "graph", "iterative"),
+    doc="integer-permille PageRank (3 damped rounds, floor arithmetic) "
+    "over the near-dup pair graph — duplication-mass centrality for "
+    "dedup triage; per round one edge-list equi-join + one hash agg",
+)
