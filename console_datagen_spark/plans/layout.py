@@ -298,3 +298,43 @@ sql_query(
     "with permille shares — the distribution snapshot behind the "
     "outlier/percentile gauges",
 )
+
+
+def _profile_sql(dialect: str) -> str:
+    # per-column profile via stacked aggregates: one scan, five profiles.
+    # Values are summarized as strings per column (min/max castable), so
+    # one narrow schema serves heterogeneous columns — the standard
+    # profiler output shape.
+    # `value` is profiled on integer cents: raw double stringification
+    # is not portable across engines (scientific-notation thresholds
+    # differ), floor-cents are
+    cols = {
+        "event_id": "event_id",
+        "user_id": "user_id",
+        "event_type": "event_type",
+        "value_cents": "CAST(FLOOR(value * 100) AS BIGINT)",
+        "props": "props",
+    }
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    branches = " UNION ALL ".join(
+        f"SELECT '{name}' AS col, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COUNT({expr}) AS BIGINT) AS n_nonnull, "
+        f"CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct, "
+        f"CAST(MIN(CAST({expr} AS {cast})) AS {cast}) AS min_str, "
+        f"CAST(MAX(CAST({expr} AS {cast})) AS {cast}) AS max_str "
+        "FROM events"
+        for name, expr in cols.items()
+    )
+    return f"SELECT * FROM ({branches}) ORDER BY col"
+
+
+sql_query(
+    "profile_events_columns",
+    _profile_sql("spark"),
+    oracle=_profile_sql("duck"),
+    tables=("events",),
+    tags=("telemetry", "profile", "dq"),
+    doc="column profiler over events: per column n / non-null / distinct "
+    "+ stringified min/max — the schema-drift tripwire run before any "
+    "ingest lands in the lake",
+)
