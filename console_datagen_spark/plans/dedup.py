@@ -587,7 +587,8 @@ df_query(
         f"  (CASE WHEN {_bb} < 800 THEN 'train' WHEN {_bb} < 900 THEN 'val' "
         "        ELSE 'test' END) THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_pairs "
         "  FROM pairs) "
-        "SELECT n_train, n_val, n_test, n_leaky_pairs FROM sizes2, leaks"
+        "SELECT n_train, n_val, n_test, n_leaky_pairs FROM sizes2, leaks "
+        "ORDER BY n_train"
     ),
     tables=DOCS,
     tags=("sampling", "split", "dedup", "pipeline"),
