@@ -143,7 +143,7 @@ df_query(
         "CAST((SELECT COUNT(*) FROM c WHERE cnt > (SELECT n FROM t) // 5) "
         "     AS BIGINT) AS n_true_heavy, "
         "TRUE AS all_heavy_found, TRUE AS no_overestimate, "
-        "TRUE AS underestimate_within_bound"
+        "TRUE AS underestimate_within_bound ORDER BY k"
     ),
     tables=("events",),
     tags=("telemetry", "sketch", "heavy-hitters"),
