@@ -636,3 +636,56 @@ sql_query(
     "(synthesized deterministic URLs, same certification pattern as "
     "text_scrub_pii) — the domain-quota input of a crawl pipeline",
 )
+
+
+# ---- decontamination spans -------------------------------------------------
+
+
+def _decon_spans_sql(dialect: str) -> str:
+    """text_decontaminate's actionable extension: WHERE the contaminated
+    8-gram runs sit in each flagged doc, so the excision step can cut
+    spans instead of dropping whole documents. Per-occurrence positions
+    (no DISTINCT before the join); the span summary is the editor input.
+    """
+    if dialect == "spark":
+        occ = (
+            "SELECT doc_id, pos, md5(concat_ws(' ', slice(l, pos, 8))) AS h "
+            "FROM toks LATERAL VIEW explode(sequence(1, size(l) - 7)) t AS pos"
+        )
+        toks = (
+            "SELECT doc_id, split(text, ' ') AS l FROM documents "
+            "WHERE size(split(text, ' ')) >= 8"
+        )
+    else:
+        occ = (
+            "SELECT doc_id, i AS pos, md5(array_to_string(l[i:i+7], ' ')) AS h "
+            "FROM toks, unnest(generate_series(1, len(l) - 7)) AS t(i)"
+        )
+        toks = (
+            "SELECT doc_id, string_split(text, ' ') AS l FROM documents "
+            "WHERE len(string_split(text, ' ')) >= 8"
+        )
+    return (
+        f"WITH toks AS ({toks}), "
+        f"occ AS ({occ}), "
+        "hold AS (SELECT DISTINCT h FROM occ WHERE doc_id % 10 = 0), "
+        "hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN hold USING (h) "
+        "         WHERE o.doc_id % 10 <> 0) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, "
+        "CAST(MIN(pos) AS BIGINT) AS first_pos, "
+        "CAST(MAX(pos) AS BIGINT) AS last_pos, "
+        "CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens "
+        "FROM hits GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+sql_query(
+    "text_decontaminate_spans",
+    _decon_spans_sql("spark"),
+    oracle=_decon_spans_sql("duck"),
+    tables=DOCS,
+    tags=("text", "decontamination", "dedup"),
+    doc="decontamination spans: per flagged doc, position and extent of "
+    "the holdout-overlapping 8-gram runs — the excision-step input "
+    "(cut the span, keep the doc) extending text_decontaminate",
+)
