@@ -832,3 +832,68 @@ df_query(
     "dim stats (tiny agg, broadcast back) applied to a query sample — "
     "IEEE-identical double arithmetic, hash-exact",
 )
+
+
+# ---- SemDeDup over TRAINED clusters ---------------------------------------
+
+
+def _semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the integer-exact Lloyd assignment instead of the
+    modulo-centroid stand-in: the paper's actual recipe (k-means first,
+    within-cluster cosine second), fully hash-checked because the
+    2-iteration kmeans tier is. Same scale shape as dedup_semantic_pairs
+    — the pairwise check never crosses cluster boundaries."""
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    assigned = S.kmeans_int_iterate(emb, centroid_mod=25, iterations=2)
+    n = S.with_norm(emb)
+    an = assigned.join(n, "vec_id")
+    a = an.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = an.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    from ..functions.vector import dot
+
+    return (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) > 0.4
+        )
+        .select("cluster", "vec_a", "vec_b")
+        .orderBy("cluster", "vec_a", "vec_b")
+    )
+
+
+df_query(
+    "dedup_semantic_kmeans",
+    _semantic_kmeans,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        "e0 AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "  x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS iv FROM embeddings), "
+        "c0 AS (SELECT vec_id AS cid, iv AS cv FROM e0 WHERE vec_id % 25 = 0), "
+        f"{_duck_kmeans_iter('e0', 'c0', 'a1', 'c1')}, "
+        f"{_duck_kmeans_iter('e0', 'c1', 'a2', 'c2')}, "
+        "an AS (SELECT a2.vec_id, a2.cluster, n.v, n.nrm FROM a2 "
+        "       JOIN n ON a2.vec_id = n.vec_id) "
+        "SELECT CAST(a.cluster AS BIGINT) AS cluster, "
+        "a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "FROM an a JOIN an b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        "WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4 "
+        "ORDER BY cluster, vec_a, vec_b"
+    ),
+    tables=EMB,
+    tags=("dedup", "similarity", "semantic", "kmeans", "iterative"),
+    doc="SemDeDup over TRAINED clusters: 2-round integer Lloyd assignment "
+    "bounds the exact-cosine pair check — the paper's full recipe, "
+    "hash-exact end-to-end (upgrades dedup_semantic_pairs' stand-in "
+    "assignment)",
+)
