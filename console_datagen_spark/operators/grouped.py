@@ -46,3 +46,29 @@ def event_gaps(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(per_user, schema=GAP_SCHEMA)
     )
+
+
+def arrow_token_stats(documents):
+    """(doc_id, n_tokens) via ``mapInArrow`` — the zero-copy Arrow batch
+    API (§2.10's fourth Python surface next to mapInPandas /
+    applyInPandas(+State) / UDTF). The kernel runs pyarrow.compute on the
+    RecordBatch directly — no pandas materialization, so for wide string
+    columns this is the cheapest Python hop there is. Certified by parity
+    with the pure-SQL token counter (tests), not registered as a query:
+    the SQL form IS the production path; this demonstrates the escape
+    hatch for kernels SQL can't express.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count_tokens(batches):
+        for b in batches:
+            toks = pc.split_pattern(b.column("text"), " ")
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), pc.list_value_length(toks).cast("int64")],
+                ["doc_id", "n_tokens"],
+            )
+
+    return documents.select("doc_id", "text").mapInArrow(
+        count_tokens, schema="doc_id long, n_tokens long"
+    )

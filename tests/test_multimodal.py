@@ -80,3 +80,20 @@ def test_resize_is_explicitly_stubbed(media):
 def test_media_fingerprint_dedup_key(media):
     fps = M.media_fingerprint(media)
     assert fps.select("content_sha256").distinct().count() == 50
+
+
+def test_map_in_arrow_token_stats_parity(spark, sf_dir):
+    from console_datagen_spark.catalog import register_views
+    from console_datagen_spark.operators.grouped import arrow_token_stats
+
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    got = {
+        r.doc_id: r.n_tokens for r in arrow_token_stats(docs).collect()
+    }
+    want = {
+        r.doc_id: r.n
+        for r in docs.selectExpr(
+            "doc_id", "CAST(size(split(text, ' ')) AS LONG) AS n"
+        ).collect()
+    }
+    assert got == want
