@@ -143,3 +143,57 @@ def test_pq_topk_is_plausible_ann(spark, sf_dir):
     # exact top-20 (chance level is ~20/4000 = 0.5%)
     overlap = len(exact & approx) / max(len(approx), 1)
     assert overlap >= 0.2, overlap
+
+
+# ---- round-5 session-2 operators ------------------------------------------
+
+
+def test_incremental_dedup_empty_corpus(spark):
+    from console_datagen_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(1, "some incoming document with enough tokens here")],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(corpus, incoming).collect()
+    assert len(out) == 1 and out[0]["is_dup"] == 0
+
+
+def test_bpe_short_and_empty_words(spark):
+    from console_datagen_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "a b ab  x")], "doc_id long, text string"  # double space -> '' token
+    )
+    merges = bpe_train(docs, rounds=3)
+    # only 'ab' has an adjacent pair; rounds stop when pairs dry up
+    assert merges[0][1:3] == ("a", "b")
+    assert len(merges) == 1
+
+
+def test_heavy_hitters_k1(spark):
+    from console_datagen_spark.operators.heavy_hitters import (
+        mg_merge,
+        mg_partition_summaries,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2, "key string"
+    ).coalesce(1)
+    got = mg_merge(mg_partition_summaries(df, "key", 1), 1).collect()
+    assert len(got) <= 1
+    if got:
+        assert got[0]["key"] == "a"
+
+
+def test_semantic_pairs_single_vector_cluster(spark):
+    from console_datagen_spark.operators.similarity import semantic_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # two orthogonal vectors, centroid_mod 1 -> each its own cluster at
+    # best; no pair may appear
+    assert semantic_dup_pairs(emb, centroid_mod=1, threshold=0.9).count() == 0
