@@ -412,3 +412,84 @@ sql_query(
     "source, bin count + min/max/avg fill permille vs the token budget — "
     "underfill here is wasted accelerator time at training",
 )
+
+
+# ---- content-defined chunking (CDC) ---------------------------------------
+
+from ..functions.hashing import token_id_sql_duck as _tidd  # noqa: E402
+from ..functions.hashing import token_id_sql_spark as _tids  # noqa: E402
+
+
+def _cdc_sql(dialect: str) -> str:
+    """Content-defined chunking — the rsync/LBFS trick: chunk boundaries
+    fall AFTER any token whose content hash ≡ 0 (mod 16), so boundaries
+    depend only on local content, never on position. An insertion early
+    in a document shifts fixed-width chunk grids everywhere, but CDC
+    boundaries downstream of the edit stay identical — which is what
+    makes chunk-hash dedup robust to partial edits. Emits per doc:
+    chunk count + how many of its chunks also appear (same content hash)
+    in another doc — the partial-duplication gauge.
+
+    Scale: boundary flags and chunk numbers are per-doc windows (doc-
+    bounded sorts inside a hash-partitioned shuffle); the shared-chunk
+    check is one hash agg over (chunk_hash) — corpus-wide but
+    fixed-width keys.
+    """
+    if dialect == "spark":
+        occ = (
+            "SELECT doc_id, pos, l[pos - 1] AS tok, "
+            f"{_tids('l[pos - 1]')} AS tid "
+            "FROM toks LATERAL VIEW explode(sequence(1, size(l))) t AS pos"
+        )
+        toks = "SELECT doc_id, split(text, ' ') AS l FROM documents"
+        # order-safe aggregation: collect (pos, tok) structs, sort by
+        # pos INSIDE the row, then join — collect_list order after a
+        # shuffle is undefined, a sorted subquery does NOT survive the
+        # groupBy exchange at scale
+        agg_chunk = (
+            "SELECT doc_id, chunk_no, "
+            "md5(concat_ws(' ', transform(array_sort(collect_list("
+            "named_struct('pos', pos, 'tok', tok))), s -> s.tok))) AS ch "
+            "FROM numbered GROUP BY doc_id, chunk_no"
+        )
+    else:
+        occ = (
+            "SELECT doc_id, i AS pos, l[i] AS tok, "
+            f"{_tidd('l[i]')} AS tid "
+            "FROM toks, unnest(generate_series(1, len(l))) AS t(i)"
+        )
+        toks = "SELECT doc_id, string_split(text, ' ') AS l FROM documents"
+        agg_chunk = (
+            "SELECT doc_id, chunk_no, "
+            "md5(string_agg(tok, ' ' ORDER BY pos)) AS ch "
+            "FROM numbered GROUP BY doc_id, chunk_no"
+        )
+    return (
+        f"WITH toks AS ({toks}), "
+        f"occ AS ({occ}), "
+        "numbered AS (SELECT doc_id, pos, tok, "
+        "  COALESCE(SUM(CASE WHEN tid % 16 = 0 THEN 1 ELSE 0 END) OVER ("
+        "    PARTITION BY doc_id ORDER BY pos "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no "
+        "  FROM occ), "
+        f"chunks AS ({agg_chunk}), "
+        "shared AS (SELECT ch FROM chunks GROUP BY ch "
+        "           HAVING COUNT(DISTINCT doc_id) > 1) "
+        "SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+        "CAST(SUM(CASE WHEN s.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_shared_chunks "
+        "FROM chunks c LEFT JOIN shared s ON c.ch = s.ch "
+        "GROUP BY c.doc_id ORDER BY c.doc_id"
+    )
+
+
+sql_query(
+    "dedup_cdc_chunks",
+    _cdc_sql("spark"),
+    oracle=_cdc_sql("duck"),
+    tables=DOCS,
+    tags=("dedup", "chunking", "cdc"),
+    doc="content-defined chunking (rsync/LBFS boundaries: token hash = 0 "
+    "mod 16) + cross-doc shared-chunk counts — partial-duplication "
+    "detection robust to insertions, per-doc windows + one chunk-hash agg",
+)
