@@ -61,6 +61,11 @@ HEADLINE = [
     "vocab_bpe_merges",
     "rag_chunk_topk",
     "agg_heavy_hitters",
+    "dedup_semantic_kmeans",
+    "text_langid_ngram",
+    "dedup_cdc_chunks",
+    "graph_pagerank_dups",
+    "sample_split_leakage",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 

@@ -602,6 +602,8 @@ df_query(
 
 _PR_ROUNDS = 3
 
+_pr_cache = CacheSlot()
+
 
 def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-permille PageRank on the near-dup pair graph.
@@ -615,10 +617,14 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     few, so no checkpointing is needed (cf. dup_components for the
     fixpoint-loop shape with checkpoints).
     """
+    _pr_cache.release()
     pairs = _minhash_pairs(spark, sf_dir)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    edges = fwd.union(rev)
+    # every PR round references the edge list; without the eager hold the
+    # whole upstream LSH pair pipeline re-executes per round (measured
+    # 34 s -> ~4 s at sf0.1 for 3 rounds)
+    edges = _pr_cache.hold(fwd.union(rev))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     pr = deg.select(F.col("src").alias("id"), F.lit(1000).cast("long").alias("pr"))
     for _ in range(_PR_ROUNDS):
@@ -632,7 +638,7 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr = contrib.select(
             F.col("dst").alias("id"),
             (F.lit(150) + F.expr("850 * s DIV 1000")).cast("long").alias("pr"),
-        )
+        ).localCheckpoint(eager=False)  # truncate the per-round lineage chain
     return pr.select(F.col("id").alias("doc_id"), "pr").orderBy("doc_id")
 
 

@@ -897,3 +897,77 @@ df_query(
     "hash-exact end-to-end (upgrades dedup_semantic_pairs' stand-in "
     "assignment)",
 )
+
+
+# ---- residual-quantized IVFPQ ----------------------------------------------
+
+
+def _ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    return S.ivfpq_residual_topk(emb).orderBy("query_id", "rnk")
+
+
+def _l2(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {_PD}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+_DUCK_IDOT = "list_inner_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+df_query(
+    "sim_ivfpq_residual",
+    _ivfpq_residual,
+    oracle=(
+        "WITH e0 AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "  x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS iv FROM embeddings), "
+        "c0 AS (SELECT vec_id AS cid, iv AS cv FROM e0 WHERE vec_id % 25 = 0), "
+        "a0 AS (SELECT vec_id, cluster FROM ("
+        "  SELECT e.vec_id, c.cid AS cluster, ROW_NUMBER() OVER ("
+        "    PARTITION BY e.vec_id ORDER BY "
+        f"    {_DUCK_IDOT.format(a='e.iv', b='c.cv')} DESC, c.cid) AS rn "
+        "  FROM e0 e, c0 c) t WHERE rn = 1), "
+        "res AS (SELECT a.vec_id, a.cluster, list_transform("
+        "  generate_series(1, 64), i -> e.iv[i] - c.cv[i]) AS r "
+        "  FROM a0 a JOIN e0 e ON a.vec_id = e.vec_id "
+        "  JOIN c0 c ON a.cluster = c.cid), "
+        f"sub AS (SELECT vec_id, cluster, j, r[j*{_PD}+1 : j*{_PD}+{_PD}] AS sv "
+        f"  FROM res, (SELECT unnest(generate_series(0, {_PM - 1})) AS j) js), "
+        "cb AS (SELECT CAST(vec_id AS INT) AS code, j, sv AS cv2 FROM sub "
+        f"  WHERE vec_id < {_PC}), "
+        f"enc0 AS (SELECT s.vec_id, s.cluster, s.j, c.code, "
+        f"  {_l2('s.sv', 'c.cv2')} AS d FROM sub s JOIN cb c ON s.j = c.j), "
+        "encoded AS (SELECT vec_id, cluster, j, code FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j "
+        "  ORDER BY d, code) AS rn FROM enc0) t WHERE rn = 1), "
+        "probes AS (SELECT query_id, cluster FROM ("
+        "  SELECT e.vec_id AS query_id, c.cid AS cluster, ROW_NUMBER() OVER ("
+        "    PARTITION BY e.vec_id ORDER BY "
+        f"    {_DUCK_IDOT.format(a='e.iv', b='c.cv')} DESC, c.cid) AS rn "
+        "  FROM e0 e, c0 c WHERE e.vec_id < 20) t WHERE rn <= 2), "
+        "qres AS (SELECT p.query_id, p.cluster, list_transform("
+        "  generate_series(1, 64), i -> e.iv[i] - c.cv[i]) AS r "
+        "  FROM probes p JOIN e0 e ON p.query_id = e.vec_id "
+        "  JOIN c0 c ON p.cluster = c.cid), "
+        f"qsub AS (SELECT query_id, cluster, j, r[j*{_PD}+1 : j*{_PD}+{_PD}] AS sv "
+        f"  FROM qres, (SELECT unnest(generate_series(0, {_PM - 1})) AS j) js), "
+        f"dt AS (SELECT q.query_id, q.cluster, q.j, c.code, "
+        f"  {_l2('q.sv', 'c.cv2')} AS qd FROM qsub q JOIN cb c ON q.j = c.j), "
+        "scored AS (SELECT d.query_id, e.vec_id AS neighbor_id, "
+        "  CAST(SUM(qd) AS BIGINT) AS adist "
+        "  FROM encoded e JOIN dt d ON e.cluster = d.cluster "
+        "  AND e.j = d.j AND e.code = d.code "
+        "  WHERE e.vec_id <> d.query_id GROUP BY 1, 2) "
+        "SELECT query_id, neighbor_id, rnk, adist FROM ("
+        "  SELECT query_id, neighbor_id, adist, CAST(ROW_NUMBER() OVER ("
+        "    PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rnk "
+        "  FROM scored) t WHERE rnk <= 5 ORDER BY query_id, rnk"
+    ),
+    tables=EMB,
+    tags=("similarity", "ann", "pq", "ivf", "residual"),
+    doc="residual-quantized IVFPQ (the true FAISS structure): PQ codes "
+    "encode x - c(x) against the assigned coarse centroid; probe-side "
+    "ADC tables are per-(query, probed cluster) — integer-exact "
+    "end-to-end, hash-checked",
+)
