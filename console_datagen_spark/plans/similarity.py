@@ -844,6 +844,10 @@ def _semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-iteration kmeans tier is. Same scale shape as dedup_semantic_pairs
     — the pairwise check never crosses cluster boundaries."""
     emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    # no cache hold: the self-join's two branches are byte-identical
+    # subplans, so Catalyst's ReusedExchange already executes the Lloyd
+    # pipeline once (measured: uncached 3.1 s beats eager-held 3.6 s and
+    # lazy-held 7 s cold at sf0.1)
     assigned = S.kmeans_int_iterate(emb, centroid_mod=25, iterations=2)
     n = S.with_norm(emb)
     an = assigned.join(n, "vec_id")
