@@ -55,14 +55,14 @@ def index_probe_dedup_stream(
     The full crawl-ingest loop as one streaming query: each micro-batch is
     (1) exact-deduped within itself (md5, min doc_id wins), (2) probed
     against the persisted MinHash band index (partition-pruned — see
-    operators/dedup_index.probe_minhash_index), (3) survivors are appended
-    to the corpus store AND their band signatures appended to the index,
-    so a doc in batch N+1 duplicating a batch-N doc is caught. State
-    lives entirely in the two parquet stores — the streaming query itself
-    is stateless, so recovery is the checkpoint's source offsets plus the
-    already-appended stores (idempotent per batch up to re-appended
-    survivors of an uncommitted batch — the standard at-least-once
-    foreachBatch contract).
+    operators/dedup_index.probe_minhash_index), (3) survivors land in the
+    corpus store AND their band signatures in the index, so a doc in
+    batch N+1 duplicating a batch-N doc is caught. State lives entirely
+    in the two parquet stores — the streaming query itself is stateless —
+    and both stores are batch-partitioned with dynamic overwrite, so a
+    replayed micro-batch REPLACES its own partition: recovery after a
+    crash between the writes and the checkpoint commit is idempotent,
+    not merely at-least-once.
 
     Returns the StreamingQuery. ``stream`` must carry (doc_id, text, ts).
     """
@@ -97,15 +97,27 @@ def index_probe_dedup_stream(
             kept = batch.join(keep_ids, "doc_id", "left_semi")
         else:
             kept = batch
-        # (3) append survivors to the corpus store and the band index
+        # (3) write survivors to the corpus store and the band index.
+        # Idempotent retries: both stores are partitioned by _batch and
+        # written with DYNAMIC partition overwrite, so a replayed batch
+        # (foreachBatch's at-least-once contract) REPLACES its own
+        # partition instead of appending duplicates — the standard
+        # batch-id idempotence recipe for foreachBatch sinks.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        kept = kept.withColumn("_batch", F.lit(batch_id))
         kept.persist()
         try:
-            kept.write.mode("append").parquet(corpus_path)
+            (
+                kept.write.mode("overwrite")
+                .partitionBy("_batch")
+                .parquet(corpus_path)
+            )
             bands = minhash_bands(kept, ids_df=doc_shingle_ids(kept))
             (
                 bands.withColumn("bucket", F.pmod(F.col("bh"), F.lit(n_buckets)))
-                .write.mode("append")
-                .partitionBy("bucket")
+                .withColumn("_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("bucket", "_batch")
                 .parquet(index_path)
             )
         finally:

@@ -112,3 +112,41 @@ def test_streaming_index_probe_dedup(spark, tmp_path):
     run_once()
     kept2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     assert kept2 == {1, 2, 12}  # 11 caught by the index built in run 1
+
+
+def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
+    """Replaying a processed batch (lost checkpoint) must REPLACE its
+    store partitions, not append duplicates — the dynamic-overwrite
+    idempotence contract."""
+    import shutil
+
+    from console_datagen_spark.streaming.dedup_stream import (
+        index_probe_dedup_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "index")
+    corpus = str(tmp_path / "corpus")
+    schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+
+    def run_once(ckpt):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = index_probe_dedup_stream(stream, idx, corpus, ckpt, n_buckets=8)
+        q.awaitTermination()
+
+    import datetime
+
+    stage = tmp_path / "_stage"
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", datetime.datetime(2024, 1, 1))],
+        schema,
+    ).coalesce(1).write.parquet(str(stage), mode="overwrite")
+    shutil.move(str(next(stage.glob("part-*.parquet"))), str(src / "b1.parquet"))
+
+    run_once(str(tmp_path / "ckpt1"))
+    n1 = spark.read.parquet(corpus).count()
+    # simulate a lost checkpoint: the same file replays as batch 0 again
+    run_once(str(tmp_path / "ckpt2"))
+    n2 = spark.read.parquet(corpus).count()
+    assert n1 == n2 == 1
