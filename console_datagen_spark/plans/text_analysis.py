@@ -609,21 +609,22 @@ def _urls_sql(dialect: str) -> str:
         "WHEN 4 THEN 'Forum.Example.com' WHEN 5 THEN 'docs.example.org' "
         "ELSE 'archive.example.net' END"
     )
+    extract = "regexp_extract(raw, 'https?://([^/ ]+)/', 1)"
     if dialect == "spark":
-        extract = "regexp_extract(raw, 'https?://([^/ ]+)/', 1)"
         strip_www = "regexp_replace(lower(h), '^www\\\\.', '')"
+        idstr = "CAST(doc_id AS STRING)"
     else:
-        extract = "regexp_extract(raw, 'https?://([^/ ]+)/', 1)"
         strip_www = "regexp_replace(lower(h), '^www\\.', '')"
+        idstr = "CAST(doc_id AS VARCHAR)"
     return (
         f"WITH r AS (SELECT doc_id, CONCAT('see https://', {hosts}, "
-        "           '/p/', CAST(doc_id AS STRING), ' ', text) AS raw "
+        f"           '/p/', {idstr}, ' ', text) AS raw "
         "           FROM documents), "
         f"h AS (SELECT doc_id, {extract} AS h FROM r), "
         f"d AS (SELECT doc_id, {strip_www} AS domain FROM h) "
         "SELECT domain, COUNT(*) AS n_docs FROM d "
         "GROUP BY domain ORDER BY domain"
-    ).replace("CAST(doc_id AS STRING)", "CAST(doc_id AS VARCHAR)" if dialect != "spark" else "CAST(doc_id AS STRING)")
+    )
 
 
 sql_query(
