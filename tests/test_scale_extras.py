@@ -1,0 +1,111 @@
+"""Unit tests for the round-5 session-3 scale operators: large-star/
+small-star components, the rank-grid quantile sketch, and the
+substring-span / bloom-join query laws the oracle hash can't isolate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from console_datagen_spark.operators.components_lss import dup_components_lss
+from console_datagen_spark.operators.quantile_sketch import (
+    quantile_partition_summaries,
+    quantile_sketch_check,
+)
+
+
+# ---------------------------------------------------------------- LSS CC
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_lss_long_chain_beats_diameter(spark):
+    # a 40-node path has diameter 39: label propagation would need 39
+    # rounds; LSS must finish within its default 16 (O(log n))
+    chain = [(i, i + 1) for i in range(40)]
+    out = dup_components_lss(_pairs(spark, chain)).collect()
+    assert len(out) == 41
+    assert all(r.component == 0 for r in out)
+
+
+def test_lss_multiple_components_and_edge_order(spark):
+    edges = [(5, 3), (3, 9), (20, 21), (7, 7 + 100)]  # two comps + pair
+    out = {r.doc_id: r.component for r in dup_components_lss(_pairs(spark, edges)).collect()}
+    assert out == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 7: 7, 107: 7}
+
+
+def test_lss_matches_label_propagation(spark):
+    from console_datagen_spark.operators.dedup import dup_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (50, 51), (3, 10)]
+    p = _pairs(spark, edges)
+    lss = {(r.doc_id, r.component) for r in dup_components_lss(p).collect()}
+    lp = {(r.doc_id, r.component) for r in dup_components(p).collect()}
+    assert lss == lp
+
+
+def test_lss_empty_pairs(spark):
+    out = dup_components_lss(_pairs(spark, [])).collect()
+    assert out == []
+
+
+# ------------------------------------------------------- quantile sketch
+def test_quantile_summaries_weights_sum_to_n(spark):
+    df = spark.range(1000).select((F.col("id") * 7 % 997).alias("v"))
+    summ = quantile_partition_summaries(df, "v", k=8)
+    assert summ.agg(F.sum("w")).first()[0] == 1000
+    # ≤ k points per partition
+    per = summ.groupBy("pid").count().agg(F.max("count")).first()[0]
+    assert per <= 8
+
+
+@pytest.mark.parametrize("parts", [1, 3, 7])
+def test_quantile_guarantee_any_partitioning(spark, parts):
+    # adversarial layout: values sorted ascending then range-partitioned,
+    # so partition grids cover disjoint value ranges
+    df = spark.range(5000).select(F.col("id").alias("v")).repartitionByRange(
+        parts, "v"
+    )
+    rows = quantile_sketch_check(df, "v", k=16).collect()
+    assert [r.q_permille for r in rows] == [500, 950, 990]
+    for r in rows:
+        assert r.n_rows == 5000
+        assert r.rank_ge_target and r.rank_within_bound
+
+
+def test_quantile_small_partitions(spark):
+    # m < k per partition: grid degenerates to exact values, still holds
+    df = spark.range(10).select(F.col("id").alias("v")).repartition(8)
+    rows = quantile_sketch_check(df, "v", k=32).collect()
+    assert all(r.rank_ge_target and r.rank_within_bound for r in rows)
+
+
+# -------------------------------------------------- substring span law
+def test_substring_spans_merge_overlaps(spark, sf_dir):
+    """Every span is ≥ L tokens, spans of one doc never overlap/abut
+    within L (else the island merge failed), and every span's doc shares
+    its first window with some other doc."""
+    from console_datagen_spark.plans import get_query
+
+    df = get_query("dedup_substring_spans").spark(spark, sf_dir)
+    rows = df.collect()
+    assert all(r.span_tokens >= 16 for r in rows)
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            # gap rule: next duplicated window starts > L after the last
+            # hit of the previous island ⇒ start2 - (end1 - L + 1) > L
+            assert s2 - (e1 - 16 + 1) > 16
+
+
+def test_bloom_runtime_join_plan_broadcasts(spark, sf_dir):
+    """The bloom probe must not add a fact-side shuffle: the three word
+    lookups plan as broadcast joins."""
+    from console_datagen_spark.plans import get_query
+
+    df = get_query("join_bloom_runtime").spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
