@@ -66,6 +66,10 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "graph_pagerank_dups",
     "sample_split_leakage",
+    "dedup_substring_spans",
+    "join_bloom_runtime",
+    "dedup_components_lss",
+    "agg_quantile_sketch",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 

@@ -81,28 +81,27 @@ def dup_components_lss(
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
 
-    nodes = _ckpt(
-        pairs.select(F.col(id_a).alias("doc_id"))
-        .union(pairs.select(F.col(id_b).alias("doc_id")))
-        .distinct()
-    )
-    edges = _ckpt(
-        _canon(pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
-    )
+    # one materialization of the (possibly expensive) upstream pair
+    # pipeline; nodes and the canonical edge set both derive from it
+    raw = _ckpt(pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
+    nodes = raw.select(F.col("a").alias("doc_id")).union(
+        raw.select(F.col("b").alias("doc_id"))
+    ).distinct()
+    edges = _ckpt(_canon(raw))
+    n_edges = edges.count()
     converged = False
     for _ in range(max_iter):
         new_edges = _ckpt(_canon(_small_star(_canon(_large_star(edges)))))
-        # set equality via two one-row anti-join probes (edge frames are
-        # the small side of this pipeline; at corpus scale these are the
+        # both frames are distinct sets, so equal counts + one empty
+        # one-sided anti probe ⇒ set equality (counts over checkpointed
+        # partitions are near-free; at corpus scale the probe is the
         # same O(|E|) cost as one half-round)
-        if (
-            new_edges.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(new_edges).limit(1).count() == 0
-        ):
+        n_new = new_edges.count()
+        if n_new == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
             converged = True
             edges = new_edges
             break
-        edges = new_edges
+        edges, n_edges = new_edges, n_new
     if not converged:
         raise RuntimeError(
             f"dup_components_lss did not converge in {max_iter} rounds; "
