@@ -136,3 +136,103 @@ def quantile_sketch_check(
         ),
     ).orderBy("q_permille")
     return out
+
+
+# ---- streaming variant -----------------------------------------------------
+
+QS_STATE_SCHEMA = "vs ARRAY<LONG>, ws ARRAY<LONG>, n LONG, err LONG"
+QS_OUTPUT_SCHEMA = "q_permille INT, n_rows LONG, est LONG, err_budget LONG"
+
+
+def _compress(points: list[tuple[int, int]], c: int) -> tuple[list, int]:
+    """Compress sorted (v, w) points to ≤c grid points; returns the new
+    points and the rank-error increase of this compression (≤ max new
+    weight): the new summary's rank function differs from the old one by
+    at most one grid cell at any value."""
+    total = sum(w for _, w in points)
+    out: list[tuple[int, int]] = []
+    prev_pos = 0
+    cumw = 0
+    it = iter(points)
+    v, w = next(it)
+    for j in range(1, c + 1):
+        pos = math.ceil(j * total / c)
+        if pos <= prev_pos:
+            continue
+        while cumw + w < pos:
+            cumw += w
+            v, w = next(it)
+        out.append((v, pos - prev_pos))
+        prev_pos = pos
+    return out, max(w for _, w in out)
+
+
+def quantile_stream(
+    stream: DataFrame,
+    value_col: str,
+    capacity: int = 256,
+    qs: tuple[int, ...] = (500, 950, 990),
+) -> DataFrame:
+    """Streaming quantiles with a tracked error budget — the quantile
+    analog of mg_stream.
+
+    One bounded summary (≤2·capacity points) is maintained across
+    micro-batches via applyInPandasWithState: raw batch values append as
+    exact weight-1 points (zero added error); whenever the summary
+    exceeds 2·capacity points it recompresses to ``capacity`` grid
+    points, adding ≤ max-new-weight rank error, which accumulates in the
+    state's ``err``. Each batch emits per-q rows whose honest guarantee
+    is |true_rank(est) − target| ≤ err_budget — certified by the
+    streaming test against exact ranks over everything ingested so far.
+
+    Like mg_stream, the global sketch is one state slot; shard by
+    key-hash into S independent sketches for corpus-scale streams (grid
+    summaries merge associatively).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, batches: Iterator[pd.DataFrame], state: "GroupState"):
+        if state.exists:
+            vs, ws, n, err = state.get
+            points = list(zip(vs, ws))
+        else:
+            points, n, err = [], 0, 0
+        for pdf in batches:
+            vals = pdf["v"].astype("int64")
+            n += len(vals)
+            points.extend((int(v), 1) for v in vals)
+            points.sort()
+            if len(points) > 2 * capacity:
+                points, maxw = _compress(points, capacity)
+                err += maxw
+        state.update(
+            ([v for v, _ in points], [w for _, w in points], int(n), int(err))
+        )
+        maxw = max((w for _, w in points), default=0)
+        rows = []
+        for q in qs:
+            target = math.ceil(q * n / 1000)
+            cumw, est = 0, points[-1][0] if points else 0
+            for v, w in points:
+                cumw += w
+                if cumw >= target:
+                    est = v
+                    break
+            rows.append((q, n, est, err + maxw))
+        yield pd.DataFrame(
+            rows, columns=["q_permille", "n_rows", "est", "err_budget"]
+        )
+
+    return (
+        stream.select(
+            F.lit(0).alias("g"), F.col(value_col).cast("long").alias("v")
+        )
+        .groupBy("g")
+        .applyInPandasWithState(
+            update,
+            outputStructType=QS_OUTPUT_SCHEMA,
+            stateStructType=QS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -101,6 +101,59 @@ def test_substring_spans_merge_overlaps(spark, sf_dir):
             assert s2 - (e1 - 16 + 1) > 16
 
 
+def test_quantile_stream_across_batches(spark, tmp_path):
+    """The streaming sketch accumulates across micro-batches, stays
+    within its declared error budget vs the exact ranks of EVERYTHING
+    ingested so far, and actually compresses (err_budget reflects it)."""
+    import math
+    import shutil
+
+    from console_datagen_spark.operators.quantile_sketch import quantile_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def drop_file(vals, name):
+        stage = tmp_path / f"_stage_{name}"
+        spark.createDataFrame([(int(v),) for v in vals], "v long").coalesce(
+            1
+        ).write.parquet(str(stage), mode="overwrite")
+        shutil.move(
+            str(next(stage.glob("part-*.parquet"))), str(src / f"{name}.parquet")
+        )
+
+    emitted = []
+
+    def run_once():
+        stream = spark.readStream.schema("v long").parquet(str(src))
+        q = (
+            quantile_stream(stream, "v", capacity=16)
+            .writeStream.foreachBatch(lambda b, _: emitted.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1 = [i * 7 % 101 for i in range(150)]
+    b2 = [1000 + i * 13 % 97 for i in range(200)]
+    drop_file(b1, "b1")
+    run_once()
+    drop_file(b2, "b2")
+    run_once()
+
+    final = {r.q_permille: r for r in emitted[-3:]}
+    allv = sorted(b1 + b2)
+    assert final[500].n_rows == 350
+    for q, r in final.items():
+        target = math.ceil(q * 350 / 1000)
+        true_rank = sum(1 for v in allv if v <= r.est)
+        assert abs(true_rank - target) <= r.err_budget, (q, true_rank, target)
+        # budget must stay useful: far tighter than the trivial bound n
+        assert 0 < r.err_budget < 350 / 2
+
+
 def test_bloom_runtime_join_plan_broadcasts(spark, sf_dir):
     """The bloom probe must not add a fact-side shuffle: the three word
     lookups plan as broadcast joins."""
