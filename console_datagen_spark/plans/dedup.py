@@ -672,3 +672,184 @@ df_query(
     "over the near-dup pair graph — duplication-mass centrality for "
     "dedup triage; per round one edge-list equi-join + one hash agg",
 )
+
+
+# ---- MinHash sketch-accuracy certification ---------------------------------
+# The dedup tier's quality contract, in the same spirit as sim_pq_recall /
+# agg_sketch_check: how close is the k=8 MinHash ESTIMATE of Jaccard to
+# the exact shingle-set Jaccard on the LSH candidate pairs it gates?
+# est = (#agreeing permutations * 1000) // k, exact = integer permille —
+# both deterministic, so the error distribution itself is hash-checked.
+
+_acc_cache = CacheSlot()
+
+
+def _minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _acc_cache.release()
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    ids = _acc_cache.hold(D.doc_shingle_ids(docs))
+    cand = D.lsh_candidate_pairs(
+        docs, k=_K, rows_per_band=_ROWS_PER_BAND, ids_df=ids
+    )
+    # wide mins frame: ONE row per doc, so the estimate join moves k
+    # integers per candidate side instead of k rows (minhash_mins doc)
+    mins = D.minhash_mins(docs, k=_K, ids_df=ids)
+    ma = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_K)],
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_K)],
+    )
+    agree = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(_K)
+    )
+    est = (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST(({agree}) * 1000 DIV {_K} AS BIGINT)").alias("est"),
+        )
+    )
+    # exact Jaccard on the SAME candidates; pairs with zero shared
+    # shingles drop out of the intersection join, so re-attach as 0
+    exact = D.ngram_jaccard_pairs(
+        docs, threshold_permille=0, candidates=cand, ids_df=ids
+    )
+    joined = est.join(exact, ["doc_a", "doc_b"], "left").select(
+        "est",
+        F.coalesce(F.col("jaccard_permille"), F.lit(0)).alias("jac"),
+    )
+    return joined.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("CAST(SUM(ABS(est - jac)) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_abs_err_permille"
+        ),
+        F.max(F.expr("ABS(est - jac)")).cast("bigint").alias(
+            "max_abs_err_permille"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN ABS(est - jac) <= 125 THEN 1 ELSE 0 END) "
+            "AS BIGINT)"
+        ).alias("n_within_one_perm"),
+    )
+
+
+df_query(
+    "dedup_minhash_accuracy",
+    _minhash_accuracy,
+    oracle=(
+        f"WITH {_DUCK_PAIRS}, "
+        "est AS (SELECT c.doc_a, c.doc_b, "
+        f"  CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) "
+        f"       * 1000 // {_K} AS BIGINT) AS est "
+        "  FROM cand c "
+        "  JOIN sig sa ON sa.doc_id = c.doc_a "
+        "  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm "
+        "  GROUP BY c.doc_a, c.doc_b), "
+        "ex AS (SELECT c.doc_a, c.doc_b, COALESCE("
+        "    CAST(i.inter * 1000 // (sa.sz + sb.sz - i.inter) AS BIGINT), 0) "
+        "    AS jac "
+        "  FROM cand c "
+        "  JOIN sizes sa ON c.doc_a = sa.doc_id "
+        "  JOIN sizes sb ON c.doc_b = sb.doc_id "
+        "  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(ABS(e.est - x.jac)) // COUNT(*) AS BIGINT) "
+        "  AS mean_abs_err_permille, "
+        "CAST(MAX(ABS(e.est - x.jac)) AS BIGINT) AS max_abs_err_permille, "
+        "CAST(SUM(CASE WHEN ABS(e.est - x.jac) <= 125 THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS n_within_one_perm "
+        "FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b"
+    ),
+    tables=DOCS,
+    tags=("dedup", "minhash", "sketch"),
+    doc="MinHash accuracy gauge: estimated-vs-exact Jaccard error "
+    "distribution over the LSH candidate pairs (mean/max abs error, "
+    "share within one permutation quantum) — the sketch-quality "
+    "contract for the dedup tier, hash-checked end-to-end",
+)
+
+
+# ---- triangle census over the near-dup graph -------------------------------
+
+
+def _triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup
+    pair graph.
+
+    High clustering (duplicate families are near-cliques) is what makes
+    the min-label components safe to use as dedup keeper groups; low
+    clustering flags chains of borderline pairs that over-merge. Edges
+    are canonical (doc_a < doc_b), so each triangle a<b<c is counted
+    once by the two-hop join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — the standard
+    distributed triangle kernel (two equi-joins on the edge list; at
+    100 TB the usual degree-ordering trick applies unchanged because
+    ids are already ordered)."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    e = pairs.select("doc_a", "doc_b")
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .groupBy()
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        e.selectExpr("doc_a AS v")
+        .unionAll(e.selectExpr("doc_b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    shape = deg.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.expr("CAST(SUM(d * (d - 1) DIV 2) AS BIGINT)").alias("n_wedges"),
+    )
+    edges = e.groupBy().agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        edges.crossJoin(shape)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "CAST(CASE WHEN n_wedges = 0 THEN 0 "
+                "ELSE 3 * n_triangles * 1000 DIV n_wedges END AS BIGINT)"
+            ).alias("clustering_permille"),
+        )
+    )
+
+
+df_query(
+    "graph_triangles",
+    _triangles,
+    oracle=(
+        f"WITH {_DUCK_PAIRS}, "
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM pairs), "
+        "tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "  FROM e e1 JOIN e e2 ON e2.a = e1.b "
+        "  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), "
+        "deg AS (SELECT v, COUNT(*) AS d FROM ("
+        "  SELECT a AS v FROM e UNION ALL SELECT b FROM e) u GROUP BY v), "
+        "shape AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+        "  CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg), "
+        "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e) "
+        "SELECT n_edges, n_nodes, n_triangles, n_wedges, "
+        "CAST(CASE WHEN n_wedges = 0 THEN 0 "
+        "  ELSE 3 * n_triangles * 1000 // n_wedges END AS BIGINT) "
+        "  AS clustering_permille "
+        "FROM ne, shape, tri"
+    ),
+    tables=DOCS,
+    tags=("dedup", "graph"),
+    doc="triangle census of the near-dup graph: edges/nodes/triangles/"
+    "wedges + global clustering coefficient (permille) — cliquishness "
+    "telemetry that says whether component-based keeper groups over-merge",
+)
