@@ -70,6 +70,9 @@ HEADLINE = [
     "join_bloom_runtime",
     "dedup_components_lss",
     "agg_quantile_sketch",
+    "join_point_in_time",
+    "seq_funnel_windowed",
+    "layout_skipping_ab",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 

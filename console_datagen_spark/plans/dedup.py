@@ -853,3 +853,70 @@ df_query(
     "wedges + global clustering coefficient (permille) — cliquishness "
     "telemetry that says whether component-based keeper groups over-merge",
 )
+
+
+# ---- corpus novelty curve --------------------------------------------------
+
+
+def _novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingestion-decile shingle novelty: of each doc's 3-token
+    shingles, what share first appears in THAT doc (by doc_id order)?
+
+    The curve every crawl pipeline watches — novelty decays as the
+    corpus grows, and the decay rate tells you when additional ingestion
+    stops paying for itself. first-occurrence = min(doc_id) per shingle
+    (one hash agg over the shingle-id frame), re-joined on tid; the
+    NTILE ranking runs over the O(#docs) per-doc stats frame, never the
+    corpus."""
+    from pyspark.sql import Window
+
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    ids = D.doc_shingle_ids(docs)
+    first = ids.groupBy("tid").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ids.join(first, "tid")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    w = Window.orderBy("doc_id")
+    return (
+        per_doc.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr("CAST(SUM(novel) * 1000 DIV SUM(total) AS BIGINT)").alias(
+                "novelty_permille"
+            ),
+        )
+        .selectExpr("CAST(decile AS BIGINT) AS decile", "n_docs", "novelty_permille")
+        .orderBy("decile")
+    )
+
+
+df_query(
+    "text_novelty_curve",
+    _novelty,
+    oracle=(
+        f"WITH {_DUCK_IDS}, "
+        "first AS (SELECT tid, MIN(doc_id) AS first_doc FROM ids GROUP BY tid), "
+        "per_doc AS (SELECT i.doc_id, COUNT(*) AS total, "
+        "  SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END) AS novel "
+        "  FROM ids i JOIN first f ON i.tid = f.tid GROUP BY i.doc_id), "
+        "ranked AS (SELECT total, novel, "
+        "  NTILE(10) OVER (ORDER BY doc_id) AS decile FROM per_doc) "
+        "SELECT CAST(decile AS BIGINT) AS decile, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(novel) * 1000 // SUM(total) AS BIGINT) AS novelty_permille "
+        "FROM ranked GROUP BY decile ORDER BY decile"
+    ),
+    tables=DOCS,
+    tags=("text", "novelty", "dedup"),
+    doc="shingle novelty by ingestion decile: share of each doc's "
+    "shingles first seen in that doc, aggregated over NTILE(10) of "
+    "doc_id — the diminishing-returns curve for continued ingestion",
+)

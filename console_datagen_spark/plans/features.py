@@ -260,3 +260,53 @@ df_query(
     "via forward as-of (linear union-sort carry, no per-user cross "
     "product) — oracle is the correlated-EXISTS spelling",
 )
+
+
+# --- preference-pair construction (RLHF/DPO prep) ---------------------------
+# Within each (lang, source) prompt-bucket, pair the highest-quality doc
+# (chosen) with the lowest (rejected), quality = distinct-token permille
+# (the sample_weighted idiom), and emit only pairs whose quality margin
+# clears 100 permille — pairs without a real preference signal train
+# nothing. Two window ranks over one shuffle on the bucket key; at
+# 100 TB this is the same per-bucket top-1/bottom-1 shape as
+# text_source_quota.
+_Q_SPARK = (
+    "size(array_distinct(split(text, ' '))) * 1000 DIV size(split(text, ' '))"
+)
+_Q_DUCK = (
+    "len(list_distinct(string_split(text, ' '))) * 1000 "
+    "// len(string_split(text, ' '))"
+)
+_PREF_MARGIN = 100
+
+
+def _pref_pairs_sql(q_expr: str) -> str:
+    return (
+        "WITH scored AS (SELECT lang, source, doc_id, "
+        f"  CAST({q_expr} AS BIGINT) AS q, "
+        f"  ROW_NUMBER() OVER (PARTITION BY lang, source "
+        "                      ORDER BY CAST({q} AS BIGINT) DESC, doc_id) AS rb, "
+        f"  ROW_NUMBER() OVER (PARTITION BY lang, source "
+        "                      ORDER BY CAST({q} AS BIGINT) ASC, doc_id) AS rw "
+        "  FROM documents) "
+        "SELECT b.lang, b.source, "
+        "b.doc_id AS chosen_doc, w.doc_id AS rejected_doc, "
+        "b.q AS chosen_q, w.q AS rejected_q "
+        "FROM scored b JOIN scored w "
+        "  ON b.lang = w.lang AND b.source = w.source "
+        "WHERE b.rb = 1 AND w.rw = 1 AND b.doc_id <> w.doc_id "
+        f"  AND b.q - w.q >= {_PREF_MARGIN} "
+        "ORDER BY b.lang, b.source"
+    ).format(q=q_expr)
+
+
+sql_query(
+    "pipeline_preference_pairs",
+    _pref_pairs_sql(_Q_SPARK),
+    oracle=_pref_pairs_sql(_Q_DUCK),
+    tables=("documents",),
+    tags=("pipeline", "preference", "rlhf"),
+    doc="preference-pair construction per (lang, source) bucket: "
+    f"best-vs-worst quality doc with a >={_PREF_MARGIN} permille margin "
+    "gate — the chosen/rejected extraction step of DPO-style data prep",
+)

@@ -338,3 +338,82 @@ sql_query(
     "+ stringified min/max — the schema-drift tripwire run before any "
     "ingest lands in the lake",
 )
+
+
+# ---- data-skipping A/B gauge -----------------------------------------------
+# layout_zorder reports the envelopes; this query closes the loop and
+# measures what those envelopes BUY: for one fixed two-dimensional range
+# predicate, how many file-buckets survive min/max pruning under (a) a
+# layout sorted by orderkey, (b) sorted by partkey, (c) Z-ordered?
+# rows_scanned is the post-pruning scan volume; scan_x_permille is scan
+# amplification vs a perfect index (1000 = reads exactly the matching
+# rows). Single-dim sorts prune one dimension and read ~everything for
+# the other; the Morton layout prunes on both — the number that justifies
+# OPTIMIZE ZORDER at 100 TB, certified engine-side in integers.
+
+_PRED_LO, _PRED_HI = 4096, 8191  # one 1/16 slice of each 16-bit domain
+_BUCKET_W = 2048  # 32 value-range buckets per single-dim layout
+
+
+def _skip_ab_sql(dialect: str) -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    z = _morton_sql("ok16", "pk16", dialect)
+    # order-preserving rescale of each key into the full 16-bit domain
+    # (key * 65536 DIV (max+1)) — raw keys at small scale factors occupy
+    # a fraction of 16 bits and every arm would trivially prune to zero
+    base = (
+        "ext AS (SELECT CAST(MAX(l_orderkey) + 1 AS BIGINT) AS mok, "
+        "  CAST(MAX(l_partkey) + 1 AS BIGINT) AS mpk FROM lineitem), "
+        "scaled AS (SELECT "
+        f"  CAST(CAST(l_orderkey AS BIGINT) * 65536 {idiv} mok AS BIGINT) "
+        "    AS ok16, "
+        f"  CAST(CAST(l_partkey AS BIGINT) * 65536 {idiv} mpk AS BIGINT) "
+        "    AS pk16 "
+        "  FROM lineitem CROSS JOIN ext), "
+        f"base AS (SELECT ok16, pk16, {z} AS z FROM scaled)"
+    )
+    layouts = (
+        ("sort_orderkey", f"ok16 {idiv} {_BUCKET_W}"),
+        ("sort_partkey", f"pk16 {idiv} {_BUCKET_W}"),
+        ("zorder", f"z {idiv} 134217728"),
+    )
+    arms = []
+    for name, bucket in layouts:
+        arms.append(
+            f"SELECT '{name}' AS layout, "
+            "CAST(COUNT(*) AS BIGINT) AS n_buckets, "
+            "CAST(SUM(cand) AS BIGINT) AS n_candidate, "
+            "CAST(SUM(cand * n_rows) AS BIGINT) AS rows_scanned "
+            f"FROM (SELECT {bucket} AS b, COUNT(*) AS n_rows, "
+            "CASE WHEN MAX(ok16) >= {lo} AND MIN(ok16) <= {hi} "
+            "      AND MAX(pk16) >= {lo} AND MIN(pk16) <= {hi} "
+            "THEN 1 ELSE 0 END AS cand "
+            f"FROM base GROUP BY {bucket}) t".format(lo=_PRED_LO, hi=_PRED_HI)
+        )
+    union = " UNION ALL ".join(arms)
+    return (
+        f"WITH {base}, "
+        "matched AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_matched "
+        f"  FROM base WHERE ok16 BETWEEN {_PRED_LO} AND {_PRED_HI} "
+        f"  AND pk16 BETWEEN {_PRED_LO} AND {_PRED_HI}), "
+        f"arms AS ({union}) "
+        "SELECT a.layout, a.n_buckets, a.n_candidate, a.rows_scanned, "
+        "m.rows_matched, "
+        f"CAST(a.rows_scanned * 1000 {idiv} "
+        "  (CASE WHEN m.rows_matched = 0 THEN 1 ELSE m.rows_matched END) "
+        "  AS BIGINT) AS scan_x_permille "
+        "FROM arms a CROSS JOIN matched m ORDER BY a.layout"
+    )
+
+
+sql_query(
+    "layout_skipping_ab",
+    _skip_ab_sql("spark"),
+    oracle=_skip_ab_sql("duck"),
+    tables=("lineitem",),
+    tags=("layout", "zorder", "skipping"),
+    doc="min/max-pruning A/B for a 2-dim range predicate under three "
+    "layouts (orderkey-sorted, partkey-sorted, Z-ordered): candidate "
+    "buckets, post-pruning scan volume, and scan amplification vs a "
+    "perfect index — the measured benefit of multi-dimensional layout",
+)
