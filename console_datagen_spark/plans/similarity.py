@@ -975,3 +975,98 @@ df_query(
     "ADC tables are per-(query, probed cluster) — integer-exact "
     "end-to-end, hash-checked",
 )
+
+
+# ---- Matryoshka truncation gauge -------------------------------------------
+# Matryoshka-style embedding truncation (arXiv:2205.13147): serve the
+# first d dims of a trained vector and pay recall instead of memory.
+# Before committing a 100 TB index to truncated vectors, measure what
+# each prefix width costs: recall@5 of truncated-cosine top-5 against
+# the full-dim exact truth, per width. Same broadcast-query brute-force
+# kernel as sim_topk_brute, run once per width over sliced arrays.
+
+_MK_DIMS = (8, 16, 32)
+_MK_Q = 20
+_MK_K = 5
+
+
+def _matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    truth = S.brute_force_topk(emb, k=_MK_K, max_query_id=_MK_Q).select(
+        "query_id", "neighbor_id"
+    )
+    outs = []
+    for d in _MK_DIMS:
+        trunc = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        approx = (
+            S.brute_force_topk(trunc, k=_MK_K, max_query_id=_MK_Q)
+            .select("query_id", "neighbor_id")
+            .withColumn("m", F.lit(1))
+        )
+        outs.append(
+            truth.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy()
+            .agg(F.count("m").alias("hits"))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                F.col("hits").cast("long").alias("hits"),
+                F.expr(f"CAST(hits * 1000 DIV {_MK_Q * _MK_K} AS BIGINT)").alias(
+                    "recall_permille"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("dim")
+
+
+def _mk_arm(d: int) -> str:
+    return (
+        f"t{d} AS (SELECT vec_id, v[1:{d}] AS v, "
+        f"         sqrt(list_inner_product(v[1:{d}], v[1:{d}])) AS nrm FROM e), "
+        f"q{d} AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM t{d} "
+        f"         WHERE vec_id < {_MK_Q}), "
+        f"s{d} AS (SELECT query_id, c.vec_id AS neighbor_id, "
+        f"         list_inner_product(qv, c.v) / (qn * c.nrm) AS cos "
+        f"         FROM t{d} c, q{d} WHERE c.vec_id <> query_id), "
+        f"a{d} AS (SELECT query_id, neighbor_id FROM "
+        f"  (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        f"   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk "
+        f"   FROM s{d}) x WHERE rnk <= {_MK_K}), "
+        f"h{d} AS (SELECT CAST({d} AS BIGINT) AS dim, "
+        f"  CAST(COUNT(a{d}.neighbor_id) AS BIGINT) AS hits "
+        f"  FROM brute b LEFT JOIN a{d} "
+        f"  ON b.query_id = a{d}.query_id AND b.neighbor_id = a{d}.neighbor_id)"
+    )
+
+
+df_query(
+    "sim_matryoshka_recall",
+    _matryoshka,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        f"q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n "
+        f"      WHERE vec_id < {_MK_Q}), "
+        "bs AS (SELECT query_id, c.vec_id AS neighbor_id, "
+        "       list_inner_product(qv, c.v) / (qn * c.nrm) AS cos "
+        "       FROM n c, q WHERE c.vec_id <> query_id), "
+        "brute AS (SELECT query_id, neighbor_id FROM "
+        "  (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk "
+        f"   FROM bs) x WHERE rnk <= {_MK_K}), "
+        + ", ".join(_mk_arm(d) for d in _MK_DIMS)
+        + " SELECT dim, hits, "
+        f"CAST(hits * 1000 // {_MK_Q * _MK_K} AS BIGINT) AS recall_permille "
+        + " FROM (" 
+        + " UNION ALL ".join(f"SELECT * FROM h{d}" for d in _MK_DIMS)
+        + ") u ORDER BY dim"
+    ),
+    tables=EMB,
+    tags=("similarity", "recall", "matryoshka"),
+    doc="Matryoshka truncation gauge: recall@5 of prefix-width cosine "
+    "top-5 (dims 8/16/32) vs the full-dim exact truth — the "
+    "memory-vs-recall curve for serving truncated embeddings",
+)
