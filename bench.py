@@ -73,6 +73,7 @@ HEADLINE = [
     "join_point_in_time",
     "seq_funnel_windowed",
     "layout_skipping_ab",
+    "rag_hybrid_rrf",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 

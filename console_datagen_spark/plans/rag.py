@@ -101,3 +101,98 @@ sql_query(
     "candidates (1-probe IVF analog), exact integer-dot top-3 per query "
     "chunk — hash-exact across engines",
 )
+
+
+# ---- hybrid retrieval with reciprocal-rank fusion --------------------------
+# Production RAG retrieval is hybrid: a lexical ranker (token overlap /
+# BM25 family) and a vector ranker disagree in useful ways, and
+# reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09) combines them
+# using ONLY ranks — no score calibration across modalities. Fused score
+# = sum over rankers of 1/(60 + rank), here scaled to integers
+# (1000000 DIV (60 + rank)) so the fusion is hash-exact. The doc and
+# embedding fixtures share the same id space (doc_id == vec_id), which
+# is exactly the id discipline a real corpus needs for hybrid search.
+# Scale shape: lexical candidates come from a distinct-token equi-join
+# (query side is _NQH docs — broadcast); vector candidates from the
+# same broadcast-query cosine kernel as sim_topk_brute; the fusion
+# itself is a full-outer join of two k-row-per-query rank lists.
+
+_NQH = 10  # query docs
+_HK = 20  # per-ranker candidate depth
+_RRF_K = 60
+_HTOP = 5
+
+
+def _hybrid_sql(dialect: str) -> str:
+    if dialect == "spark":
+        idiv = "DIV"
+        tid = token_id_sql_spark("t")
+        toks = (
+            "SELECT doc_id, tid FROM (SELECT doc_id, "
+            f"explode(array_distinct(transform(split(text, ' '), t -> {tid}))) "
+            "AS tid FROM documents) x"
+        )
+        vcast = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+        def dot(a: str, b: str) -> str:
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+    else:
+        idiv = "//"
+        tid = token_id_sql_duck("t")
+        toks = (
+            "SELECT doc_id, unnest(list_distinct(list_transform("
+            f"string_split(text, ' '), t -> {tid}))) AS tid FROM documents"
+        )
+        vcast = "embedding::DOUBLE[]"
+
+        def dot(a: str, b: str) -> str:
+            return f"list_inner_product({a}, {b})"
+    return (
+        f"WITH toks AS ({toks}), "
+        f"qt AS (SELECT doc_id AS qid, tid FROM toks WHERE doc_id < {_NQH}), "
+        "ov AS (SELECT qt.qid, t.doc_id AS did, COUNT(*) AS shared "
+        "       FROM qt JOIN toks t ON qt.tid = t.tid AND t.doc_id <> qt.qid "
+        "       GROUP BY qt.qid, t.doc_id), "
+        "kw AS (SELECT qid, did, rnk FROM ("
+        "  SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid "
+        "         ORDER BY shared DESC, did) AS rnk FROM ov) x "
+        f"  WHERE rnk <= {_HK}), "
+        f"ev AS (SELECT vec_id, {vcast} AS v FROM embeddings), "
+        f"en AS (SELECT vec_id, v, sqrt({dot('v', 'v')}) AS nrm FROM ev), "
+        f"eq AS (SELECT vec_id AS qid, v AS qv0, nrm AS qn FROM en "
+        f"       WHERE vec_id < {_NQH}), "
+        f"vs AS (SELECT eq.qid, c.vec_id AS did, "
+        f"       {dot('eq.qv0', 'c.v')} / (eq.qn * c.nrm) "
+        "       AS cos FROM en c, eq WHERE c.vec_id <> eq.qid), "
+        "vr AS (SELECT qid, did, rnk FROM ("
+        "  SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid "
+        "         ORDER BY cos DESC, did) AS rnk FROM vs) x "
+        f"  WHERE rnk <= {_HK}), "
+        "fused AS (SELECT COALESCE(k.qid, v.qid) AS qid, "
+        "  COALESCE(k.did, v.did) AS did, "
+        f"  COALESCE(1000000 {idiv} ({_RRF_K} + k.rnk), 0) "
+        f"  + COALESCE(1000000 {idiv} ({_RRF_K} + v.rnk), 0) AS rrf "
+        "  FROM kw k FULL OUTER JOIN vr v "
+        "  ON k.qid = v.qid AND k.did = v.did) "
+        "SELECT qid AS query_id, did AS doc_id, "
+        "CAST(rrf AS BIGINT) AS rrf_score, CAST(rnk AS INT) AS rnk FROM ("
+        "  SELECT qid, did, rrf, ROW_NUMBER() OVER (PARTITION BY qid "
+        "         ORDER BY rrf DESC, did) AS rnk FROM fused) x "
+        f"WHERE rnk <= {_HTOP} ORDER BY query_id, rnk"
+    )
+
+
+sql_query(
+    "rag_hybrid_rrf",
+    _hybrid_sql("spark"),
+    oracle=_hybrid_sql("duck"),
+    tables=("documents", "embeddings"),
+    tags=("rag", "similarity", "hybrid", "topk"),
+    doc="hybrid retrieval: lexical (distinct-token overlap) top-20 + "
+    "vector (cosine) top-20 fused by integer reciprocal-rank fusion "
+    "(1000000 DIV (60+rank)), top-5 per query — rank-only fusion needs "
+    "no cross-modality score calibration and is hash-exact",
+)
