@@ -248,3 +248,74 @@ df_query(
     "2014): O(log n) rounds vs label propagation's O(diameter); same "
     "labels, same recursive-CTE oracle as dedup_components",
 )
+
+
+# ---- count-min sketch certification ----------------------------------------
+# The third mergeable-summary contract next to agg_heavy_hitters
+# (Misra-Gries: frequent items) and agg_quantile_sketch (ranks): a
+# count-min sketch (Cormode & Muthukrishnan '05) with d=3 salted hash
+# rows x w=32 counters answers point frequency queries in O(d*w) space.
+# Its signature guarantee — estimates NEVER undercount, min over rows
+# bounds the overcount — is deterministic given the hash family, so the
+# certification (zero underestimates + the full overestimate
+# distribution) is hash-checked cross-engine, not just sampled. The
+# sketch build is one hash agg over (row, bucket): mergeable across
+# partitions/streams by cell-wise addition at any scale.
+
+_CMS_D = 3
+_CMS_W = 32
+
+
+def _cms_sql(dialect: str) -> str:
+    if dialect == "spark":
+        idiv = "DIV"
+
+        def bucket(k: str, r: str) -> str:
+            return (
+                "(CAST(conv(substr(md5(concat('cms', CAST({r} AS STRING), "
+                "':', CAST({k} AS STRING))),1,15),16,10) AS BIGINT) "
+                f"% {_CMS_W})"
+            ).format(k=k, r=r)
+    else:
+        idiv = "//"
+
+        def bucket(k: str, r: str) -> str:
+            return (
+                "(('0x' || substr(md5('cms' || CAST({r} AS VARCHAR) || "
+                "':' || CAST({k} AS VARCHAR)),1,15))::BIGINT "
+                f"% {_CMS_W})"
+            ).format(k=k, r=r)
+
+    salts = " UNION ALL ".join(f"SELECT {r} AS r" for r in range(_CMS_D))
+    return (
+        "WITH exact AS (SELECT user_id AS k, COUNT(*) AS c FROM events "
+        "  GROUP BY user_id), "
+        f"salts AS ({salts}), "
+        f"cells AS (SELECT s.r, {bucket('e.k', 's.r')} AS b, "
+        "  SUM(e.c) AS cell FROM exact e CROSS JOIN salts s "
+        f"  GROUP BY s.r, {bucket('e.k', 's.r')}), "
+        "est AS (SELECT e.k, e.c, MIN(cl.cell) AS est "
+        "  FROM exact e CROSS JOIN salts s "
+        f"  JOIN cells cl ON cl.r = s.r AND cl.b = {bucket('e.k', 's.r')} "
+        "  GROUP BY e.k, e.c) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "CAST(SUM(CASE WHEN est < c THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_underestimates, "
+        "CAST(SUM(CASE WHEN est = c THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_exact, "
+        "CAST(MAX(est - c) AS BIGINT) AS max_overestimate, "
+        f"CAST(SUM(est - c) {idiv} COUNT(*) AS BIGINT) AS mean_overestimate "
+        "FROM est"
+    )
+
+
+sql_query(
+    "agg_cms_check",
+    _cms_sql("spark"),
+    oracle=_cms_sql("duck"),
+    tables=("events",),
+    tags=("agg", "sketch", "cms"),
+    doc=f"count-min sketch (d={_CMS_D} x w={_CMS_W}) point-frequency "
+    "certification over user_id: zero underestimates (the CM guarantee) "
+    "+ exact-hit share + overestimate distribution, hash-checked",
+)
