@@ -1070,3 +1070,98 @@ df_query(
     "top-5 (dims 8/16/32) vs the full-dim exact truth — the "
     "memory-vs-recall curve for serving truncated embeddings",
 )
+
+
+# ---- retrieval-quality evaluation ------------------------------------------
+# The metric layer over the ANN tier: treat label agreement as graded
+# relevance (neighbor relevant iff it shares the query's label) and
+# score exact cosine top-5 with the three standard retrieval metrics —
+# MRR, hit-rate@k, precision@k — as integers (reciprocal ranks scaled
+# by 1e6, rates in permille). One summary row; every input rank is
+# already hash-certified by sim_topk_brute, so this certifies the
+# metric arithmetic itself.
+
+_EV_Q = 20
+_EV_K = 5
+
+
+def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    topk = S.brute_force_topk(emb, k=_EV_K, max_query_id=_EV_Q)
+    labels = emb.select("vec_id", "label")
+    scored = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rnk",
+            F.when(F.col("ql") == F.col("nl"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.sum("rel").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+    )
+    return per_q.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.expr(
+            "CAST(SUM(COALESCE(1000000 DIV first_rel, 0)) DIV COUNT(*) "
+            "AS BIGINT)"
+        ).alias("mrr_micro"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) * 1000 "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("hit_rate_permille"),
+        F.expr(
+            f"CAST(SUM(n_rel) * 1000 DIV (COUNT(*) * {_EV_K}) AS BIGINT)"
+        ).alias("precision_at_k_permille"),
+    )
+
+
+df_query(
+    "rag_eval_metrics",
+    _retrieval_eval,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        f"q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n "
+        f"      WHERE vec_id < {_EV_Q}), "
+        "scored AS (SELECT query_id, c.vec_id AS neighbor_id, "
+        "           list_inner_product(qv, c.v) / (qn * c.nrm) AS cos "
+        "           FROM n c, q WHERE c.vec_id <> query_id), "
+        "topk AS (SELECT query_id, neighbor_id, rnk FROM "
+        "  (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk "
+        f"   FROM scored) t WHERE rnk <= {_EV_K}), "
+        "rel AS (SELECT t.query_id, t.rnk, "
+        "  CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel "
+        "  FROM topk t "
+        "  JOIN embeddings ql ON ql.vec_id = t.query_id "
+        "  JOIN embeddings nl ON nl.vec_id = t.neighbor_id), "
+        "per_q AS (SELECT query_id, SUM(rel) AS n_rel, "
+        "  MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel FROM rel "
+        "  GROUP BY query_id) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, "
+        "CAST(SUM(COALESCE(1000000 // first_rel, 0)) // COUNT(*) AS BIGINT) "
+        "  AS mrr_micro, "
+        "CAST(SUM(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) * 1000 "
+        "  // COUNT(*) AS BIGINT) AS hit_rate_permille, "
+        f"CAST(SUM(n_rel) * 1000 // (COUNT(*) * {_EV_K}) AS BIGINT) "
+        "  AS precision_at_k_permille "
+        "FROM per_q"
+    ),
+    tables=EMB,
+    tags=("similarity", "rag", "evaluation"),
+    doc="retrieval-quality metrics over exact cosine top-5 with "
+    "label-match relevance: integer MRR (x1e6), hit-rate@5 and "
+    "precision@5 in permille — the evaluation layer of the ANN tier",
+)
