@@ -35,4 +35,5 @@ from . import curriculum  # noqa: F401
 from . import rag  # noqa: F401
 from . import scale_extras  # noqa: F401
 from . import features  # noqa: F401
+from . import supervision  # noqa: F401
 from .registry import QuerySpec, all_queries, get_query  # noqa: F401

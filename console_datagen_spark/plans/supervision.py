@@ -1,0 +1,162 @@
+"""Weak supervision + data-quality drift (the labeling layer of a
+training-data pipeline).
+
+Before a corpus trains anything, labels come from somewhere — usually a
+stack of cheap programmatic labeling functions (LFs) whose votes are
+aggregated, audited for agreement, and monitored for drift between
+splits. This module certifies the three canonical shapes:
+
+- ``label_model_vote``: Snorkel-style majority vote over three
+  deterministic LFs (length rule, lexical-diversity rule, stopword-
+  presence rule), each emitting keep(+1)/drop(-1)/abstain(0). The vote,
+  unanimity and conflict tallies are pure per-row expressions + one
+  hash agg — map-side at any scale.
+- ``label_agreement_kappa``: Cohen's kappa between two LFs on the docs
+  where both vote, in integer permille (kappa = (po-pe)*1000 DIV
+  (1000-pe) over permille observed/expected agreement). The standard
+  "are my labelers redundant or complementary" audit.
+- ``dq_split_drift``: distribution drift between the train and val
+  hash-splits — per-bin permille frequencies of the value histogram,
+  L2 distance and max per-bin gap as integers. The monitor that
+  catches a broken split or a shifted ingest before training does.
+
+All arithmetic is integer (permille / squared-permille), so every
+verdict is hash-exact across engines.
+"""
+
+from __future__ import annotations
+
+from .registry import sql_query
+
+DOCS = ("documents",)
+EV = ("events",)
+
+# ---- labeling functions ----------------------------------------------------
+# votes: +1 keep / -1 drop / 0 abstain; expressions are dialect-portable
+# except the token-diversity spelling
+_LF_LEN = (
+    "CASE WHEN n_chars >= 300 THEN 1 WHEN n_chars < 150 THEN -1 ELSE 0 END"
+)
+_LF_DIV_SPARK = (
+    "CASE WHEN size(array_distinct(split(text, ' '))) * 1000 "
+    "          DIV size(split(text, ' ')) >= 650 THEN 1 "
+    "     WHEN size(array_distinct(split(text, ' '))) * 1000 "
+    "          DIV size(split(text, ' ')) < 450 THEN -1 ELSE 0 END"
+)
+_LF_DIV_DUCK = (
+    "CASE WHEN len(list_distinct(string_split(text, ' '))) * 1000 "
+    "          // len(string_split(text, ' ')) >= 650 THEN 1 "
+    "     WHEN len(list_distinct(string_split(text, ' '))) * 1000 "
+    "          // len(string_split(text, ' ')) < 450 THEN -1 ELSE 0 END"
+)
+_LF_THE = "CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END"
+
+
+def _vote_sql(lf_div: str) -> str:
+    return (
+        f"WITH lf AS (SELECT doc_id, {_LF_LEN} AS v1, {lf_div} AS v2, "
+        f"  {_LF_THE} AS v3 FROM documents), "
+        "voted AS (SELECT doc_id, v1, v2, v3, v1 + v2 + v3 AS s, "
+        "  CASE WHEN v1 + v2 + v3 > 0 THEN 'keep' "
+        "       WHEN v1 + v2 + v3 < 0 THEN 'drop' ELSE 'abstain' END AS label, "
+        "  CASE WHEN GREATEST(v1, v2, v3) = 1 AND LEAST(v1, v2, v3) = -1 "
+        "       THEN 1 ELSE 0 END AS conflict, "
+        "  CASE WHEN ABS(v1 + v2 + v3) = ABS(v1) + ABS(v2) + ABS(v3) "
+        "       AND v1 + v2 + v3 <> 0 THEN 1 ELSE 0 END AS unanimous "
+        "  FROM lf) "
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(unanimous) AS BIGINT) AS n_unanimous, "
+        "CAST(SUM(conflict) AS BIGINT) AS n_conflict "
+        "FROM voted GROUP BY label ORDER BY label"
+    )
+
+
+sql_query(
+    "label_model_vote",
+    _vote_sql(_LF_DIV_SPARK),
+    oracle=_vote_sql(_LF_DIV_DUCK),
+    tables=DOCS,
+    tags=("supervision", "labeling", "quality"),
+    doc="Snorkel-style majority vote over 3 deterministic labeling "
+    "functions (length / lexical diversity / stopword presence) with "
+    "unanimity and conflict tallies — map-side expressions + one agg",
+)
+
+
+def _kappa_sql(lf_div: str, idiv: str) -> str:
+    return (
+        f"WITH lf AS (SELECT {_LF_LEN} AS v1, {lf_div} AS v2 FROM documents), "
+        "bothv AS (SELECT v1, v2 FROM lf WHERE v1 <> 0 AND v2 <> 0), "
+        "m AS (SELECT COUNT(*) AS n, "
+        "  SUM(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS agree, "
+        "  SUM(CASE WHEN v1 = 1 THEN 1 ELSE 0 END) AS k1, "
+        "  SUM(CASE WHEN v2 = 1 THEN 1 ELSE 0 END) AS k2 FROM bothv), "
+        "p AS (SELECT n, "
+        f"  agree * 1000 {idiv} n AS po, "
+        f"  (k1 * k2 + (n - k1) * (n - k2)) * 1000 {idiv} (n * n) AS pe "
+        "  FROM m) "
+        "SELECT CAST(n AS BIGINT) AS n_both_vote, "
+        "CAST(po AS BIGINT) AS po_permille, CAST(pe AS BIGINT) AS pe_permille, "
+        f"CAST((po - pe) * 1000 {idiv} (1000 - pe) AS BIGINT) "
+        "  AS kappa_permille "
+        "FROM p"
+    )
+
+
+sql_query(
+    "label_agreement_kappa",
+    _kappa_sql(_LF_DIV_SPARK, "DIV"),
+    oracle=_kappa_sql(_LF_DIV_DUCK, "//"),
+    tables=DOCS,
+    tags=("supervision", "labeling", "agreement"),
+    doc="Cohen's kappa (integer permille) between the length and "
+    "lexical-diversity labeling functions on jointly-voting docs — the "
+    "labeler redundancy audit",
+)
+
+
+# ---- split drift monitor ---------------------------------------------------
+_DRIFT_BUCKET_SPARK = (
+    "(CAST(conv(substr(md5(concat('v1:', CAST(event_id AS STRING))),1,15),16,10) "
+    "AS BIGINT) % 1000)"
+)
+_DRIFT_BUCKET_DUCK = (
+    "(('0x' || substr(md5(concat('v1:', CAST(event_id AS VARCHAR))),1,15))::BIGINT "
+    "% 1000)"
+)
+
+
+def _drift_sql(bucket: str, idiv: str) -> str:
+    return (
+        "WITH tagged AS (SELECT "
+        f"  LEAST(CAST(FLOOR(value * 100) AS BIGINT) {idiv} 2000, 15) AS bin, "
+        f"  CASE WHEN {bucket} < 800 THEN 'train' ELSE 'val' END AS split "
+        "  FROM events), "
+        "tot AS (SELECT "
+        "  SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS na, "
+        "  SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS nb FROM tagged), "
+        "hist AS (SELECT bin, "
+        "  SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca, "
+        "  SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cb "
+        "  FROM tagged GROUP BY bin), "
+        "freq AS (SELECT bin, "
+        f"  ca * 1000 {idiv} na AS pa, cb * 1000 {idiv} nb AS pb "
+        "  FROM hist CROSS JOIN tot) "
+        "SELECT (SELECT CAST(na AS BIGINT) FROM tot) AS n_train, "
+        "(SELECT CAST(nb AS BIGINT) FROM tot) AS n_val, "
+        "CAST(SUM((pa - pb) * (pa - pb)) AS BIGINT) AS l2_drift, "
+        "CAST(MAX(ABS(pa - pb)) AS BIGINT) AS max_bin_gap_permille "
+        "FROM freq"
+    )
+
+
+sql_query(
+    "dq_split_drift",
+    _drift_sql(_DRIFT_BUCKET_SPARK, "DIV"),
+    oracle=_drift_sql(_DRIFT_BUCKET_DUCK, "//"),
+    tables=EV,
+    tags=("quality", "drift", "sampling"),
+    doc="train/val distribution drift over a 16-bin value histogram: "
+    "per-bin permille frequencies, squared-L2 distance and max bin gap "
+    "— the split-health monitor, integers end-to-end",
+)
