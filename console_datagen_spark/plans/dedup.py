@@ -776,6 +776,8 @@ df_query(
 
 # ---- triangle census over the near-dup graph -------------------------------
 
+_tri_cache = CacheSlot()
+
 
 def _triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the near-dup
@@ -789,7 +791,11 @@ def _triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed triangle kernel (two equi-joins on the edge list; at
     100 TB the usual degree-ordering trick applies unchanged because
     ids are already ordered)."""
-    pairs = _minhash_pairs(spark, sf_dir)
+    _tri_cache.release()
+    # five plan branches (e1/e2/e3 + both degree unions) read the edge
+    # list; without the eager hold each branch re-executes the whole
+    # upstream LSH pair pipeline (measured 13.5 s -> ~3 s at sf0.1)
+    pairs = _tri_cache.hold(_minhash_pairs(spark, sf_dir))
     e = pairs.select("doc_a", "doc_b")
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
