@@ -310,3 +310,87 @@ sql_query(
     f"best-vs-worst quality doc with a >={_PREF_MARGIN} permille margin "
     "gate — the chosen/rejected extraction step of DPO-style data prep",
 )
+
+
+# --- fused feature-matrix materialization -----------------------------------
+# The capstone composition: one declarative plan materializes a training
+# feature matrix over the purchase spine — (a) the point-in-time value
+# feature via the linear as-of carry, (b) cohort age in days, (c) prior
+# activity count via a bounded window frame. Three feature families,
+# three shuffle keys (user_id twice reused, user_id+sort once) — Catalyst
+# fuses the projections; nothing leaks post-spine information.
+
+
+def _feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, EV)["events"]
+    wprior = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_prior = ev.withColumn(
+        "n_prior", F.count("*").over(wprior).cast("bigint")
+    )
+    spine = with_prior.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "n_prior"
+    )
+    wdim = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dim = (
+        ev.withColumn("rn", F.row_number().over(wdim))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    pit = as_of_join(spine, dim, key="user_id", value_cols=["cents"])
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort")
+    )
+    return (
+        pit.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("asof_cents").alias("feat_cents"),
+            F.expr("CAST(DATEDIFF(CAST(ts AS DATE), cohort) AS BIGINT)").alias(
+                "cohort_age_days"
+            ),
+            "n_prior",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+df_query(
+    "pipeline_feature_matrix",
+    _feature_matrix,
+    oracle=(
+        f"WITH dim AS ({_DIM_SQL}), "
+        "scd AS (SELECT user_id, cents, ts AS valid_from, "
+        "  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to "
+        "  FROM dim), "
+        "firstday AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort "
+        "  FROM events GROUP BY user_id), "
+        "pr AS (SELECT user_id, event_id, ts, event_type, "
+        "  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) "
+        "    AS n_prior FROM events) "
+        "SELECT p.user_id, p.event_id, s.cents AS feat_cents, "
+        "CAST(date_diff('day', f.cohort, CAST(p.ts AS DATE)) AS BIGINT) "
+        "  AS cohort_age_days, p.n_prior "
+        "FROM pr p "
+        "LEFT JOIN scd s ON p.user_id = s.user_id "
+        "  AND s.valid_from <= p.ts "
+        "  AND (s.valid_to IS NULL OR p.ts < s.valid_to) "
+        "JOIN firstday f ON p.user_id = f.user_id "
+        "WHERE p.event_type = 'purchase' "
+        "ORDER BY p.user_id, p.event_id"
+    ),
+    tables=EV,
+    tags=("feature-store", "pipeline", "asof"),
+    doc="fused feature-matrix materialization over the purchase spine: "
+    "point-in-time value (as-of carry), cohort age, prior-event count — "
+    "one declarative plan, leakage-free by construction",
+)
