@@ -51,14 +51,22 @@ EV = ("events",)
 # latest-wins dedupe of same-instant changes: one change per (user, ts),
 # highest event_id wins (D3), so SCD2 intervals are strictly increasing
 # and never zero-length — the precondition for as-of == containment.
-_DIM_SQL = (
-    "SELECT user_id, ts, event_id, "
-    "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM ("
-    "  SELECT user_id, ts, event_id, value, "
-    "    ROW_NUMBER() OVER (PARTITION BY user_id, ts "
-    "                       ORDER BY event_id DESC) AS rn "
-    "  FROM events) t WHERE rn = 1"
-)
+
+
+def _dim_sql(where: str = "") -> str:
+    return (
+        "SELECT user_id, ts, event_id, "
+        "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM ("
+        "  SELECT user_id, ts, event_id, value, "
+        "    ROW_NUMBER() OVER (PARTITION BY user_id, ts "
+        "                       ORDER BY event_id DESC) AS rn "
+        f"  FROM events{where}) t WHERE rn = 1"
+    )
+
+
+_DIM_SQL = _dim_sql()
+# the PIT feature changelog: everything except the spine's event type
+_FEAT_DIM_SQL = _dim_sql(" WHERE event_type <> 'purchase'")
 
 sql_query(
     "cdc_scd2_history",
@@ -83,8 +91,12 @@ sql_query(
 def _pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = register_views(spark, sf_dir, EV)["events"]
     win = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    # the feature changelog excludes the spine's own event type, so a
+    # purchase reads a genuinely EARLIER feature version (or NULL when no
+    # feature event precedes it — the left-join contract)
     dim = (
-        ev.withColumn("rn", F.row_number().over(win))
+        ev.where(F.col("event_type") != "purchase")
+        .withColumn("rn", F.row_number().over(win))
         .where(F.col("rn") == 1)
         .select(
             "user_id",
@@ -111,7 +123,7 @@ df_query(
     "join_point_in_time",
     _pit,
     oracle=(
-        f"WITH dim AS ({_DIM_SQL}), "
+        f"WITH dim AS ({_FEAT_DIM_SQL}), "
         "scd AS (SELECT user_id, event_id, cents, ts AS valid_from, "
         "  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to "
         "  FROM dim) "
@@ -336,7 +348,8 @@ def _feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wdim = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
     dim = (
-        ev.withColumn("rn", F.row_number().over(wdim))
+        ev.where(F.col("event_type") != "purchase")
+        .withColumn("rn", F.row_number().over(wdim))
         .where(F.col("rn") == 1)
         .select(
             "user_id",
@@ -367,7 +380,7 @@ df_query(
     "pipeline_feature_matrix",
     _feature_matrix,
     oracle=(
-        f"WITH dim AS ({_DIM_SQL}), "
+        f"WITH dim AS ({_FEAT_DIM_SQL}), "
         "scd AS (SELECT user_id, cents, ts AS valid_from, "
         "  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to "
         "  FROM dim), "

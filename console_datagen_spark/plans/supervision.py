@@ -97,7 +97,12 @@ def _kappa_sql(lf_div: str, idiv: str) -> str:
         "  FROM m) "
         "SELECT CAST(n AS BIGINT) AS n_both_vote, "
         "CAST(po AS BIGINT) AS po_permille, CAST(pe AS BIGINT) AS pe_permille, "
-        f"CAST((po - pe) * 1000 {idiv} (1000 - pe) AS BIGINT) "
+        # pe = 1000 (labelers with constant marginals) makes kappa's
+        # denominator zero; the convention here is 1000 on perfect
+        # agreement, else 0 — guarded so degenerate data can't divide by 0
+        "CAST(CASE WHEN pe = 1000 THEN "
+        "  CASE WHEN po = 1000 THEN 1000 ELSE 0 END "
+        f"ELSE (po - pe) * 1000 {idiv} (1000 - pe) END AS BIGINT) "
         "  AS kappa_permille "
         "FROM p"
     )
