@@ -74,6 +74,9 @@ HEADLINE = [
     "seq_funnel_windowed",
     "layout_skipping_ab",
     "rag_hybrid_rrf",
+    "graph_triangles",
+    "sim_matryoshka_recall",
+    "pipeline_feature_matrix",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 
