@@ -319,3 +319,39 @@ sql_query(
     "certification over user_id: zero underestimates (the CM guarantee) "
     "+ exact-hit share + overestimate distribution, hash-checked",
 )
+
+
+# ---- TPC-H Q22 plan shape --------------------------------------------------
+# Global-aggregate scalar subquery + decorrelated NOT EXISTS anti-join +
+# final group — the "customers with money but no orders" sales-opportunity
+# query. The average-balance threshold is evaluated as a cross-multiplied
+# integer predicate (cents * n_total > total_cents) instead of a float
+# AVG comparison, so boundary customers cannot flip between engines
+# (D2: no float comparisons on aggregate boundaries). Catalyst plans the
+# scalar subquery as a broadcast one-row join and the NOT EXISTS as a
+# left-anti hash join on o_custkey — both shapes survive 100 TB.
+_Q22 = (
+    "WITH pool AS (SELECT c_custkey, c_nationkey, "
+    "  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents FROM customer "
+    "  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)), "
+    "thr AS (SELECT COUNT(*) AS n, SUM(cents) AS tot FROM pool "
+    "  WHERE cents > 0) "
+    "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust, "
+    "CAST(SUM(cents) AS BIGINT) AS totacctbal_cents "
+    "FROM pool CROSS JOIN thr "
+    "WHERE cents * n > tot "
+    "  AND NOT EXISTS (SELECT 1 FROM orders o "
+    "                  WHERE o.o_custkey = pool.c_custkey "
+    "                  AND o.o_orderpriority = '1-URGENT') "
+    "GROUP BY c_nationkey ORDER BY c_nationkey"
+)
+
+sql_query(
+    "q_sales_opportunity",
+    _Q22,
+    tables=("customer", "orders"),
+    tags=("relational", "subquery", "anti-join"),
+    doc="TPC-H Q22 shape: above-average-balance customers with no urgent orders "
+    "per nation; scalar-subquery threshold as an exact integer "
+    "cross-multiplication, NOT EXISTS as a left-anti hash join",
+)
