@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register_views
 from ..operators.temporal import as_of_join, range_join_binned
-from .registry import df_query
+from .registry import df_query, sql_query
 
 EV = ("events",)
 
@@ -133,4 +133,52 @@ df_query(
     tags=("join", "asof"),
     doc="forward as-of join (next event at-or-after): reverse-scan union-"
     "sort carry — the conversion-attribution shape, one shuffle, no theta",
+)
+
+
+# ---- interval-overlap join -------------------------------------------------
+# The third temporal-join class next to as-of (point reads latest
+# interval start) and point-in-band (join_range_bands): INTERVAL x
+# INTERVAL overlap. Here: each user's per-day activity span [first, last]
+# joined against fixed intra-day campaign windows [06:00, 18:00), overlap
+# length reported in whole minutes. The equi key is the DAY bin — the
+# binned-interval pattern: plain hash join on the bin plus an exact
+# residual overlap predicate, never a nested loop. Everything is integer
+# epoch-microseconds (unix_micros / epoch_us), so the overlap arithmetic
+# is bit-identical across engines.
+
+_OVERLAP_CORE = (
+    "WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day, "
+    "  MIN({epoch_us}) AS s, MAX({epoch_us}) AS e "
+    "  FROM events GROUP BY user_id, CAST(ts AS DATE)), "
+    "wins AS (SELECT day, "
+    "  {day_us} + 21600000000 AS ws, "   # 06:00
+    "  {day_us} + 64800000000 AS we "    # 18:00
+    "  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d) "
+    "SELECT sp.user_id, sp.day, "
+    "CAST((LEAST(sp.e, w.we - 1) - GREATEST(sp.s, w.ws)) {idiv} 60000000 AS BIGINT) "
+    "  AS overlap_minutes "
+    "FROM spans sp JOIN wins w ON sp.day = w.day "
+    "WHERE sp.s < w.we AND w.ws <= sp.e "
+    "ORDER BY sp.user_id, sp.day"
+)
+
+
+sql_query(
+    "join_interval_overlap",
+    _OVERLAP_CORE.format(
+        epoch_us="unix_micros(ts)",
+        day_us="CAST(DATEDIFF(day, DATE '1970-01-01') AS BIGINT) * 86400000000",
+        idiv="DIV",
+    ),
+    oracle=_OVERLAP_CORE.format(
+        epoch_us="epoch_us(ts)",
+        day_us="CAST(day - DATE '1970-01-01' AS BIGINT) * 86400000000",
+        idiv="//",
+    ),
+    tables=EV,
+    tags=("temporal", "interval", "join"),
+    doc="interval x interval overlap join (user day-span vs 06:00-18:00 "
+    "campaign window) with overlap minutes: equi-join on the day bin + "
+    "exact residual predicate, integer epoch-us arithmetic",
 )
