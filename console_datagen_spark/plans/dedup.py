@@ -763,7 +763,8 @@ df_query(
         "CAST(MAX(ABS(e.est - x.jac)) AS BIGINT) AS max_abs_err_permille, "
         "CAST(SUM(CASE WHEN ABS(e.est - x.jac) <= 125 THEN 1 ELSE 0 END) "
         "  AS BIGINT) AS n_within_one_perm "
-        "FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b"
+        "FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b "
+        "ORDER BY n_pairs"
     ),
     tables=DOCS,
     tags=("dedup", "minhash", "sketch"),
@@ -851,7 +852,7 @@ df_query(
         "CAST(CASE WHEN n_wedges = 0 THEN 0 "
         "  ELSE 3 * n_triangles * 1000 // n_wedges END AS BIGINT) "
         "  AS clustering_permille "
-        "FROM ne, shape, tri"
+        "FROM ne, shape, tri ORDER BY n_edges"
     ),
     tables=DOCS,
     tags=("dedup", "graph"),

@@ -305,7 +305,7 @@ def _cms_sql(dialect: str) -> str:
         "  AS n_exact, "
         "CAST(MAX(est - c) AS BIGINT) AS max_overestimate, "
         f"CAST(SUM(est - c) {idiv} COUNT(*) AS BIGINT) AS mean_overestimate "
-        "FROM est"
+        "FROM est ORDER BY n_keys"
     )
 
 

@@ -1157,7 +1157,7 @@ df_query(
         "  // COUNT(*) AS BIGINT) AS hit_rate_permille, "
         f"CAST(SUM(n_rel) * 1000 // (COUNT(*) * {_EV_K}) AS BIGINT) "
         "  AS precision_at_k_permille "
-        "FROM per_q"
+        "FROM per_q ORDER BY n_queries"
     ),
     tables=EMB,
     tags=("similarity", "rag", "evaluation"),

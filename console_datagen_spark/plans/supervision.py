@@ -151,7 +151,7 @@ def _drift_sql(bucket: str, idiv: str) -> str:
         "(SELECT CAST(nb AS BIGINT) FROM tot) AS n_val, "
         "CAST(SUM((pa - pb) * (pa - pb)) AS BIGINT) AS l2_drift, "
         "CAST(MAX(ABS(pa - pb)) AS BIGINT) AS max_bin_gap_permille "
-        "FROM freq"
+        "FROM freq ORDER BY n_train"
     )
 
 
