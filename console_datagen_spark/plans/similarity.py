@@ -1165,3 +1165,58 @@ df_query(
     "label-match relevance: integer MRR (x1e6), hit-rate@5 and "
     "precision@5 in permille — the evaluation layer of the ANN tier",
 )
+
+
+# ---- IVF cluster-balance gauge ---------------------------------------------
+# The IVF analog of agg_key_skew: probe cost at scale is driven by the
+# HOTTEST inverted list, not the average one. balance_permille = 1000 *
+# max_cluster * n_clusters / n_vectors (1000 = perfectly uniform); a
+# 10x-hot list means nprobe hits routinely pay 10 uniform shares and the
+# coarse quantizer wants retraining (or the list wants splitting). One
+# broadcast-assignment pass + two tiny aggregations.
+
+
+def _ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    assigned = S.assign_clusters(emb, centroid_mod=25)
+    per = assigned.groupBy("cluster").agg(F.count("*").alias("cnt"))
+    return per.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("cnt").cast("bigint").alias("n_vectors"),
+        F.min("cnt").cast("bigint").alias("min_cluster"),
+        F.max("cnt").cast("bigint").alias("max_cluster"),
+        F.expr(
+            "CAST(MAX(cnt) * 1000 * COUNT(*) DIV SUM(cnt) AS BIGINT)"
+        ).alias("balance_permille"),
+    )
+
+
+df_query(
+    "sim_ivf_balance",
+    _ivf_balance,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        "cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n "
+        "         WHERE vec_id % 25 = 0), "
+        "ascore AS (SELECT n.vec_id, cid, "
+        "           list_inner_product(n.v, cv) / (n.nrm * cn) AS cos "
+        "           FROM n, cent), "
+        "assigned AS (SELECT vec_id, cid AS cluster FROM "
+        "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "   ORDER BY cos DESC, cid) AS rn FROM ascore) t WHERE rn = 1), "
+        "per AS (SELECT cluster, COUNT(*) AS cnt FROM assigned "
+        "        GROUP BY cluster) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters, "
+        "CAST(SUM(cnt) AS BIGINT) AS n_vectors, "
+        "CAST(MIN(cnt) AS BIGINT) AS min_cluster, "
+        "CAST(MAX(cnt) AS BIGINT) AS max_cluster, "
+        "CAST(MAX(cnt) * 1000 * COUNT(*) // SUM(cnt) AS BIGINT) "
+        "  AS balance_permille "
+        "FROM per ORDER BY n_clusters"
+    ),
+    tables=EMB,
+    tags=("similarity", "ivf", "telemetry"),
+    doc="IVF inverted-list balance gauge: cluster-size min/max + hottest-"
+    "list permille (1000 = uniform) — the probe-cost skew signal that "
+    "decides coarse-quantizer retraining at scale",
+)

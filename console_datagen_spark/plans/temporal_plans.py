@@ -182,3 +182,51 @@ sql_query(
     "campaign window) with overlap minutes: equi-join on the day bin + "
     "exact residual predicate, integer epoch-us arithmetic",
 )
+
+
+# ---- tolerance-bounded as-of join ------------------------------------------
+# pandas merge_asof's ``tolerance`` in engine form: the carried match is
+# dropped when it is STALER than the bound (here 24 h) — the staleness
+# contract a feature read usually ships with (a quote from last month is
+# not a fill). Same linear union-sort carry; the tolerance is one extra
+# residual predicate on the carried timestamp, zero extra shuffles.
+
+
+def _asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = register_views(spark, sf_dir, EV)["events"]
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = as_of_join(
+        left, right, key="user_id", value_cols=["event_id", "ts"],
+        tiebreak="event_id",
+    )
+    fresh = F.col("asof_ts") >= F.expr("ts - INTERVAL 24 HOUR")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.when(fresh, F.col("asof_event_id")).alias("last_click_id"),
+    ).orderBy("user_id", "event_id")
+
+
+df_query(
+    "join_asof_tolerance",
+    _asof_tolerance,
+    oracle=(
+        "SELECT p.user_id, p.event_id, "
+        "( SELECT c.event_id FROM events c "
+        "  WHERE c.user_id = p.user_id AND c.event_type = 'click' "
+        "  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR "
+        "  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id "
+        "FROM events p WHERE p.event_type = 'purchase' "
+        "ORDER BY p.user_id, p.event_id"
+    ),
+    tables=EV,
+    tags=("temporal", "asof", "tolerance"),
+    doc="as-of join with a 24 h staleness tolerance (merge_asof "
+    "tolerance analog): stale carries null out via one residual "
+    "predicate on the carried ts — no extra shuffle",
+)
