@@ -106,3 +106,71 @@ df_query(
     "(chars vs post-merge symbols, permille) — corpus tokens equi-join "
     "the vocab-bound final state; detects merges overfit to one language",
 )
+
+
+# ---- OOV-rate gauge --------------------------------------------------------
+# Tokenizer/vocab coverage discipline: induce the top-K word vocabulary
+# from the TRAIN hash-split only, then measure what fraction of VAL
+# tokens fall outside it (out-of-vocabulary permille, total and
+# per-lang). The vocab is a top-K over a hash agg (broadcastable at any
+# corpus size for realistic K); the val probe is one anti-joinable
+# lookup — and fitting on train only is the same leakage discipline as
+# feat_target_encode.
+
+from .registry import sql_query  # noqa: E402
+
+_VOCAB_K = 500
+
+_B_SPARK = (
+    "(CAST(conv(substr(md5(concat('v1:', CAST(doc_id AS STRING))),1,15),16,10) "
+    "AS BIGINT) % 1000)"
+)
+_B_DUCK = (
+    "(('0x' || substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))),1,15))::BIGINT "
+    "% 1000)"
+)
+
+
+def _oov_sql(dialect: str) -> str:
+    if dialect == "spark":
+        bucket, idiv = _B_SPARK, "DIV"
+        tok = (
+            "SELECT doc_id, lang, explode(split(text, ' ')) AS w "
+            "FROM documents"
+        )
+    else:
+        bucket, idiv = _B_DUCK, "//"
+        tok = (
+            "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w "
+            "FROM documents"
+        )
+    return (
+        f"WITH tokens AS ({tok}), "
+        f"tagged AS (SELECT lang, w, "
+        f"  CASE WHEN {bucket} < 800 THEN 'train' ELSE 'val' END AS split "
+        "  FROM tokens), "
+        "vocab AS (SELECT w FROM ("
+        "  SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rnk "
+        "  FROM tagged WHERE split = 'train' GROUP BY w) t "
+        f"  WHERE rnk <= {_VOCAB_K}), "
+        "val AS (SELECT t.lang, t.w, "
+        "  CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov "
+        "  FROM tagged t LEFT JOIN vocab v ON t.w = v.w "
+        "  WHERE t.split = 'val') "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS val_tokens, "
+        "CAST(SUM(oov) AS BIGINT) AS oov_tokens, "
+        f"CAST(SUM(oov) * 1000 {idiv} COUNT(*) AS BIGINT) AS oov_permille "
+        "FROM val GROUP BY lang ORDER BY lang"
+    )
+
+
+sql_query(
+    "vocab_oov_rate",
+    _oov_sql("spark"),
+    oracle=_oov_sql("duck"),
+    tables=DOCS,
+    tags=("vocab", "coverage", "sampling"),
+    doc=f"out-of-vocabulary gauge: top-{_VOCAB_K} word vocab fit on the "
+    "train hash-split, OOV permille of val tokens per lang — tokenizer "
+    "coverage with the train-only fitting discipline",
+)
