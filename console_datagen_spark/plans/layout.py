@@ -417,3 +417,46 @@ sql_query(
     "buckets, post-pruning scan volume, and scan amplification vs a "
     "perfect index — the measured benefit of multi-dimensional layout",
 )
+
+
+def _winsor_sql(idiv: str) -> str:
+    # winsorization with EXACT order-statistic bounds, reusing the
+    # distinct-value CDF (no full-stream sort at any scale): p05/p95
+    # clip thresholds per event type, then the clipped sum and the
+    # clip-volume tallies — the robust-scaling feature prep that
+    # neutralizes tail outliers before normalization.
+    return (
+        "WITH iv AS (SELECT event_type, "
+        "            CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events), "
+        "cd AS (SELECT event_type, v, COUNT(*) AS c FROM iv "
+        "       GROUP BY event_type, v), "
+        "r AS (SELECT event_type, v, "
+        "      SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum, "
+        "      SUM(c) OVER (PARTITION BY event_type) AS n FROM cd), "
+        "bounds AS (SELECT event_type, "
+        "  MIN(CASE WHEN cum * 100 >= 5 * n THEN v END) AS lo, "
+        "  MIN(CASE WHEN cum * 100 >= 95 * n THEN v END) AS hi "
+        "  FROM r GROUP BY event_type) "
+        "SELECT i.event_type, CAST(b.lo AS BIGINT) AS p05_c, "
+        "CAST(b.hi AS BIGINT) AS p95_c, "
+        "CAST(SUM(CASE WHEN i.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_clipped_low, "
+        "CAST(SUM(CASE WHEN i.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_clipped_high, "
+        "CAST(SUM(LEAST(GREATEST(i.v, b.lo), b.hi)) AS BIGINT) "
+        "  AS winsorized_sum_c "
+        "FROM iv i JOIN bounds b ON i.event_type = b.event_type "
+        "GROUP BY i.event_type, b.lo, b.hi ORDER BY i.event_type"
+    )
+
+
+sql_query(
+    "feat_winsorize",
+    _winsor_sql("DIV"),
+    oracle=_winsor_sql("//"),
+    tables=("events",),
+    tags=("feature-store", "robust", "percentile"),
+    doc="winsorization at exact p05/p95 (distinct-value CDF, no "
+    "full-stream sort): clip thresholds, clip-volume tallies and the "
+    "winsorized sum per event type — robust feature scaling prep",
+)
