@@ -927,3 +927,93 @@ df_query(
     "shingles first seen in that doc, aggregated over NTILE(10) of "
     "doc_id — the diminishing-returns curve for continued ingestion",
 )
+
+
+# ---- contrastive negative sampling -----------------------------------------
+# Contrastive/embedding training needs NEGATIVES that are (a) plausibly
+# comparable (same language), (b) provably NOT near-duplicates of the
+# anchor (zero shared 3-shingles — stricter than the LSH threshold), and
+# (c) deterministically chosen so the dataset is reproducible. Ranking
+# is by a seeded pair hash, so resampling with a new seed string is one
+# constant change. Anchor set is broadcastable; the no-overlap check is
+# an anti-join on the shared-shingle pair frame — never a text scan.
+
+_NEG_K = 3
+_NEG_ANCHORS = 10
+
+
+def _neg_hash(dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            "CAST(conv(substr(md5(concat('neg1:', CAST(qid AS STRING), ':', "
+            "CAST(did AS STRING))),1,15),16,10) AS BIGINT)"
+        )
+    return (
+        "('0x' || substr(md5('neg1:' || CAST(qid AS VARCHAR) || ':' || "
+        "CAST(did AS VARCHAR)),1,15))::BIGINT"
+    )
+
+
+def _negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    ids = D.doc_shingle_ids(docs)
+    anchors = docs.where(F.col("doc_id") < _NEG_ANCHORS).select(
+        F.col("doc_id").alias("qid"), F.col("lang").alias("qlang")
+    )
+    cand = docs.select(
+        F.col("doc_id").alias("did"), F.col("lang").alias("dlang")
+    )
+    pool = (
+        cand.join(F.broadcast(anchors), F.col("qlang") == F.col("dlang"))
+        .where(F.col("did") != F.col("qid"))
+        .select("qid", "did")
+    )
+    # shared-shingle pairs restricted to anchors: fan anchor shingles out,
+    # equi-join on (did, tid) — candidate-driven like the LSH verify
+    qids = ids.join(
+        F.broadcast(anchors.select(F.col("qid").alias("doc_id"))), "doc_id"
+    ).select(F.col("doc_id").alias("qid"), "tid")
+    overlap = (
+        qids.join(ids.select(F.col("doc_id").alias("did"), "tid"), "tid")
+        .select("qid", "did")
+        .distinct()
+    )
+    clean = pool.join(overlap, ["qid", "did"], "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.expr(_neg_hash("spark")), "did")
+    return (
+        clean.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _NEG_K)
+        .selectExpr("qid", "did AS neg_doc", "CAST(rnk AS INT) AS rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+df_query(
+    "sample_negatives",
+    _negatives,
+    oracle=(
+        f"WITH {_DUCK_IDS}, "
+        f"anchors AS (SELECT doc_id AS qid, lang AS qlang FROM documents "
+        f"            WHERE doc_id < {_NEG_ANCHORS}), "
+        "pool AS (SELECT a.qid, d.doc_id AS did FROM documents d "
+        "         JOIN anchors a ON d.lang = a.qlang "
+        "         WHERE d.doc_id <> a.qid), "
+        "overlap AS (SELECT DISTINCT qi.doc_id AS qid, di.doc_id AS did "
+        "  FROM ids qi JOIN ids di ON qi.tid = di.tid "
+        f"  WHERE qi.doc_id < {_NEG_ANCHORS}), "
+        "clean AS (SELECT p.qid, p.did FROM pool p "
+        "  WHERE NOT EXISTS (SELECT 1 FROM overlap o "
+        "    WHERE o.qid = p.qid AND o.did = p.did)) "
+        "SELECT qid, did AS neg_doc, CAST(rnk AS INT) AS rnk FROM ("
+        f"  SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid "
+        f"    ORDER BY {_neg_hash('duck')}, did) AS rnk FROM clean) t "
+        f"WHERE rnk <= {_NEG_K} ORDER BY qid, rnk"
+    ),
+    tables=DOCS,
+    tags=("sampling", "contrastive", "dedup"),
+    doc=f"contrastive negative sampling: {_NEG_K} same-language negatives "
+    "per anchor with ZERO shared shingles (anti-join on the overlap "
+    "frame), seeded-hash ranked for reproducibility",
+)
