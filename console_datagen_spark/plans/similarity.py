@@ -1220,3 +1220,66 @@ df_query(
     "list permille (1000 = uniform) — the probe-cost skew signal that "
     "decides coarse-quantizer retraining at scale",
 )
+
+
+# ---- cross-lingual pair mining (bitext candidates) -------------------------
+# Parallel-corpus (bitext) mining, the multilingual-training data step:
+# embedding near-dup pairs whose DOCUMENTS carry different languages are
+# translation candidates (same meaning, different surface). Reuses the
+# full sign-LSH + exact-verify pipeline and adds two broadcastable
+# lang-lookup joins on the shared doc/vec id space — the same shape
+# LASER/LaBSE margin-mining runs at corpus scale.
+
+
+def _cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = register_views(spark, sf_dir, EMB + ("documents",))
+    pairs = _emb_dups(spark, sf_dir)
+    langs = views["documents"].select("doc_id", "lang")
+    la = langs.select(
+        F.col("doc_id").alias("vec_a"), F.col("lang").alias("lang_a")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("vec_b"), F.col("lang").alias("lang_b")
+    )
+    return (
+        pairs.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .where(F.col("lang_a") != F.col("lang_b"))
+        .select("vec_a", "vec_b", "lang_a", "lang_b")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+df_query(
+    "dedup_cross_lingual",
+    _cross_lingual,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        f"planes AS ({_DUCK_BAND_PLANES}), "
+        "signs AS (SELECT n.vec_id, band, bit, "
+        "          CASE WHEN list_inner_product(n.v, pv) > 0 THEN 1 ELSE 0 END "
+        "          AS sgn FROM n, planes), "
+        "buckets AS (SELECT vec_id, band, "
+        "            CAST(SUM(CAST(sgn AS BIGINT) << bit) AS BIGINT) AS bucket "
+        "            FROM signs GROUP BY vec_id, band), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "         FROM buckets a JOIN buckets b "
+        "         ON a.band = b.band AND a.bucket = b.bucket "
+        "         WHERE a.vec_id < b.vec_id), "
+        "pairs AS (SELECT vec_a, vec_b FROM cand "
+        "  JOIN n na ON na.vec_id = cand.vec_a "
+        "  JOIN n nb ON nb.vec_id = cand.vec_b "
+        "  WHERE list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm) > 0.4) "
+        "SELECT p.vec_a, p.vec_b, da.lang AS lang_a, db.lang AS lang_b "
+        "FROM pairs p "
+        "JOIN documents da ON da.doc_id = p.vec_a "
+        "JOIN documents db ON db.doc_id = p.vec_b "
+        "WHERE da.lang <> db.lang "
+        "ORDER BY p.vec_a, p.vec_b"
+    ),
+    tables=EMB + ("documents",),
+    tags=("similarity", "bitext", "multilingual"),
+    doc="bitext candidate mining: embedding near-dup pairs whose docs "
+    "carry different languages (sign-LSH candidates + exact cosine "
+    "verify + lang lookup) — the parallel-corpus extraction step",
+)
