@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register_views
+from ..functions.hashing import HASH_PRIME as _HASH_PRIME
 from ..operators import similarity as S
 from .registry import CacheSlot, df_query, sql_query
 
@@ -1282,4 +1283,89 @@ df_query(
     doc="bitext candidate mining: embedding near-dup pairs whose docs "
     "carry different languages (sign-LSH candidates + exact cosine "
     "verify + lang lookup) — the parallel-corpus extraction step",
+)
+
+
+# ---- hard-negative mining --------------------------------------------------
+# The contrastive-training upgrade of sample_negatives (plans/dedup.py):
+# the BEST negatives are the closest embeddings that are provably not
+# duplicates — maximally confusable, maximally informative. Anchor set
+# (vec_id < 10) broadcasts; candidate scoring is the same broadcast-query
+# cosine kernel as sim_topk_brute; the not-a-duplicate constraint is a
+# zero-shared-shingle anti-join on the text side of the shared id space.
+
+
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    views = register_views(spark, sf_dir, EMB + ("documents",))
+    emb, docs = views["embeddings"], views["documents"]
+    scored = S.brute_force_topk(emb, k=50, max_query_id=10)
+    ids = D.doc_shingle_ids(docs)
+    qids = ids.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "tid"
+    )
+    overlap = (
+        qids.join(
+            ids.select(F.col("doc_id").alias("neighbor_id"), "tid"), "tid"
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    clean = scored.join(overlap, ["query_id", "neighbor_id"], "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("rnk")
+    return (
+        clean.withColumn("hard_rnk", F.row_number().over(w))
+        .where(F.col("hard_rnk") <= 3)
+        .selectExpr(
+            "query_id",
+            "neighbor_id AS neg_doc",
+            "CAST(hard_rnk AS INT) AS hard_rnk",
+        )
+        .orderBy("query_id", "hard_rnk")
+    )
+
+
+df_query(
+    "sample_hard_negatives",
+    _hard_negatives,
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "  FROM documents WHERE len(string_split(text, ' ')) >= 3), "
+        "sh AS (SELECT doc_id, unnest(list_transform("
+        "  generate_series(1, len(l)-2), i -> array_to_string(l[i:i+2], ' '))) "
+        "  AS s FROM toks), "
+        "ids AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT "
+        f"  % {_HASH_PRIME} AS tid FROM sh), "
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n "
+        "      WHERE vec_id < 10), "
+        "scored AS (SELECT query_id, c.vec_id AS neighbor_id, "
+        "           list_inner_product(qv, c.v) / (qn * c.nrm) AS cos "
+        "           FROM n c, q WHERE c.vec_id <> query_id), "
+        "top50 AS (SELECT query_id, neighbor_id, rnk FROM ("
+        "  SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk "
+        "  FROM scored) t WHERE rnk <= 50), "
+        "overlap AS (SELECT DISTINCT a.doc_id AS query_id, "
+        "  b.doc_id AS neighbor_id FROM ids a JOIN ids b ON a.tid = b.tid "
+        "  WHERE a.doc_id < 10), "
+        "clean AS (SELECT t.query_id, t.neighbor_id, t.rnk FROM top50 t "
+        "  WHERE NOT EXISTS (SELECT 1 FROM overlap o "
+        "    WHERE o.query_id = t.query_id "
+        "    AND o.neighbor_id = t.neighbor_id)) "
+        "SELECT query_id, neighbor_id AS neg_doc, "
+        "CAST(hard_rnk AS INT) AS hard_rnk FROM ("
+        "  SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "  (PARTITION BY query_id ORDER BY rnk) AS hard_rnk FROM clean) x "
+        "WHERE hard_rnk <= 3 ORDER BY query_id, hard_rnk"
+    ),
+    tables=EMB + ("documents",),
+    tags=("sampling", "contrastive", "similarity"),
+    doc="hard-negative mining: top-3 closest-by-cosine candidates per "
+    "anchor that share ZERO text shingles (not-a-duplicate anti-join) — "
+    "the maximally-confusable negatives contrastive training wants",
 )
