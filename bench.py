@@ -77,6 +77,10 @@ HEADLINE = [
     "graph_triangles",
     "sim_matryoshka_recall",
     "pipeline_feature_matrix",
+    "dedup_cross_lingual",
+    "sample_hard_negatives",
+    "feat_winsorize",
+    "vocab_oov_rate",
     "gen_records_1m",  # generator throughput proxy (see below)
 ]
 
