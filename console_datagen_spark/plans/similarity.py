@@ -1369,3 +1369,85 @@ df_query(
     "anchor that share ZERO text shingles (not-a-duplicate anti-join) — "
     "the maximally-confusable negatives contrastive training wants",
 )
+
+
+# ---- contrastive triplet construction --------------------------------------
+# The last mile of contrastive data prep: (anchor, positive, negative)
+# rows ready for a triplet/InfoNCE loss. positive = nearest same-label
+# neighbor (the weak-supervision positive); negative = nearest
+# DIFFERENT-label neighbor (a hard negative by construction). Both come
+# from one scored candidate frame — a single broadcast-query cosine pass
+# feeding two ranked picks, then one join.
+
+
+def _triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    topk = S.brute_force_topk(emb, k=50, max_query_id=10)
+    labels = emb.select("vec_id", "label")
+    scored = topk.join(
+        labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql")),
+        "query_id",
+    ).join(
+        labels.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+        ),
+        "neighbor_id",
+    )
+    wp = Window.partitionBy("query_id").orderBy("rnk")
+    pos = (
+        scored.where(F.col("ql") == F.col("nl"))
+        .withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") == 1)
+        .select("query_id", F.col("neighbor_id").alias("positive"))
+    )
+    neg = (
+        scored.where(F.col("ql") != F.col("nl"))
+        .withColumn("nr", F.row_number().over(wp))
+        .where(F.col("nr") == 1)
+        .select("query_id", F.col("neighbor_id").alias("negative"))
+    )
+    return (
+        pos.join(neg, "query_id")
+        .selectExpr("query_id AS anchor", "positive", "negative")
+        .orderBy("anchor")
+    )
+
+
+df_query(
+    "pipeline_triplets",
+    _triplets,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n "
+        "      WHERE vec_id < 10), "
+        "scored AS (SELECT query_id, c.vec_id AS neighbor_id, "
+        "           list_inner_product(qv, c.v) / (qn * c.nrm) AS cos "
+        "           FROM n c, q WHERE c.vec_id <> query_id), "
+        "top50 AS (SELECT query_id, neighbor_id, rnk FROM ("
+        "  SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk "
+        "  FROM scored) t WHERE rnk <= 50), "
+        "lbl AS (SELECT t.query_id, t.neighbor_id, t.rnk, "
+        "  ql.label AS ql, nl.label AS nl FROM top50 t "
+        "  JOIN embeddings ql ON ql.vec_id = t.query_id "
+        "  JOIN embeddings nl ON nl.vec_id = t.neighbor_id), "
+        "pos AS (SELECT query_id, neighbor_id AS positive FROM ("
+        "  SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "  (PARTITION BY query_id ORDER BY rnk) AS pr FROM lbl "
+        "  WHERE ql = nl) x WHERE pr = 1), "
+        "neg AS (SELECT query_id, neighbor_id AS negative FROM ("
+        "  SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+        "  (PARTITION BY query_id ORDER BY rnk) AS nr FROM lbl "
+        "  WHERE ql <> nl) x WHERE nr = 1) "
+        "SELECT p.query_id AS anchor, p.positive, g.negative "
+        "FROM pos p JOIN neg g ON p.query_id = g.query_id "
+        "ORDER BY anchor"
+    ),
+    tables=EMB,
+    tags=("sampling", "contrastive", "pipeline"),
+    doc="contrastive triplets: nearest same-label neighbor (positive) + "
+    "nearest different-label neighbor (hard negative) per anchor from "
+    "ONE scored candidate pass — triplet-loss data prep",
+)
