@@ -37,3 +37,21 @@ def token_id_sql_duck(expr: str) -> str:
 def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) for k MinHash permutations."""
     return [(2 * i + 3, (i * i * 31 + 7) % HASH_PRIME) for i in range(k)]
+
+
+def bucket_sql_spark(key_expr: str, seed: str = "v1", mod: int = 1000) -> str:
+    """Stable permille hash bucket of a key column (Spark spelling) —
+    the canonical train/val/test and sampling split idiom. Must stay
+    value-identical to :func:`bucket_sql_duck` for every (seed, mod)."""
+    return (
+        f"(CAST(conv(substr(md5(concat('{seed}:', "
+        f"CAST({key_expr} AS STRING))),1,15),16,10) AS BIGINT) % {mod})"
+    )
+
+
+def bucket_sql_duck(key_expr: str, seed: str = "v1", mod: int = 1000) -> str:
+    """DuckDB spelling of :func:`bucket_sql_spark`."""
+    return (
+        f"(('0x' || substr(md5(concat('{seed}:', "
+        f"CAST({key_expr} AS VARCHAR))),1,15))::BIGINT % {mod})"
+    )

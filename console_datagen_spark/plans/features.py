@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register_views
+from ..functions.hashing import bucket_sql_duck, bucket_sql_spark
 from ..operators.temporal import as_of_join
 from .registry import df_query, sql_query
 
@@ -149,14 +150,8 @@ df_query(
 # smoothed category mean on TRAIN only, report it next to the val volume
 # it would be applied to. m=100 Laplace smoothing toward the global train
 # prior; everything in integer cents so the result is hash-exact.
-_EVBUCKET_SPARK = (
-    "(CAST(conv(substr(md5(concat('v1:', CAST(event_id AS STRING))),1,15),16,10) "
-    "AS BIGINT) % 1000)"
-)
-_EVBUCKET_DUCK = (
-    "(('0x' || substr(md5(concat('v1:', CAST(event_id AS VARCHAR))),1,15))::BIGINT "
-    "% 1000)"
-)
+_EVBUCKET_SPARK = bucket_sql_spark("event_id")
+_EVBUCKET_DUCK = bucket_sql_duck("event_id")
 _SMOOTH_M = 100
 
 
@@ -166,7 +161,9 @@ def _target_encode_sql(bucket: str, idiv: str) -> str:
         "  CAST(FLOOR(value * 100) AS BIGINT) AS cents, "
         f"  CASE WHEN {bucket} < 800 THEN 'train' ELSE 'val' END AS split "
         "  FROM events), "
-        "prior AS (SELECT SUM(cents) {d} COUNT(*) AS p FROM tagged "
+        # empty-train guard: ANSI DIV 0 throws on the Spark side
+        "prior AS (SELECT CASE WHEN COUNT(*) = 0 THEN 0 "
+        "  ELSE SUM(cents) {d} COUNT(*) END AS p FROM tagged "
         "  WHERE split = 'train'), "
         "fit AS (SELECT event_type, COUNT(*) AS train_cnt, SUM(cents) AS s "
         "  FROM tagged WHERE split = 'train' GROUP BY event_type) "

@@ -26,6 +26,7 @@ verdict is hash-exact across engines.
 
 from __future__ import annotations
 
+from ..functions.hashing import bucket_sql_duck, bucket_sql_spark
 from .registry import sql_query
 
 DOCS = ("documents",)
@@ -91,9 +92,13 @@ def _kappa_sql(lf_div: str, idiv: str) -> str:
         "  SUM(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS agree, "
         "  SUM(CASE WHEN v1 = 1 THEN 1 ELSE 0 END) AS k1, "
         "  SUM(CASE WHEN v2 = 1 THEN 1 ELSE 0 END) AS k2 FROM bothv), "
+        # n = 0 (no doc gets a non-zero vote from both LFs) would divide
+        # by zero — and Spark's ANSI DIV throws where DuckDB returns
+        # NULL, so the guard is a cross-engine contract, not just safety
         "p AS (SELECT n, "
-        f"  agree * 1000 {idiv} n AS po, "
-        f"  (k1 * k2 + (n - k1) * (n - k2)) * 1000 {idiv} (n * n) AS pe "
+        f"  CASE WHEN n = 0 THEN 0 ELSE agree * 1000 {idiv} n END AS po, "
+        "  CASE WHEN n = 0 THEN 0 ELSE "
+        f"    (k1 * k2 + (n - k1) * (n - k2)) * 1000 {idiv} (n * n) END AS pe "
         "  FROM m) "
         "SELECT CAST(n AS BIGINT) AS n_both_vote, "
         "CAST(po AS BIGINT) AS po_permille, CAST(pe AS BIGINT) AS pe_permille, "
@@ -121,14 +126,10 @@ sql_query(
 
 
 # ---- split drift monitor ---------------------------------------------------
-_DRIFT_BUCKET_SPARK = (
-    "(CAST(conv(substr(md5(concat('v1:', CAST(event_id AS STRING))),1,15),16,10) "
-    "AS BIGINT) % 1000)"
-)
-_DRIFT_BUCKET_DUCK = (
-    "(('0x' || substr(md5(concat('v1:', CAST(event_id AS VARCHAR))),1,15))::BIGINT "
-    "% 1000)"
-)
+# same (seed, key) as feat_target_encode's split so the two queries
+# describe the SAME train/val boundary
+_DRIFT_BUCKET_SPARK = bucket_sql_spark("event_id")
+_DRIFT_BUCKET_DUCK = bucket_sql_duck("event_id")
 
 
 def _drift_sql(bucket: str, idiv: str) -> str:
@@ -144,8 +145,10 @@ def _drift_sql(bucket: str, idiv: str) -> str:
         "  SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca, "
         "  SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cb "
         "  FROM tagged GROUP BY bin), "
+        # empty-split guard: ANSI DIV 0 throws on the Spark side
         "freq AS (SELECT bin, "
-        f"  ca * 1000 {idiv} na AS pa, cb * 1000 {idiv} nb AS pb "
+        f"  CASE WHEN na = 0 THEN 0 ELSE ca * 1000 {idiv} na END AS pa, "
+        f"  CASE WHEN nb = 0 THEN 0 ELSE cb * 1000 {idiv} nb END AS pb "
         "  FROM hist CROSS JOIN tot) "
         "SELECT (SELECT CAST(na AS BIGINT) FROM tot) AS n_train, "
         "(SELECT CAST(nb AS BIGINT) FROM tot) AS n_val, "

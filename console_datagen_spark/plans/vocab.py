@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import register_views
 from ..operators.bpe import bpe_compression_by_lang, bpe_merges_plan
-from .registry import df_query
+from ..functions.hashing import bucket_sql_duck, bucket_sql_spark
+from .registry import df_query, sql_query
 
 _ROUNDS = 3
 
@@ -117,18 +118,10 @@ df_query(
 # lookup — and fitting on train only is the same leakage discipline as
 # feat_target_encode.
 
-from .registry import sql_query  # noqa: E402
-
 _VOCAB_K = 500
 
-_B_SPARK = (
-    "(CAST(conv(substr(md5(concat('v1:', CAST(doc_id AS STRING))),1,15),16,10) "
-    "AS BIGINT) % 1000)"
-)
-_B_DUCK = (
-    "(('0x' || substr(md5(concat('v1:', CAST(doc_id AS VARCHAR))),1,15))::BIGINT "
-    "% 1000)"
-)
+_B_SPARK = bucket_sql_spark("doc_id")
+_B_DUCK = bucket_sql_duck("doc_id")
 
 
 def _oov_sql(dialect: str) -> str:

@@ -41,12 +41,23 @@ def histogram_permille(df: DataFrame) -> DataFrame:
 
 def drift_against(batch_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     """One row: squared-L2 distance + max per-bin gap between two
-    permille histograms (absent bins count as 0 on either side)."""
+    permille histograms (absent bins count as 0 on either side).
+
+    Joined through the full 0..N_BINS-1 grid with two LEFT joins —
+    broadcast hints are silently dropped on FULL OUTER joins, so the
+    grid form is what actually keeps this a broadcast plan per batch."""
+    grid = batch_hist.sparkSession.range(N_BINS).select(
+        F.col("id").alias("bin")
+    )
     a = batch_hist.select("bin", F.col("permille").alias("pa"))
     b = baseline_hist.select("bin", F.col("permille").alias("pb"))
-    joined = a.join(F.broadcast(b), "bin", "full_outer").select(
-        F.coalesce("pa", F.lit(0)).alias("pa"),
-        F.coalesce("pb", F.lit(0)).alias("pb"),
+    joined = (
+        grid.join(F.broadcast(a), "bin", "left")
+        .join(F.broadcast(b), "bin", "left")
+        .select(
+            F.coalesce("pa", F.lit(0)).alias("pa"),
+            F.coalesce("pb", F.lit(0)).alias("pb"),
+        )
     )
     return joined.agg(
         F.expr("CAST(SUM((pa - pb) * (pa - pb)) AS BIGINT)").alias("l2_drift"),

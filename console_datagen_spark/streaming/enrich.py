@@ -71,8 +71,13 @@ def _asof_update(
     (user_id,) = key
     carry_id, carry_cents = state.get if state.exists else (None, None)
     out: list[tuple[int, int | None, int | None]] = []
-    for pdf in batches:
-        pdf = pdf.copy()
+    # a group larger than arrow.maxRecordsPerBatch arrives as MULTIPLE
+    # pandas chunks in arbitrary order — sorting per chunk would apply a
+    # later-ts feature before an earlier-ts purchase across a chunk
+    # boundary, so the whole group must be gathered before the one sort
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0].copy()
         pdf["spine"] = (pdf["event_type"] == "purchase").astype("int64")
         # same-instant feature updates land before the spine row reads
         # them; among features the highest event_id wins (applied last)

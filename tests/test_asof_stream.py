@@ -96,3 +96,49 @@ def test_cross_batch_carry(spark, tmp_path):
     assert (r.user_id, r.event_id) == (1, 20)
     assert r.feat_event_id == 10
     assert r.feat_cents == 123
+
+
+def test_multi_chunk_group_ordering(spark, tmp_path):
+    """A group split across multiple Arrow chunks must still apply
+    features in (ts, side, event_id) order: with maxRecordsPerBatch=1
+    every row is its own chunk, so any per-chunk sorting would process
+    rows in arbitrary chunk order and mis-enrich."""
+    import datetime as dt
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, 10, "view", 1.00, t0),
+            (1, 11, "view", 2.00, t0 + dt.timedelta(hours=1)),
+            (1, 12, "purchase", 9.99, t0 + dt.timedelta(hours=2)),
+            (1, 13, "view", 3.00, t0 + dt.timedelta(hours=3)),
+            (1, 14, "purchase", 9.99, t0 + dt.timedelta(hours=4)),
+        ]
+        src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(src))
+        got = {}
+
+        def grab(batch_df, batch_id):
+            for r in batch_df.collect():
+                got[r.event_id] = (r.feat_event_id, r.feat_cents)
+
+        q = (
+            asof_enrich_stream(
+                spark.readStream.schema(SCHEMA).parquet(str(src))
+            )
+            .writeStream.foreachBatch(grab)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(90)
+        # purchase 12 must read feature 11 (latest <= 02:00), purchase 14
+        # must read feature 13 — regardless of Arrow chunk arrival order
+        assert got == {12: (11, 200), 14: (13, 300)}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
