@@ -168,3 +168,133 @@ sql_query(
     "per-bin permille frequencies, squared-L2 distance and max bin gap "
     "— the split-health monitor, integers end-to-end",
 )
+
+
+# ---- statistical audit battery ---------------------------------------------
+# Three classic data-forensics gauges, all in exact integer arithmetic:
+#
+# - Benford first-digit audit: natural multi-scale quantities follow
+#   log10(1+1/d); fabricated or truncated feeds don't. Expected permille
+#   per digit is a precomputed integer table; the deviation statistic is
+#   the same squared-permille L2 the drift monitor uses.
+# - Cramér's V: association between two categoricals (event_type x
+#   value quartile-bin) from the contingency table — chi-square scaled
+#   to V² permille with every division floored last, so the verdict is
+#   hash-exact. The "is this feature redundant with the label" audit.
+# - lag-1 autocorrelation of the daily event count, as r² permille via
+#   the cross-multiplied Pearson formula (no sqrt, no floats): the
+#   time-series health check that catches synthetic/periodic feeds.
+
+_BENFORD_PERMILLE = (301, 176, 124, 96, 79, 66, 57, 51, 45)  # digits 1..9
+
+
+def _benford_sql(idiv: str) -> str:
+    expected = " UNION ALL ".join(
+        f"SELECT {d + 1} AS digit, {p} AS ep"
+        for d, p in enumerate(_BENFORD_PERMILLE)
+    )
+    return (
+        "WITH iv AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v "
+        "  FROM events WHERE value >= 0.01), "
+        "fd AS (SELECT CAST(substr(CAST(v AS STRING), 1, 1) AS BIGINT) "
+        "  AS digit FROM iv), "
+        "obs AS (SELECT digit, COUNT(*) AS c FROM fd GROUP BY digit), "
+        "tot AS (SELECT SUM(c) AS n FROM obs), "
+        f"exp AS ({expected}) "
+        "SELECT e.digit, CAST(e.ep AS BIGINT) AS benford_permille, "
+        f"CAST(COALESCE(o.c, 0) * 1000 {idiv} t.n AS BIGINT) "
+        "  AS observed_permille, "
+        f"CAST(ABS(COALESCE(o.c, 0) * 1000 {idiv} t.n - e.ep) AS BIGINT) "
+        "  AS abs_gap_permille "
+        "FROM exp e LEFT JOIN obs o ON e.digit = o.digit "
+        "CROSS JOIN tot t ORDER BY e.digit"
+    )
+
+
+sql_query(
+    "dq_benford_digits",
+    _benford_sql("DIV").replace("AS STRING", "AS STRING"),
+    oracle=_benford_sql("//").replace("CAST(v AS STRING)", "CAST(v AS VARCHAR)"),
+    tables=EV,
+    tags=("quality", "forensics", "benford"),
+    doc="Benford first-digit audit of value cents: observed vs expected "
+    "permille per leading digit + absolute gaps — the fabricated-feed "
+    "tripwire, integer arithmetic end-to-end",
+)
+
+
+def _cramers_sql(idiv: str) -> str:
+    # value bin = quartile by fixed thresholds on cents (domain-bound,
+    # portable); chi2_scaled = sum over cells of
+    # (observed*N - rowsum*colsum)^2 // (rowsum*colsum) — i.e. N^2 * chi2
+    # with integer floors; V2 permille = chi2_scaled * 1000 // (N^2 * N *
+    # min(r-1, c-1)).
+    return (
+        "WITH t AS (SELECT event_type AS a, "
+        "  LEAST(CAST(FLOOR(value * 100) AS BIGINT) {d} 2500, 3) AS b "
+        "  FROM events), "
+        "cell AS (SELECT a, b, COUNT(*) AS o FROM t GROUP BY a, b), "
+        "rs AS (SELECT a, SUM(o) AS ra FROM cell GROUP BY a), "
+        "cs AS (SELECT b, SUM(o) AS cb FROM cell GROUP BY b), "
+        "n AS (SELECT SUM(o) AS n FROM cell), "
+        "chi AS (SELECT SUM((c.o * n.n - r.ra * s.cb) * (c.o * n.n - r.ra * s.cb) "
+        "  {d} (r.ra * s.cb)) AS chi2s, MAX(n.n) AS n, "
+        "  COUNT(DISTINCT c.a) AS nr, COUNT(DISTINCT c.b) AS nc "
+        "  FROM cell c JOIN rs r ON c.a = r.a JOIN cs s ON c.b = s.b "
+        "  CROSS JOIN n) "
+        "SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows_cat, "
+        "CAST(nc AS BIGINT) AS n_cols_cat, "
+        "CAST(chi2s {d} (n * n) AS BIGINT) AS chi2_floor, "
+        "CAST(chi2s * 1000 {d} (n * n * n * "
+        "  (CASE WHEN nr < nc THEN nr ELSE nc END - 1)) AS BIGINT) "
+        "  AS cramers_v2_permille "
+        "FROM chi ORDER BY n"
+    ).format(d=idiv)
+
+
+sql_query(
+    "dq_association_cramers",
+    _cramers_sql("DIV"),
+    oracle=_cramers_sql("//"),
+    tables=EV,
+    tags=("quality", "association", "profiling"),
+    doc="Cramér's V² (permille, floored-integer chi-square) between "
+    "event_type and the value quartile bin — the categorical-association "
+    "audit that flags redundant or leaking features",
+)
+
+
+def _autocorr_sql(diff_expr: str, idiv: str) -> str:
+    # x = day's count, y = next day's count (lead over the daily series);
+    # r2 permille = (n*Sxy - Sx*Sy)^2 * 1000 // ((n*Sxx - Sx^2) *
+    # (n*Syy - Sy^2)) — Pearson squared without sqrt, integers only.
+    return (
+        "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+        "  COUNT(*) AS c FROM events GROUP BY CAST(ts AS DATE)), "
+        "lagd AS (SELECT day, c AS x, "
+        "  LEAD(c) OVER (ORDER BY day) AS y FROM daily), "
+        "pairs AS (SELECT x, y FROM lagd WHERE y IS NOT NULL), "
+        "s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+        "  SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy "
+        "  FROM pairs) "
+        "SELECT CAST(n AS BIGINT) AS n_pairs, "
+        "CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 "
+        "  THEN 0 ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000 "
+        f"  {idiv} ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS BIGINT) "
+        "  AS r2_permille, "
+        "CAST(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END AS INT) "
+        "  AS sign "
+        "FROM s"
+    )
+
+
+sql_query(
+    "seq_daily_autocorr",
+    _autocorr_sql("", "DIV"),
+    oracle=_autocorr_sql("", "//"),
+    tables=EV,
+    tags=("sequence", "quality", "timeseries"),
+    doc="lag-1 autocorrelation of the daily event count as signed r² "
+    "permille (cross-multiplied Pearson, no sqrt/floats) — the "
+    "periodic/synthetic-feed detector over the ingest time series",
+)
