@@ -254,3 +254,29 @@ sql_query(
     "consecutive events per user): lead()-based MATCH_RECOGNIZE analog, "
     "zero joins",
 )
+
+
+# Longest same-type streak per user — the gaps-and-islands kernel as a
+# user-facing query (dedup_substring_spans uses the same trick inside
+# the span merge): island id = row_number difference between the global
+# per-user sequence and the per-(user, type) sequence, constant within
+# each run of consecutive same-type events; two window ranks over ONE
+# shuffle on user_id, then a double aggregate.
+sql_query(
+    "seq_longest_streak",
+    "SELECT user_id, event_type, "
+    "CAST(MAX(streak) AS BIGINT) AS longest_streak FROM ("
+    "  SELECT user_id, event_type, COUNT(*) AS streak FROM ("
+    "    SELECT user_id, event_type, "
+    "      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) "
+    "      - ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+    "                           ORDER BY event_id) AS island "
+    "    FROM events) t "
+    "  GROUP BY user_id, event_type, island) runs "
+    "GROUP BY user_id, event_type ORDER BY user_id, event_type",
+    tables=EV,
+    tags=("sequence", "window", "streak"),
+    doc="longest run of consecutive same-type events per user "
+    "(gaps-and-islands via the two-rank difference): engagement-streak "
+    "analytics, one shuffle on the user key",
+)
