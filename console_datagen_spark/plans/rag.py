@@ -196,3 +196,115 @@ sql_query(
     "(1000000 DIV (60+rank)), top-5 per query — rank-only fusion needs "
     "no cross-modality score calibration and is hash-exact",
 )
+
+
+# ---- MMR diversity re-ranking ----------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein '98): re-rank a
+# relevance shortlist so the k results are relevant AND mutually
+# diverse — the answer to near-duplicate result lists in RAG retrieval.
+# Greedy selection is inherently sequential, so the k=3 rounds are
+# expressed as chained CTEs exactly like the BPE merge rounds: each
+# round is a windowed argmax over (lambda*rel - (1-lambda)*max_sim_to_
+# selected), everything in floored-integer micro-cosine units so both
+# engines pick identical winners. Costs are shortlist-bounded:
+# pairwise sims only among the top-SHORT of each query (O(q*SHORT^2)),
+# never corpus-wide.
+
+_MMR_Q = 5       # query vectors
+_MMR_SHORT = 8   # relevance shortlist per query
+_MMR_K = 3       # diverse picks
+_MMR_LAMBDA = 700  # relevance weight, permille
+
+
+def _mmr_sql(dialect: str) -> str:
+    if dialect == "spark":
+        idiv = "DIV"
+        vcast = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+        def dot(a: str, b: str) -> str:
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+    else:
+        idiv = "//"
+        vcast = "embedding::DOUBLE[]"
+
+        def dot(a: str, b: str) -> str:
+            return f"list_inner_product({a}, {b})"
+
+    lam, ilam = _MMR_LAMBDA, 1000 - _MMR_LAMBDA
+    # selection rounds: sel1 = argmax rel; each later round maximizes
+    # lambda*rel - (1-lambda)*max_sim over the selected set so far
+    rounds = []
+    prev_sel = "sel1"
+    rounds.append(
+        "sel1 AS (SELECT qid, did AS s1 FROM ("
+        "  SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid "
+        "  ORDER BY rel DESC, did) AS rn FROM shortlist) t WHERE rn = 1)"
+    )
+    for r in range(2, _MMR_K + 1):
+        sel_cols = ", ".join(f"s{j}" for j in range(1, r))
+        not_in = " AND ".join(f"sl.did <> p.s{j}" for j in range(1, r))
+        max_pen = (
+            f"GREATEST({', '.join(f'pen{j}.sim' for j in range(1, r))})"
+            if r > 2
+            else "pen1.sim"
+        )
+        pens = " ".join(
+            f"JOIN sims pen{j} ON pen{j}.qid = sl.qid "
+            f"AND pen{j}.da = LEAST(sl.did, p.s{j}) "
+            f"AND pen{j}.db = GREATEST(sl.did, p.s{j}) "
+            for j in range(1, r)
+        )
+        rounds.append(
+            f"sel{r} AS (SELECT qid, {sel_cols}, did AS s{r} FROM ("
+            f"  SELECT sl.qid, {', '.join('p.s%d' % j for j in range(1, r))}, "
+            "  sl.did, ROW_NUMBER() OVER (PARTITION BY sl.qid ORDER BY "
+            f"  {lam} * sl.rel {idiv} 1000 - {ilam} * {max_pen} {idiv} 1000 "
+            "  DESC, sl.did) AS rn "
+            f"  FROM shortlist sl JOIN {prev_sel} p ON sl.qid = p.qid "
+            f"  {pens} WHERE {not_in}) t WHERE rn = 1)"
+        )
+        prev_sel = f"sel{r}"
+    sel_union = " UNION ALL ".join(
+        f"SELECT qid, s{j} AS did, {j} AS mmr_rank FROM sel{_MMR_K}"
+        for j in range(1, _MMR_K + 1)
+    )
+    return (
+        f"WITH ev AS (SELECT vec_id, {vcast} AS v FROM embeddings), "
+        f"en AS (SELECT vec_id, v, sqrt({dot('v', 'v')}) AS nrm FROM ev), "
+        f"q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM en "
+        f"      WHERE vec_id < {_MMR_Q}), "
+        "scored AS (SELECT q.qid, c.vec_id AS did, c.v, c.nrm, "
+        f"  CAST(FLOOR({dot('q.qv', 'c.v')} / (q.qn * c.nrm) * 1000000) "
+        "  AS BIGINT) AS rel "
+        "  FROM en c, q WHERE c.vec_id <> q.qid), "
+        "shortlist AS (SELECT qid, did, v, nrm, rel FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+        "  ORDER BY rel DESC, did) AS rn FROM scored) t "
+        f"  WHERE rn <= {_MMR_SHORT}), "
+        "sims AS (SELECT a.qid, a.did AS da, b.did AS db, "
+        f"  CAST(FLOOR({dot('a.v', 'b.v')} / (a.nrm * b.nrm) * 1000000) "
+        "  AS BIGINT) AS sim "
+        "  FROM shortlist a JOIN shortlist b "
+        "  ON a.qid = b.qid AND a.did < b.did), "
+        + ", ".join(rounds)
+        + f" SELECT qid AS query_id, did AS doc_id, "
+        "CAST(mmr_rank AS INT) AS mmr_rank FROM ("
+        + sel_union
+        + ") u ORDER BY query_id, mmr_rank"
+    )
+
+
+sql_query(
+    "rag_mmr_rerank",
+    _mmr_sql("spark"),
+    oracle=_mmr_sql("duck"),
+    tables=("embeddings",),
+    tags=("rag", "similarity", "diversity"),
+    doc=f"MMR diversity re-rank (lambda={_MMR_LAMBDA} permille): greedy "
+    f"k={_MMR_K} selection over the top-{_MMR_SHORT} shortlist as "
+    "chained argmax CTEs, floored micro-cosine integers — duplicate-free "
+    "retrieval lists with shortlist-bounded O(q*short^2) cost",
+)
