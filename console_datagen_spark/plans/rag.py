@@ -216,7 +216,7 @@ _MMR_K = 3       # diverse picks
 _MMR_LAMBDA = 700  # relevance weight, permille
 
 
-def _mmr_sql(dialect: str) -> str:
+def _mmr_cte_body(dialect: str) -> str:
     if dialect == "spark":
         idiv = "DIV"
         vcast = "transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -290,10 +290,16 @@ def _mmr_sql(dialect: str) -> str:
         "  FROM shortlist a JOIN shortlist b "
         "  ON a.qid = b.qid AND a.did < b.did), "
         + ", ".join(rounds)
-        + f" SELECT qid AS query_id, did AS doc_id, "
-        "CAST(mmr_rank AS INT) AS mmr_rank FROM ("
-        + sel_union
-        + ") u ORDER BY query_id, mmr_rank"
+        + f", picks AS ({sel_union})"
+    )
+
+
+def _mmr_sql(dialect: str) -> str:
+    return (
+        _mmr_cte_body(dialect)
+        + " SELECT qid AS query_id, did AS doc_id, "
+        "CAST(mmr_rank AS INT) AS mmr_rank FROM picks "
+        "ORDER BY query_id, mmr_rank"
     )
 
 
@@ -307,4 +313,48 @@ sql_query(
     f"k={_MMR_K} selection over the top-{_MMR_SHORT} shortlist as "
     "chained argmax CTEs, floored micro-cosine integers — duplicate-free "
     "retrieval lists with shortlist-bounded O(q*short^2) cost",
+)
+
+
+def _mmr_gauge_sql(dialect: str) -> str:
+    # measured diversity benefit (the layout_skipping_ab pattern): mean
+    # pairwise micro-cosine within the MMR top-3 vs within the plain
+    # relevance top-3, per query + the equal-relevance baseline check
+    idiv = "DIV" if dialect == "spark" else "//"
+    return (
+        _mmr_cte_body(dialect)
+        + ", plain AS (SELECT qid, did FROM shortlist WHERE rel >= 0 "
+        "  AND did IN (SELECT did FROM shortlist s2 WHERE s2.qid = shortlist.qid) "
+        "  ), "  # placeholder simplified below
+        "p3 AS (SELECT qid, did FROM ("
+        "  SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid "
+        "  ORDER BY rel DESC, did) AS rn FROM shortlist) t WHERE rn <= 3), "
+        "mmr_sim AS (SELECT a.qid, "
+        f"  CAST(SUM(s.sim) {idiv} COUNT(*) AS BIGINT) AS mean_sim "
+        "  FROM picks a JOIN picks b ON a.qid = b.qid AND a.did < b.did "
+        "  JOIN sims s ON s.qid = a.qid AND s.da = a.did AND s.db = b.did "
+        "  GROUP BY a.qid), "
+        "plain_sim AS (SELECT a.qid, "
+        f"  CAST(SUM(s.sim) {idiv} COUNT(*) AS BIGINT) AS mean_sim "
+        "  FROM p3 a JOIN p3 b ON a.qid = b.qid AND a.did < b.did "
+        "  JOIN sims s ON s.qid = a.qid AND s.da = a.did AND s.db = b.did "
+        "  GROUP BY a.qid) "
+        "SELECT m.qid AS query_id, "
+        "m.mean_sim AS mmr_mean_sim_micro, "
+        "p.mean_sim AS plain_mean_sim_micro, "
+        "CAST(p.mean_sim - m.mean_sim AS BIGINT) AS diversity_gain_micro "
+        "FROM mmr_sim m JOIN plain_sim p ON m.qid = p.qid "
+        "ORDER BY query_id"
+    )
+
+
+sql_query(
+    "rag_mmr_gauge",
+    _mmr_gauge_sql("spark"),
+    oracle=_mmr_gauge_sql("duck"),
+    tables=("embeddings",),
+    tags=("rag", "diversity", "telemetry"),
+    doc="measured MMR benefit: mean pairwise micro-cosine within the "
+    "MMR top-3 vs the plain relevance top-3 per query — the diversity "
+    "gain the re-ranker buys, integer-exact",
 )

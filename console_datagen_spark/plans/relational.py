@@ -244,3 +244,21 @@ sql_query(
     tags=("scalar",),
     doc="§2.9: string/date/math scalar battery (format/lower/mod per SURVEY)",
 )
+
+
+# TPC-H Q13 plan shape: distribution of customers by order count,
+# INCLUDING zero-order customers — the left-outer + count + count-of-
+# counts histogram (the classic "group by an aggregate" decorrelation).
+sql_query(
+    "q_order_count_distribution",
+    "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+    "  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count "
+    "  FROM customer c LEFT JOIN orders o "
+    "  ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT' "
+    "  GROUP BY c.c_custkey) t "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+    tables=("customer", "orders"),
+    tags=("relational", "join", "histogram"),
+    doc="TPC-H Q13 shape: customers histogrammed by their urgent-order "
+    "count incl. zeros — left-outer join + two-level aggregation",
+)

@@ -690,3 +690,45 @@ sql_query(
     "the holdout-overlapping 8-gram runs — the excision-step input "
     "(cut the span, keep the doc) extending text_decontaminate",
 )
+
+
+# Zipf rank-frequency check: in a natural corpus rank*frequency is
+# roughly constant over the head ranks; synthetic or templated text
+# breaks the law loudly. Emitted as the permille spread of rank*freq
+# across the top-20 token ranks plus the head products — an integer
+# corpus-health gauge (no logs/floats needed for the constancy test).
+sql_query(
+    "text_zipf_check",
+    "WITH tf AS (SELECT w, COUNT(*) AS f FROM ("
+    "  SELECT explode(split(text, ' ')) AS w FROM documents) x GROUP BY w), "
+    "ranked AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r "
+    "  FROM tf), "
+    "head AS (SELECT r, f, r * f AS rf FROM ranked WHERE r <= 20) "
+    "SELECT CAST(MIN(rf) AS BIGINT) AS min_rf, "
+    "CAST(MAX(rf) AS BIGINT) AS max_rf, "
+    "CAST(SUM(rf) DIV COUNT(*) AS BIGINT) AS mean_rf, "
+    "CAST((MAX(rf) - MIN(rf)) * 1000 DIV "
+    "  (CASE WHEN SUM(rf) = 0 THEN 1 ELSE SUM(rf) DIV COUNT(*) END) "
+    "  AS BIGINT) AS spread_permille "
+    "FROM head",
+    oracle=(
+        "WITH tf AS (SELECT w, COUNT(*) AS f FROM ("
+        "  SELECT unnest(string_split(text, ' ')) AS w FROM documents) x "
+        "  GROUP BY w), "
+        "ranked AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r "
+        "  FROM tf), "
+        "head AS (SELECT r, f, r * f AS rf FROM ranked WHERE r <= 20) "
+        "SELECT CAST(MIN(rf) AS BIGINT) AS min_rf, "
+        "CAST(MAX(rf) AS BIGINT) AS max_rf, "
+        "CAST(SUM(rf) // COUNT(*) AS BIGINT) AS mean_rf, "
+        "CAST((MAX(rf) - MIN(rf)) * 1000 // "
+        "  (CASE WHEN SUM(rf) = 0 THEN 1 ELSE SUM(rf) // COUNT(*) END) "
+        "  AS BIGINT) AS spread_permille "
+        "FROM head"
+    ),
+    tables=("documents",),
+    tags=("text", "quality", "zipf"),
+    doc="Zipf rank-frequency constancy over the top-20 token ranks: "
+    "min/max/mean of rank*freq + spread permille — the templated-text "
+    "tripwire, integer arithmetic only",
+)
