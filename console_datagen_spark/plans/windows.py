@@ -172,3 +172,30 @@ sql_query(
     tags=("window", "range_frame"),
     doc="trailing-1h RANGE frame per user (rolling count + exact decimal sum)",
 )
+
+
+# ratio-to-report: a windowed SUM as the denominator of its own rows —
+# the share-of-total window class the analytic battery doesn't cover
+# (ntile/percent_rank are rank-based; this is value-based).
+sql_query(
+    "win_ratio_to_report",
+    "SELECT event_type, user_id, CAST(cnt AS BIGINT) AS cnt, "
+    "CAST(cnt * 1000 DIV SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) "
+    "  AS share_permille "
+    "FROM (SELECT event_type, user_id, COUNT(*) AS cnt FROM events "
+    "      GROUP BY event_type, user_id) t "
+    "ORDER BY event_type, user_id",
+    oracle=(
+        "SELECT event_type, user_id, CAST(cnt AS BIGINT) AS cnt, "
+        "CAST(cnt * 1000 // SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) "
+        "  AS share_permille "
+        "FROM (SELECT event_type, user_id, COUNT(*) AS cnt FROM events "
+        "      GROUP BY event_type, user_id) t "
+        "ORDER BY event_type, user_id"
+    ),
+    tables=("events",),
+    tags=("window", "ratio", "agg"),
+    doc="ratio-to-report window: each user's permille share of their "
+    "event type's total via a partition-SUM denominator — one shuffle, "
+    "no self-join",
+)
