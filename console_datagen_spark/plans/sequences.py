@@ -280,3 +280,79 @@ sql_query(
     "(gaps-and-islands via the two-rank difference): engagement-streak "
     "analytics, one shuffle on the user key",
 )
+
+
+def _conv_latency_sql(diff_min: str, idiv: str) -> str:
+    # view -> purchase latency distribution: first view / first later
+    # purchase per user (the funnel frontier), latency in whole minutes,
+    # then exact p50/p90 over the DISTINCT-latency CDF — same
+    # no-full-sort percentile shape as agg_percentiles_exact.
+    return (
+        "WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events "
+        "  WHERE event_type = 'view' GROUP BY user_id), "
+        "p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM events e "
+        "  JOIN v ON e.user_id = v.user_id "
+        "  WHERE e.event_type = 'purchase' AND e.ts >= v.vts "
+        "  GROUP BY e.user_id), "
+        f"lat AS (SELECT {diff_min} AS m FROM v JOIN p "
+        "  ON v.user_id = p.user_id), "
+        "cd AS (SELECT m, COUNT(*) AS c FROM lat GROUP BY m), "
+        "r AS (SELECT m, SUM(c) OVER (ORDER BY m) AS cum, "
+        "  SUM(c) OVER () AS n FROM cd) "
+        "SELECT CAST(MAX(n) AS BIGINT) AS n_converters, "
+        "CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN m END) AS BIGINT) "
+        "  AS p50_minutes, "
+        "CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN m END) AS BIGINT) "
+        "  AS p90_minutes "
+        "FROM r"
+    )
+
+
+sql_query(
+    "seq_conversion_latency",
+    _conv_latency_sql(
+        "CAST((unix_micros(p.pts) - unix_micros(v.vts)) DIV 60000000 AS BIGINT)",
+        "DIV",
+    ),
+    oracle=_conv_latency_sql(
+        "CAST((epoch_us(p.pts) - epoch_us(v.vts)) // 60000000 AS BIGINT)",
+        "//",
+    ),
+    tables=EV,
+    tags=("sequence", "funnel", "percentile"),
+    doc="view->purchase conversion latency p50/p90 in whole minutes "
+    "over the distinct-latency CDF (no full-stream sort) — the "
+    "time-to-convert distribution behind the funnel",
+)
+
+
+def _gini_sql(idiv: str) -> str:
+    # Gini of per-user event counts via the rank formula
+    # G = (2*sum(r*x) - (n+1)*sum(x)) / (n*sum(x)), permille-floored —
+    # activity concentration (0 = egalitarian, ->1000 = one whale).
+    # Ordering ties broken by user_id keeps the rank sum deterministic
+    # (the formula is tie-invariant for equal x, but determinism is the
+    # repo contract). One hash agg + one bounded sort over |users| rows.
+    return (
+        "WITH ux AS (SELECT user_id, COUNT(*) AS x FROM events "
+        "  GROUP BY user_id), "
+        "rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS r "
+        "  FROM ux), "
+        "s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(r * x) AS srx FROM rk) "
+        "SELECT CAST(n AS BIGINT) AS n_users, CAST(sx AS BIGINT) AS n_events, "
+        f"CAST((2 * srx - (n + 1) * sx) * 1000 {idiv} (n * sx) AS BIGINT) "
+        "  AS gini_permille "
+        "FROM s"
+    )
+
+
+sql_query(
+    "agg_gini_activity",
+    _gini_sql("DIV"),
+    oracle=_gini_sql("//"),
+    tables=EV,
+    tags=("agg", "telemetry", "inequality"),
+    doc="Gini coefficient (permille) of per-user event-count "
+    "concentration via the rank formula — the whale-dominance gauge "
+    "next to agg_key_skew's hottest-key permille",
+)
