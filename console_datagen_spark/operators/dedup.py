@@ -189,6 +189,74 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_oversized_buckets(bands: DataFrame, bucket_cap: int) -> DataFrame:
+    """(band, bh, bsz) for buckets whose membership exceeds ``bucket_cap``.
+
+    The dropped-bucket telemetry twin of ``lsh_candidate_pairs_capped``:
+    at web-crawl scale an operator watches this frame (count + max bsz)
+    to see how much candidate mass the cap removed and whether a template
+    family needs a dedicated per-bucket sampling pass. One hash agg on
+    (band, bh) — the same shuffle the capped pair join performs anyway.
+    """
+    return (
+        bands.groupBy("band", "bh")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") > bucket_cap)
+    )
+
+
+def lsh_candidate_pairs_capped(
+    documents: DataFrame,
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    bucket_cap: int = 64,
+    shingles_df: DataFrame | None = None,
+    ids_df: DataFrame | None = None,
+    bands_df: DataFrame | None = None,
+) -> DataFrame:
+    """``lsh_candidate_pairs`` with a hot-bucket cap — the web-crawl shape.
+
+    Band candidates are quadratic in *bucket* size: one boilerplate
+    bucket with 10⁶ members yields 5·10¹¹ pairs before any verify can
+    run. Members of an over-full bucket are either exact duplicates
+    (removed upstream by ``exact_dedup_groups`` in the composed
+    pipelines) or a template family better handled by a per-bucket
+    sample, so buckets with more than ``bucket_cap`` members are dropped
+    wholesale and surfaced via ``lsh_oversized_buckets``. Candidate
+    volume is then ≤ Σ min(bsz, cap)² — O(cap²) per bucket, bounded.
+
+    Plan shape: one extra hash agg on (band, bh) for the sizes, then the
+    size frame joins back on the same (band, bh) key the pair equi-join
+    shuffles on anyway — co-partitioned, no new shuffle axis. Buckets
+    with a single member are pruned in the same filter (they cannot form
+    a pair), which also shrinks the self-join input.
+    """
+    bands = (
+        bands_df
+        if bands_df is not None
+        else minhash_bands(documents, k, rows_per_band, n, shingles_df, ids_df)
+    )
+    keep = (
+        bands.groupBy("band", "bh")
+        .agg(F.count("*").alias("bsz"))
+        .where((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
+        .select("band", "bh")
+    )
+    kept = bands.join(keep, ["band", "bh"])
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,

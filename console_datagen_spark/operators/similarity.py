@@ -303,12 +303,30 @@ def lsh_buckets_multi(
     ).selectExpr("vec_id", "CAST(band AS INT) AS band", "bucket")
 
 
-def candidate_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
+def candidate_pairs_from_buckets(
+    buckets: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
     """Distinct (vec_a, vec_b) colliding in ≥1 band — equi-join on
     (band, bucket), never all-pairs. Persist the *buckets* input (both
     join sides read it); the pair result itself is consumed once by the
     verify join, so holding it is optional — measured indifferent at
-    bench scale."""
+    bench scale.
+
+    ``bucket_cap`` (None = keep all) drops buckets with more members —
+    candidate volume is quadratic in bucket size, and an over-full
+    sign-LSH bucket at crawl scale is a near-constant embedding family
+    (boilerplate) whose pairs overwhelm verify; same rationale and plan
+    shape as ``dedup.lsh_candidate_pairs_capped`` (the size agg joins
+    back on the (band, bucket) key the pair join shuffles on anyway).
+    """
+    if bucket_cap is not None:
+        keep = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("bsz"))
+            .where((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(keep, ["band", "bucket"])
     ba = buckets.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     bb = buckets.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     return (

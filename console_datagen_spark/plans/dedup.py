@@ -176,6 +176,74 @@ df_query(
 )
 
 
+_BUCKET_CAP = 2  # bites at sf0.01 (max observed bucket = 3) so the oracle
+# certifies the cap logic itself, not just the uncapped path
+
+
+def _minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    ids = D.doc_shingle_ids(docs)
+    cand = D.lsh_candidate_pairs_capped(
+        docs,
+        k=_K,
+        rows_per_band=_ROWS_PER_BAND,
+        bucket_cap=_BUCKET_CAP,
+        ids_df=ids,
+    )
+    return D.ngram_jaccard_pairs(
+        docs,
+        threshold_permille=_JACCARD_PERMILLE,
+        candidates=cand,
+        ids_df=ids,
+    ).orderBy("doc_a", "doc_b")
+
+
+# same CTE chain as _DUCK_PAIRS but candidates come only from buckets with
+# 2..cap members — the oracle replays the hot-bucket drop exactly
+_DUCK_PAIRS_CAPPED = (
+    f"{_DUCK_SIG}, "
+    f"bands AS (SELECT doc_id, perm // {_ROWS_PER_BAND} AS band, "
+    f"          SUM((perm % {_ROWS_PER_BAND} + 1) * minhash) % {HASH_PRIME} AS bh "
+    f"          FROM sig GROUP BY doc_id, perm // {_ROWS_PER_BAND}), "
+    "keep AS (SELECT band, bh FROM bands GROUP BY band, bh "
+    f"         HAVING COUNT(*) BETWEEN 2 AND {_BUCKET_CAP}), "
+    "kept AS (SELECT b.* FROM bands b JOIN keep k "
+    "         ON b.band = k.band AND b.bh = k.bh), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "         FROM kept a JOIN kept b "
+    "         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter "
+    "          FROM ids a JOIN ids b ON a.tid = b.tid AND a.doc_id < b.doc_id "
+    "          GROUP BY 1, 2), "
+    "pairs AS (SELECT i.doc_a, i.doc_b, "
+    "          CAST(i.inter * 1000 // (sa.sz + sb.sz - i.inter) AS BIGINT) "
+    "          AS jaccard_permille "
+    "          FROM inter i "
+    "          JOIN sizes sa ON i.doc_a = sa.doc_id "
+    "          JOIN sizes sb ON i.doc_b = sb.doc_id "
+    "          JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b "
+    f"         WHERE i.inter * 1000 // (sa.sz + sb.sz - i.inter) "
+    f"               >= {_JACCARD_PERMILLE})"
+)
+
+df_query(
+    "dedup_lsh_capped",
+    _minhash_pairs_capped,
+    oracle=(
+        f"WITH {_DUCK_PAIRS_CAPPED} "
+        "SELECT doc_a, doc_b, jaccard_permille FROM pairs "
+        "ORDER BY doc_a, doc_b"
+    ),
+    tables=DOCS,
+    tags=("dedup", "minhash", "lsh", "scale"),
+    doc="MinHash+LSH near-dup pairs with a hot-bucket cap: buckets with "
+    f"> {_BUCKET_CAP} members are dropped before pairing (quadratic-in-"
+    "bucket-size guard for crawl-scale template families; dropped buckets "
+    "surface via operators.dedup.lsh_oversized_buckets telemetry)",
+)
+
+
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_pairs(spark, sf_dir)
     return D.dup_components(pairs).orderBy("doc_id")

@@ -389,7 +389,20 @@ df_query(
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     media = M.synth_media(docs, "image", n_bytes=256)
-    return M.extract_features(media).orderBy("doc_id")
+    feats = M.extract_features(media)
+    # The operator API returns feature ARRAY<DOUBLE>; the *registered* query
+    # serializes it (fixed 9-decimal rendering) so external harnesses that
+    # canonicalize by sorting every column can factorize the value — pandas
+    # cannot hash a list column (r5 driver crash).
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "fmt",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_number(x, 9))
+        ).alias("feature_csv"),
+    ).orderBy("doc_id")
 
 
 df_query(

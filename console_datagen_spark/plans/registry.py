@@ -95,5 +95,24 @@ def all_queries() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+def promote(names: list[str]) -> None:
+    """Reorder the registry so ``names`` come first, in the given order.
+
+    Registry *names* are append-only (external harnesses key results by
+    name) but *order* is a presentation concern: a prefix-window harness
+    certifies the first N entries, so each round rotates never-yet-sampled
+    queries to the front. Unknown names raise — the rotation list must not
+    drift from the registry.
+    """
+    missing = [n for n in names if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"promote: unknown query names {missing}")
+    front = {n: _REGISTRY[n] for n in names}
+    rest = {n: s for n, s in _REGISTRY.items() if n not in front}
+    _REGISTRY.clear()
+    _REGISTRY.update(front)
+    _REGISTRY.update(rest)
+
+
 def get_query(name: str) -> QuerySpec:
     return _REGISTRY[name]
