@@ -163,18 +163,19 @@ def _target_encode_sql(bucket: str, idiv: str) -> str:
         "  FROM events), "
         # empty-train guard: ANSI DIV 0 throws on the Spark side
         "prior AS (SELECT CASE WHEN COUNT(*) = 0 THEN 0 "
-        "  ELSE SUM(cents) {d} COUNT(*) END AS p FROM tagged "
+        f"  ELSE SUM(cents) {idiv} COUNT(*) END AS p FROM tagged "
         "  WHERE split = 'train'), "
         "fit AS (SELECT event_type, COUNT(*) AS train_cnt, SUM(cents) AS s "
         "  FROM tagged WHERE split = 'train' GROUP BY event_type) "
         "SELECT f.event_type, CAST(f.train_cnt AS BIGINT) AS train_cnt, "
-        "CAST((f.s + {m} * prior.p) {d} (f.train_cnt + {m}) AS BIGINT) "
+        f"CAST((f.s + {_SMOOTH_M} * prior.p) {idiv} "
+        f"  (f.train_cnt + {_SMOOTH_M}) AS BIGINT) "
         "  AS enc_cents, "
         "CAST(prior.p AS BIGINT) AS prior_cents, "
         "(SELECT CAST(COUNT(*) AS BIGINT) FROM tagged v "
         " WHERE v.split = 'val' AND v.event_type = f.event_type) AS val_rows "
         "FROM fit f CROSS JOIN prior ORDER BY f.event_type"
-    ).format(d=idiv, m=_SMOOTH_M)
+    )
 
 
 sql_query(
@@ -293,10 +294,10 @@ def _pref_pairs_sql(q_expr: str) -> str:
     return (
         "WITH scored AS (SELECT lang, source, doc_id, "
         f"  CAST({q_expr} AS BIGINT) AS q, "
-        f"  ROW_NUMBER() OVER (PARTITION BY lang, source "
-        "                      ORDER BY CAST({q} AS BIGINT) DESC, doc_id) AS rb, "
-        f"  ROW_NUMBER() OVER (PARTITION BY lang, source "
-        "                      ORDER BY CAST({q} AS BIGINT) ASC, doc_id) AS rw "
+        "  ROW_NUMBER() OVER (PARTITION BY lang, source "
+        f"                     ORDER BY CAST({q_expr} AS BIGINT) DESC, doc_id) AS rb, "
+        "  ROW_NUMBER() OVER (PARTITION BY lang, source "
+        f"                     ORDER BY CAST({q_expr} AS BIGINT) ASC, doc_id) AS rw "
         "  FROM documents) "
         "SELECT b.lang, b.source, "
         "b.doc_id AS chosen_doc, w.doc_id AS rejected_doc, "
@@ -306,7 +307,7 @@ def _pref_pairs_sql(q_expr: str) -> str:
         "WHERE b.rb = 1 AND w.rw = 1 AND b.doc_id <> w.doc_id "
         f"  AND b.q - w.q >= {_PREF_MARGIN} "
         "ORDER BY b.lang, b.source"
-    ).format(q=q_expr)
+    )
 
 
 sql_query(

@@ -385,10 +385,10 @@ def _skip_ab_sql(dialect: str) -> str:
             "CAST(SUM(cand) AS BIGINT) AS n_candidate, "
             "CAST(SUM(cand * n_rows) AS BIGINT) AS rows_scanned "
             f"FROM (SELECT {bucket} AS b, COUNT(*) AS n_rows, "
-            "CASE WHEN MAX(ok16) >= {lo} AND MIN(ok16) <= {hi} "
-            "      AND MAX(pk16) >= {lo} AND MIN(pk16) <= {hi} "
+            f"CASE WHEN MAX(ok16) >= {_PRED_LO} AND MIN(ok16) <= {_PRED_HI} "
+            f"      AND MAX(pk16) >= {_PRED_LO} AND MIN(pk16) <= {_PRED_HI} "
             "THEN 1 ELSE 0 END AS cand "
-            f"FROM base GROUP BY {bucket}) t".format(lo=_PRED_LO, hi=_PRED_HI)
+            f"FROM base GROUP BY {bucket}) t"
         )
     union = " UNION ALL ".join(arms)
     return (

@@ -323,10 +323,7 @@ def _mmr_gauge_sql(dialect: str) -> str:
     idiv = "DIV" if dialect == "spark" else "//"
     return (
         _mmr_cte_body(dialect)
-        + ", plain AS (SELECT qid, did FROM shortlist WHERE rel >= 0 "
-        "  AND did IN (SELECT did FROM shortlist s2 WHERE s2.qid = shortlist.qid) "
-        "  ), "  # placeholder simplified below
-        "p3 AS (SELECT qid, did FROM ("
+        + ", p3 AS (SELECT qid, did FROM ("
         "  SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid "
         "  ORDER BY rel DESC, did) AS rn FROM shortlist) t WHERE rn <= 3), "
         "mmr_sim AS (SELECT a.qid, "

@@ -213,7 +213,7 @@ def _benford_sql(idiv: str) -> str:
 
 sql_query(
     "dq_benford_digits",
-    _benford_sql("DIV").replace("AS STRING", "AS STRING"),
+    _benford_sql("DIV"),
     oracle=_benford_sql("//").replace("CAST(v AS STRING)", "CAST(v AS VARCHAR)"),
     tables=EV,
     tags=("quality", "forensics", "benford"),
@@ -237,10 +237,16 @@ def _cramers_sql(idiv: str) -> str:
         "rs AS (SELECT a, SUM(o) AS ra FROM cell GROUP BY a), "
         "cs AS (SELECT b, SUM(o) AS cb FROM cell GROUP BY b), "
         "n AS (SELECT SUM(o) AS n FROM cell), "
-        "chi AS (SELECT SUM((c.o * n.n - r.ra * s.cb) * (c.o * n.n - r.ra * s.cb) "
+        # full r x c grid (CROSS JOIN rs/cs, LEFT JOIN cell): a zero-count
+        # cell still contributes its expected term (ra*cb)^2 // (ra*cb) =
+        # ra*cb to the chi-square sum — summing only non-empty cells
+        # understates chi2 whenever any cell is empty
+        "chi AS (SELECT SUM((COALESCE(c.o, 0) * n.n - r.ra * s.cb) * "
+        "  (COALESCE(c.o, 0) * n.n - r.ra * s.cb) "
         "  {d} (r.ra * s.cb)) AS chi2s, MAX(n.n) AS n, "
-        "  COUNT(DISTINCT c.a) AS nr, COUNT(DISTINCT c.b) AS nc "
-        "  FROM cell c JOIN rs r ON c.a = r.a JOIN cs s ON c.b = s.b "
+        "  COUNT(DISTINCT r.a) AS nr, COUNT(DISTINCT s.b) AS nc "
+        "  FROM rs r CROSS JOIN cs s "
+        "  LEFT JOIN cell c ON c.a = r.a AND c.b = s.b "
         "  CROSS JOIN n) "
         "SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows_cat, "
         "CAST(nc AS BIGINT) AS n_cols_cat, "
@@ -264,7 +270,7 @@ sql_query(
 )
 
 
-def _autocorr_sql(diff_expr: str, idiv: str) -> str:
+def _autocorr_sql(idiv: str) -> str:
     # x = day's count, y = next day's count (lead over the daily series);
     # r2 permille = (n*Sxy - Sx*Sy)^2 * 1000 // ((n*Sxx - Sx^2) *
     # (n*Syy - Sy^2)) — Pearson squared without sqrt, integers only.
@@ -290,8 +296,8 @@ def _autocorr_sql(diff_expr: str, idiv: str) -> str:
 
 sql_query(
     "seq_daily_autocorr",
-    _autocorr_sql("", "DIV"),
-    oracle=_autocorr_sql("", "//"),
+    _autocorr_sql("DIV"),
+    oracle=_autocorr_sql("//"),
     tables=EV,
     tags=("sequence", "quality", "timeseries"),
     doc="lag-1 autocorrelation of the daily event count as signed r² "

@@ -162,3 +162,71 @@ def test_bloom_runtime_join_plan_broadcasts(spark, sf_dir):
     df = get_query("join_bloom_runtime").spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_quantile_stream_batch_parity_on_events(spark, sf_dir, tmp_path):
+    """Stream-final == batch summary on the events fixture (the
+    test_drift_stream pattern): one micro-batch of every event value
+    through quantile_stream(capacity=c) must land on EXACTLY the grid the
+    batch summarizer builds at k=c on one partition — _compress over
+    sorted weight-1 points and the batch grid share pos_j = ceil(j*m/c),
+    so the per-q estimates (min v with cumw >= target) agree exactly."""
+    import math
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from console_datagen_spark.catalog import register_views
+    from console_datagen_spark.operators.quantile_sketch import (
+        quantile_partition_summaries,
+        quantile_stream,
+    )
+
+    cap, qs = 16, (500, 950, 990)
+    ev = register_views(spark, sf_dir, ("events",))["events"]
+    cents = ev.select(
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("v")
+    )
+
+    # batch side: one-partition grid summary at k=cap -> merged-CDF ests
+    summ = sorted(
+        (r.v, r.w)
+        for r in quantile_partition_summaries(
+            cents.coalesce(1), "v", k=cap
+        ).collect()
+    )
+    m = sum(w for _, w in summ)
+
+    def batch_est(q):
+        target = math.ceil(q * m / 1000)
+        cumw = 0
+        for v, w in summ:
+            cumw += w
+            if cumw >= target:
+                return v
+        return summ[-1][0]
+
+    # stream side: the same values as ONE micro-batch file
+    src = tmp_path / "src"
+    src.mkdir()
+    stage = tmp_path / "_stage"
+    cents.coalesce(1).write.parquet(str(stage), mode="overwrite")
+    shutil.move(
+        str(next(stage.glob("part-*.parquet"))), str(src / "all.parquet")
+    )
+    emitted = []
+    stream = spark.readStream.schema("v long").parquet(str(src))
+    q = (
+        quantile_stream(stream, "v", capacity=cap, qs=qs)
+        .writeStream.foreachBatch(lambda b, _: emitted.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = {r.q_permille: r for r in emitted}
+    assert final[500].n_rows == m
+    for qp in qs:
+        assert final[qp].est == batch_est(qp), qp
