@@ -257,6 +257,63 @@ def lsh_candidate_pairs_capped(
     )
 
 
+def lsh_candidate_pairs_sampled(
+    documents: DataFrame,
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    bucket_cap: int = 64,
+    shingles_df: DataFrame | None = None,
+    ids_df: DataFrame | None = None,
+    bands_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-bucket SAMPLED variant of the hot-bucket cap: instead of
+    dropping an over-full bucket wholesale (``lsh_candidate_pairs_capped``),
+    keep its ``bucket_cap`` lowest-hash members (md5 of a salted doc_id —
+    deterministic, replayable by the oracle) and pair only those.
+
+    The middle ground for template families: a representative sample of
+    the family still enters the pair graph (so connected components still
+    collapse a core of it) while candidate volume stays O(cap²) per
+    bucket. Plan shape: one window rank partitioned by (band, bh) — the
+    SAME key the pair equi-join shuffles on, so the rank and the join
+    share a shuffle axis; no new exchange for the small-bucket majority.
+    """
+    bands = (
+        bands_df
+        if bands_df is not None
+        else minhash_bands(documents, k, rows_per_band, n, shingles_df, ids_df)
+    )
+    rank_w = Window.partitionBy("band", "bh").orderBy(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("s"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        "doc_id",
+    )
+    kept = (
+        bands.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= bucket_cap)
+        .select("doc_id", "band", "bh")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,

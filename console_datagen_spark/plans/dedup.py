@@ -523,6 +523,123 @@ df_query(
 )
 
 
+def _minhash_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    ids = D.doc_shingle_ids(docs)
+    cand = D.lsh_candidate_pairs_sampled(
+        docs,
+        k=_K,
+        rows_per_band=_ROWS_PER_BAND,
+        bucket_cap=_BUCKET_CAP,
+        ids_df=ids,
+    )
+    return D.ngram_jaccard_pairs(
+        docs,
+        threshold_permille=_JACCARD_PERMILLE,
+        candidates=cand,
+        ids_df=ids,
+    ).orderBy("doc_a", "doc_b")
+
+
+_DUCK_PAIRS_SAMPLED = (
+    f"{_DUCK_SIG}, "
+    f"bands AS (SELECT doc_id, perm // {_ROWS_PER_BAND} AS band, "
+    f"          SUM((perm % {_ROWS_PER_BAND} + 1) * minhash) % {HASH_PRIME} AS bh "
+    f"          FROM sig GROUP BY doc_id, perm // {_ROWS_PER_BAND}), "
+    # deterministic per-bucket sample: keep the cap lowest salted-md5
+    # members of every bucket (same rank expression as the Spark window)
+    "ranked AS (SELECT doc_id, band, bh, ROW_NUMBER() OVER ("
+    "  PARTITION BY band, bh ORDER BY "
+    "  ('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT, "
+    "  doc_id) AS rn FROM bands), "
+    f"kept AS (SELECT doc_id, band, bh FROM ranked WHERE rn <= {_BUCKET_CAP}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "         FROM kept a JOIN kept b "
+    "         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter "
+    "          FROM ids a JOIN ids b ON a.tid = b.tid AND a.doc_id < b.doc_id "
+    "          GROUP BY 1, 2), "
+    "pairs AS (SELECT i.doc_a, i.doc_b, "
+    "          CAST(i.inter * 1000 // (sa.sz + sb.sz - i.inter) AS BIGINT) "
+    "          AS jaccard_permille "
+    "          FROM inter i "
+    "          JOIN sizes sa ON i.doc_a = sa.doc_id "
+    "          JOIN sizes sb ON i.doc_b = sb.doc_id "
+    "          JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b "
+    f"         WHERE i.inter * 1000 // (sa.sz + sb.sz - i.inter) "
+    f"               >= {_JACCARD_PERMILLE})"
+)
+
+df_query(
+    "dedup_lsh_sampled",
+    _minhash_pairs_sampled,
+    oracle=(
+        f"WITH {_DUCK_PAIRS_SAMPLED} "
+        "SELECT doc_a, doc_b, jaccard_permille FROM pairs "
+        "ORDER BY doc_a, doc_b"
+    ),
+    tables=DOCS,
+    tags=("dedup", "minhash", "lsh", "scale"),
+    doc="MinHash+LSH pairs with per-bucket SAMPLING: over-full buckets "
+    f"keep their {_BUCKET_CAP} lowest-salted-md5 members instead of being "
+    "dropped wholesale — a representative core of a template family still "
+    "enters the pair graph while candidate volume stays O(cap²)/bucket",
+)
+
+
+def _keepers_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    ids = D.doc_shingle_ids(docs)
+    cand = D.lsh_candidate_pairs_capped(
+        docs,
+        k=_K,
+        rows_per_band=_ROWS_PER_BAND,
+        bucket_cap=_BUCKET_CAP,
+        ids_df=ids,
+    )
+    pairs = D.ngram_jaccard_pairs(
+        docs,
+        threshold_permille=_JACCARD_PERMILLE,
+        candidates=cand,
+        ids_df=ids,
+    )
+    labels = D.dup_components(pairs)
+    drops = labels.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    return (
+        docs.join(drops, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+df_query(
+    "dedup_keepers_capped",
+    _keepers_capped,
+    oracle=(
+        f"WITH RECURSIVE {_DUCK_PAIRS_CAPPED}, "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(id, r) AS ("
+        "  SELECT src, src FROM edges "
+        "  UNION "
+        "  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), "
+        "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), "
+        "drops AS (SELECT id FROM comp WHERE id <> component) "
+        "SELECT lang, COUNT(*) AS n_kept FROM documents d "
+        "WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.id = d.doc_id) "
+        "GROUP BY lang ORDER BY lang"
+    ),
+    tables=DOCS,
+    tags=("dedup", "components", "pipeline", "scale"),
+    doc="end-to-end near-dup removal composed over the HOT-BUCKET-CAPPED "
+    "candidate path (the form that survives a crawl-scale template "
+    "family): capped LSH -> verify -> components -> anti-join, per-lang "
+    "keeper counts",
+)
+
+
 # ---- incremental ingest dedup ---------------------------------------------
 
 # the crawl-ingest split: docs with doc_id % 10 >= 8 are "today's batch",

@@ -460,3 +460,120 @@ sql_query(
     "full-stream sort): clip thresholds, clip-volume tallies and the "
     "winsorized sum per event type — robust feature scaling prep",
 )
+
+
+# ---- Hilbert-curve layout arm ----------------------------------------------
+# The other space-filling curve: Hilbert preserves locality strictly
+# better than Morton (no Z-shape jumps between quadrants), which at
+# 100 TB means tighter per-file envelopes for the same file count. The
+# standard xy->d algorithm is an iterative quadrant-rotation fold, which
+# unrolls into a chain of per-level CTEs of pure integer CASE arithmetic
+# (no xor spelling differences: the Gray-code increment over (rx, ry) is
+# a 4-way CASE) - bit-identical in Spark and DuckDB, so the layout
+# decision is hash-certified exactly like layout_zorder. Reference shape:
+# the public-domain xy2d loop (Wikipedia "Hilbert curve", convert+rotate).
+
+_HILBERT_ORDER = 16  # 16-bit x/y -> 32-bit d, same domain as the Morton arm
+
+
+def _hilbert_ctes(src: str) -> str:
+    """CTE chain h0..h{order}: fold from (ok16, pk16) to hilbert d.
+
+    ``src`` must expose ok16/pk16 (and any passthrough columns); each
+    level consumes the previous one. Passthrough columns survive because
+    every level re-selects them via ``* EXCEPT`` - spelled portably by
+    listing only the three fold columns plus ok16/pk16/z.
+    """
+    parts = [
+        f"h0 AS (SELECT ok16, pk16, z, ok16 AS hx, pk16 AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM {src})"
+    ]
+    lvl = 0
+    for i in range(_HILBERT_ORDER - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        # Gray-code quadrant index (3*rx) XOR ry without xor():
+        quad = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        nxt = lvl + 1
+        parts.append(
+            f"h{nxt} AS (SELECT ok16, pk16, z, "
+            # rotate/reflect the sub-square, then swap axes (ry=0 branch)
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"  THEN {s} - 1 - hy ELSE hy END) ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"  THEN {s} - 1 - hx ELSE hx END) ELSE hy END AS hy, "
+            f"hd + CAST({s} AS BIGINT) * {s} * {quad} AS hd "
+            f"FROM h{lvl})"
+        )
+        lvl = nxt
+    return ", ".join(parts), f"h{lvl}"
+
+
+def _hilbert_ab_sql(dialect: str) -> str:
+    """The skipping A/B extended with the Hilbert arm: same rescaled
+    16-bit domain, same 2-dim range predicate, same 32-bucket layouts -
+    plus hd-bucketed Hilbert. Emits the identical report columns so the
+    two queries read side-by-side."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    z = _morton_sql("ok16", "pk16", dialect)
+    base = (
+        "ext AS (SELECT CAST(MAX(l_orderkey) + 1 AS BIGINT) AS mok, "
+        "  CAST(MAX(l_partkey) + 1 AS BIGINT) AS mpk FROM lineitem), "
+        "scaled AS (SELECT "
+        f"  CAST(CAST(l_orderkey AS BIGINT) * 65536 {idiv} mok AS BIGINT) "
+        "    AS ok16, "
+        f"  CAST(CAST(l_partkey AS BIGINT) * 65536 {idiv} mpk AS BIGINT) "
+        "    AS pk16 "
+        "  FROM lineitem CROSS JOIN ext), "
+        f"base AS (SELECT ok16, pk16, {z} AS z FROM scaled)"
+    )
+    hctes, hfinal = _hilbert_ctes("base")
+    layouts = (
+        ("hilbert", f"hd {idiv} 134217728"),
+        ("zorder", f"z {idiv} 134217728"),
+    )
+    arms = []
+    for name, bucket in layouts:
+        arms.append(
+            f"SELECT '{name}' AS layout, "
+            "CAST(COUNT(*) AS BIGINT) AS n_buckets, "
+            "CAST(SUM(cand) AS BIGINT) AS n_candidate, "
+            "CAST(SUM(cand * n_rows) AS BIGINT) AS rows_scanned "
+            f"FROM (SELECT {bucket} AS b, COUNT(*) AS n_rows, "
+            f"CASE WHEN MAX(ok16) >= {_PRED_LO} AND MIN(ok16) <= {_PRED_HI} "
+            f"      AND MAX(pk16) >= {_PRED_LO} AND MIN(pk16) <= {_PRED_HI} "
+            "THEN 1 ELSE 0 END AS cand "
+            f"FROM {hfinal} GROUP BY {bucket}) t"
+        )
+    union = " UNION ALL ".join(arms)
+    return (
+        f"WITH {base}, {hctes}, "
+        "matched AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_matched "
+        f"  FROM base WHERE ok16 BETWEEN {_PRED_LO} AND {_PRED_HI} "
+        f"  AND pk16 BETWEEN {_PRED_LO} AND {_PRED_HI}), "
+        f"arms AS ({union}) "
+        "SELECT a.layout, a.n_buckets, a.n_candidate, a.rows_scanned, "
+        "m.rows_matched, "
+        f"CAST(a.rows_scanned * 1000 {idiv} "
+        "  (CASE WHEN m.rows_matched = 0 THEN 1 ELSE m.rows_matched END) "
+        "  AS BIGINT) AS scan_x_permille "
+        "FROM arms a CROSS JOIN matched m ORDER BY a.layout"
+    )
+
+
+sql_query(
+    "layout_hilbert_ab",
+    _hilbert_ab_sql("spark"),
+    oracle=_hilbert_ab_sql("duck"),
+    tables=("lineitem",),
+    tags=("layout", "hilbert", "zorder", "skipping"),
+    doc="Hilbert-vs-Morton skipping A/B under the same 2-dim range "
+    "predicate and 32-bucket budget: the Hilbert fold (unrolled "
+    "quadrant-rotation CTE chain, pure integer CASE arithmetic) vs the "
+    "Z-order arm - candidate buckets, post-pruning scan volume and scan "
+    "amplification, hash-certified in both engines",
+)

@@ -35,13 +35,29 @@ print("entry():", E.entry(spark).count(), "rows", flush=True)
 # registry queries themselves (e.g. a fixture type change like ns→µs/NTZ)
 # are caught by the full per-query compare below, which constructs and
 # runs every registered query.
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, SPECIAL  # noqa: E402
 from console_datagen_spark.plans import all_queries  # noqa: E402
 
 _registry = all_queries()
 _bench_fails = [
-    n for n in HEADLINE if n != "gen_records_1m" and n not in _registry
+    n for n in HEADLINE if n not in SPECIAL and n not in _registry
 ]
+# the ivfpq probe entry is not registry-resolved: smoke it end-to-end at
+# tiny scale so a refactor of the index/probe API can't break the bench
+try:
+    import tempfile
+
+    from console_datagen_spark.operators.ivf_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    with tempfile.TemporaryDirectory() as _tmp:
+        _emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        build_ivfpq_index(_emb, f"{_tmp}/idx")
+        probe_ivfpq_index(spark, f"{_tmp}/idx", _emb).count()
+except Exception as exc:  # noqa: BLE001
+    _bench_fails.append(("ivfpq_index_probe", str(exc).splitlines()[0][:200]))
 try:
     from console_datagen_spark.sources.generator import generate_batch
 

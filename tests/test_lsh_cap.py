@@ -67,3 +67,31 @@ def test_sign_lsh_bucket_cap(spark):
     assert got == {(100, 101), (100, 102), (101, 102)}
     # and None keeps the giant bucket (existing behavior unchanged)
     assert candidate_pairs_from_buckets(buckets).count() == 50 * 49 // 2 + 3
+
+
+def test_sampled_bucket_keeps_a_family_core(spark):
+    """Per-bucket sampling keeps cap members of the giant bucket, so a
+    core of the template family still pairs (O(cap^2)), while the capped
+    variant drops it entirely."""
+    docs = _template_corpus(spark)
+    cap = 5
+    cand = D.lsh_candidate_pairs_sampled(docs, bucket_cap=cap)
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    fam_pairs = {(a, b) for a, b in pairs if b < 2000}
+    # the family core pairs completely within the sample: C(cap,2) per
+    # band, identical sample across bands (same rank key) -> exactly
+    # C(cap,2) distinct family pairs
+    assert len(fam_pairs) == cap * (cap - 1) // 2
+    # and the small-bucket near-dups survive untouched
+    assert (2000, 2001) in pairs and (3000, 3001) in pairs
+    # still nowhere near the 1k^2 blowup
+    assert cand.count() < 2 * cap * cap
+
+
+def test_sampled_loose_cap_matches_uncapped(spark):
+    docs = _template_corpus(spark, n_family=5)
+    sampled = D.lsh_candidate_pairs_sampled(docs, bucket_cap=10**6)
+    uncapped = D.lsh_candidate_pairs(docs)
+    assert {tuple(r) for r in sampled.collect()} == {
+        tuple(r) for r in uncapped.collect()
+    }
