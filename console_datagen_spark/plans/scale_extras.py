@@ -355,3 +355,178 @@ sql_query(
     "per nation; scalar-subquery threshold as an exact integer "
     "cross-multiplication, NOT EXISTS as a left-anti hash join",
 )
+
+
+# ---------------------------------------------------------------- KMV theta
+# The cardinality leg of the sketch tier (MG = frequency, rank-grid =
+# quantiles, KMV = distinct + set algebra). Because the KMV hash is the
+# portable md5 order (functions/hashing.py), the k-min sets and every
+# estimate composed from them are bit-identical across engines - the only
+# fully HASH-certified cardinality sketch in the registry (HLL stays
+# tolerance-checked in agg_sketch_check). Spark side runs the mergeable
+# operator (per-partition heap summaries, operators/kmv.py); the oracle
+# replays the same k-min sets with a window rank - the sets are a data
+# property, independent of partitioning, which is exactly why the sketch
+# merges.
+
+_KMV_K = 64
+_KMV_D = 1 << 60
+_KMV_A, _KMV_B = "click", "purchase"
+
+
+def _kmv_est(n_col: str, hk_col: str):
+    return (
+        F.when(F.col(n_col) < _KMV_K, F.col(n_col))
+        .otherwise(
+            F.expr(
+                f"CAST(({n_col} - 1) * CAST({_KMV_D} AS DECIMAL(38,0)) "
+                f"DIV {hk_col} AS BIGINT)"
+            )
+        )
+        .cast("long")
+    )
+
+
+def _kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmv import kmv_kmin
+
+    ev = register_views(spark, sf_dir, ("events",))["events"]
+    a = ev.where(F.col("event_type") == _KMV_A)
+    b = ev.where(F.col("event_type") == _KMV_B)
+    ka = kmv_kmin(a, "user_id", _KMV_K).select("h")
+    kb = kmv_kmin(b, "user_id", _KMV_K).select("h")
+    sa = ka.agg(F.count("*").alias("n_a"), F.max("h").alias("hk_a"))
+    sb = kb.agg(F.count("*").alias("n_b"), F.max("h").alias("hk_b"))
+    th = sa.crossJoin(sb).select(
+        "n_a",
+        "hk_a",
+        "n_b",
+        "hk_b",
+        F.least(
+            F.when(F.col("n_a") < _KMV_K, F.lit(_KMV_D)).otherwise(F.col("hk_a")),
+            F.when(F.col("n_b") < _KMV_K, F.lit(_KMV_D)).otherwise(F.col("hk_b")),
+        ).alias("theta"),
+    )
+    theta = F.broadcast(th.select("theta"))
+    u_c = (
+        ka.union(kb)
+        .distinct()
+        .crossJoin(theta)
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("u_c"))
+    )
+    i_c = (
+        ka.join(kb, "h")
+        .crossJoin(theta)
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("i_c"))
+    )
+    ex_a = a.agg(F.countDistinct("user_id").alias("exact_a"))
+    ex_b = b.agg(F.countDistinct("user_id").alias("exact_b"))
+    ex_u = (
+        a.select("user_id")
+        .union(b.select("user_id"))
+        .distinct()
+        .agg(F.count("*").alias("exact_union"))
+    )
+    da, db = a.select("user_id").distinct(), b.select("user_id").distinct()
+    ex_i = da.join(db, "user_id").agg(F.count("*").alias("exact_inter"))
+
+    one = (
+        th.crossJoin(u_c).crossJoin(i_c)
+        .crossJoin(ex_a).crossJoin(ex_b).crossJoin(ex_u).crossJoin(ex_i)
+    )
+    est_u = F.expr(
+        f"CAST(u_c * CAST({_KMV_D} AS DECIMAL(38,0)) DIV theta AS BIGINT)"
+    )
+    est_i = F.expr(
+        f"CAST(i_c * CAST({_KMV_D} AS DECIMAL(38,0)) DIV theta AS BIGINT)"
+    )
+    return one.select(
+        F.lit(_KMV_K).cast("int").alias("k"),
+        _kmv_est("n_a", "hk_a").alias("est_a"),
+        F.col("exact_a").cast("long").alias("exact_a"),
+        _kmv_est("n_b", "hk_b").alias("est_b"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        est_u.alias("est_union"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        est_i.alias("est_inter"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        F.expr(
+            "CAST(abs(CAST(u_c * CAST(1152921504606846976 AS DECIMAL(38,0)) "
+            "DIV theta AS BIGINT) - exact_union) * 1000 "
+            "DIV (CASE WHEN exact_union = 0 THEN 1 ELSE exact_union END) "
+            "AS BIGINT)"
+        ).alias("err_union_permille"),
+    ).orderBy("k")
+
+
+def _kmv_duck() -> str:
+    h = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT)"
+    return (
+        f"WITH ha AS (SELECT DISTINCT {h} AS h FROM events "
+        f"            WHERE event_type = '{_KMV_A}'), "
+        f"hb AS (SELECT DISTINCT {h} AS h FROM events "
+        f"       WHERE event_type = '{_KMV_B}'), "
+        "ka AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn "
+        f"       FROM ha) t WHERE rn <= {_KMV_K}), "
+        "kb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn "
+        f"       FROM hb) t WHERE rn <= {_KMV_K}), "
+        "sa AS (SELECT COUNT(*) AS n_a, MAX(h) AS hk_a FROM ka), "
+        "sb AS (SELECT COUNT(*) AS n_b, MAX(h) AS hk_b FROM kb), "
+        "th AS (SELECT n_a, hk_a, n_b, hk_b, "
+        f"  LEAST(CASE WHEN n_a < {_KMV_K} THEN {_KMV_D} ELSE hk_a END, "
+        f"        CASE WHEN n_b < {_KMV_K} THEN {_KMV_D} ELSE hk_b END) "
+        "    AS theta FROM sa CROSS JOIN sb), "
+        "uc AS (SELECT COUNT(*) AS u_c FROM "
+        "  (SELECT h FROM ka UNION SELECT h FROM kb) u CROSS JOIN th "
+        "  WHERE h < theta), "
+        "ic AS (SELECT COUNT(*) AS i_c FROM ka JOIN kb USING (h) "
+        "  CROSS JOIN th WHERE h < theta), "
+        "exa AS (SELECT COUNT(DISTINCT user_id) AS exact_a FROM events "
+        f"  WHERE event_type = '{_KMV_A}'), "
+        "exb AS (SELECT COUNT(DISTINCT user_id) AS exact_b FROM events "
+        f"  WHERE event_type = '{_KMV_B}'), "
+        "exu AS (SELECT COUNT(*) AS exact_union FROM (SELECT DISTINCT user_id "
+        f"  FROM events WHERE event_type IN ('{_KMV_A}', '{_KMV_B}')) t), "
+        "exi AS (SELECT COUNT(*) AS exact_inter FROM "
+        f"  (SELECT DISTINCT user_id FROM events WHERE event_type = '{_KMV_A}') x "
+        f"  JOIN (SELECT DISTINCT user_id FROM events "
+        f"        WHERE event_type = '{_KMV_B}') y USING (user_id)) "
+        f"SELECT CAST({_KMV_K} AS INT) AS k, "
+        f"CAST(CASE WHEN n_a < {_KMV_K} THEN n_a "
+        f"  ELSE ((n_a - 1)::HUGEINT * {_KMV_D}::HUGEINT) // hk_a END "
+        "  AS BIGINT) AS est_a, "
+        "CAST(exact_a AS BIGINT) AS exact_a, "
+        f"CAST(CASE WHEN n_b < {_KMV_K} THEN n_b "
+        f"  ELSE ((n_b - 1)::HUGEINT * {_KMV_D}::HUGEINT) // hk_b END "
+        "  AS BIGINT) AS est_b, "
+        "CAST(exact_b AS BIGINT) AS exact_b, "
+        f"CAST((u_c::HUGEINT * {_KMV_D}::HUGEINT) // theta AS BIGINT) "
+        "  AS est_union, "
+        "CAST(exact_union AS BIGINT) AS exact_union, "
+        f"CAST((i_c::HUGEINT * {_KMV_D}::HUGEINT) // theta AS BIGINT) "
+        "  AS est_inter, "
+        "CAST(exact_inter AS BIGINT) AS exact_inter, "
+        f"CAST(ABS((u_c::HUGEINT * {_KMV_D}::HUGEINT) // theta "
+        "  - exact_union) * 1000 "
+        "  // (CASE WHEN exact_union = 0 THEN 1 ELSE exact_union END) "
+        "  AS BIGINT) AS err_union_permille "
+        "FROM th CROSS JOIN uc CROSS JOIN ic CROSS JOIN exa "
+        "CROSS JOIN exb CROSS JOIN exu CROSS JOIN exi ORDER BY k"
+    )
+
+
+df_query(
+    "agg_kmv_setops",
+    _kmv_setops,
+    oracle=_kmv_duck(),
+    tables=("events",),
+    tags=("sketch", "cardinality", "setops", "scale"),
+    doc="KMV/theta-sketch distinct + set algebra over two user "
+    "populations: per-partition bounded k-min heap summaries "
+    "(operators/kmv.py) merged to the global k-min set, theta = "
+    "min(h_(k)), union/intersection estimates from hashes below theta "
+    "next to the exact counts - the fully hash-certified cardinality "
+    "sketch (deterministic md5 order, bit-identical in DuckDB)",
+)
