@@ -29,11 +29,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import HASH_PRIME, minhash_coeffs, token_id
+from ..functions.spread import spread
 from ..functions.text import shingles, tokens
 
 
 def doc_tokens(documents: DataFrame, min_tokens: int = 3) -> DataFrame:
-    return documents.select(
+    # spread: a small-file corpus scan is ONE task; the shingle/hash
+    # explode behind this projection is the expensive stage and must run
+    # at full parallelism (no-op when the scan already has enough splits)
+    return spread(documents).select(
         "doc_id", tokens("text").alias("toks")
     ).where(F.size("toks") >= min_tokens)
 

@@ -31,9 +31,17 @@ from ..functions.vector import cosine, dot, to_double_vec
 
 
 def with_norm(embeddings: DataFrame) -> DataFrame:
-    """Project (vec_id, v double[], nrm) once; reused by every tier."""
+    """Project (vec_id, v double[], nrm) once; reused by every tier.
+
+    spread: a small-file embeddings scan is ONE task, and everything
+    downstream of this projection (dot products, PQ encode, k-means
+    assignment) is CPU-bound per row — repartition up to core count so
+    those stages parallelize (no-op on a many-split production table).
+    """
+    from ..functions.spread import spread
+
     v = to_double_vec("embedding")
-    return embeddings.select(
+    return spread(embeddings).select(
         "vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm")
     )
 
@@ -520,6 +528,10 @@ def _pq_subvectors(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
         F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
     subs = F.array(*[F.slice(iv, j * PQ_DIM + 1, PQ_DIM) for j in range(PQ_M)])
+    # no spread here: measured — the added exchange + 32-task scheduling
+    # overhead exceeds the parallelism gain for the ~1 s encode stage
+    # (sim_pq_topk 1.7 s -> 2.1 s with it); the posexplode itself fans
+    # out to PQ_M rows/vector which downstream shuffles then distribute
     return embeddings.select(
         F.col("vec_id").alias(id_col), F.posexplode(subs).alias("j", "sv")
     )
@@ -822,7 +834,11 @@ def kmeans_int_iterate(
     argmax join + one posexplode/groupBy for the means — both linear in
     corpus size, no driver round-trips inside the loop.
     """
-    iv = embeddings.select(
+    from ..functions.spread import spread
+
+    # spread: the per-iteration corpus x centroids dot-product join is
+    # the CPU stage; a single-file scan would pin it to one task
+    iv = spread(embeddings).select(
         "vec_id",
         F.transform(
             F.col("embedding"),
