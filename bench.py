@@ -87,6 +87,7 @@ HEADLINE = [
     "feat_winsorize",
     "vocab_oov_rate",
     "dedup_lsh_capped",
+    "text_trigram_backoff_lm",
     "ivfpq_index_probe",  # probe of the PERSISTED codes-only index (below)
 ]
 

@@ -415,6 +415,48 @@ df_query(
 )
 
 
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    media = M.synth_media(docs, "video", n_bytes=256)
+    frames = M.sample_frames(media, frame_bytes=32, stride=2)
+    # sha over the LOWERCASE hex rendering: DuckDB's sha256 takes VARCHAR
+    # only, so both engines hash the same hex string of the frame bytes
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.sha2(F.lower(F.hex("frame")), 256).alias("frame_sha"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+df_query(
+    "mm_frames_checked",
+    _mm_frames,
+    oracle=(
+        # replay synth_media's md5-chain bytes and the mapInPandas
+        # frame chunking in SQL: 16 md5 blocks -> 512 hex chars; frame k
+        # covers bytes [k*32, (k+1)*32) = hex [k*64+1 .. +64); stride 2
+        "WITH hexc AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 512) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 15) AS t(i) "
+        "  GROUP BY doc_id), "
+        "fr AS (SELECT doc_id, CAST(k AS INT) AS frame_idx, "
+        "  substr(hx, k * 64 + 1, 64) AS fhex "
+        "  FROM hexc CROSS JOIN generate_series(0, 7) AS g(k) "
+        "  WHERE k % 2 = 0) "
+        "SELECT doc_id, frame_idx, sha256(fhex) AS frame_sha "
+        "FROM fr ORDER BY doc_id, frame_idx"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "frames"),
+    doc="hash-certified twin of the video frame-sampling path: "
+    "sample_frames' mapInPandas chunking (32-byte frames, stride 2) "
+    "replayed byte-for-byte by the oracle via the md5-chain content - "
+    "certifies the Arrow kernel's batch iteration and slicing exactly "
+    "(operators/multimodal.py:116)",
+)
+
+
 # §2.5 grouping-set tier beyond q7's ROLLUP: explicit GROUPING SETS incl.
 # the grand total, with grouping() markers disambiguating "NULL because
 # aggregated away" from data NULLs and a grouping_id-style composite key.

@@ -738,3 +738,89 @@ sql_query(
     "min/max/mean of rank*freq + spread permille — the templated-text "
     "tripwire, integer arithmetic only",
 )
+
+
+# ---- held-out trigram LM with stupid backoff -------------------------------
+# The real perplexity-filter shape (upgrades text_bigram_lm's in-corpus
+# MLE): the LM trains on the TRAIN hash-split only, scores VAL docs, and
+# unseen trigrams back off (Brants et al. 2007 "stupid backoff", alpha =
+# 0.4 -> integer 400-permille multiply):
+#     S(w3|w1w2) = c3/c2           if the trigram was seen in train
+#                = 0.4 * c(w2w3)/c(w2)   else if the bigram was seen
+#                = 0                      else
+# All floors-last integer permille, so the verdict is hash-exact. Scale:
+# the count tables are hash aggs over train trigrams; scoring is three
+# LEFT equi-joins from the val trigram stream - no window, no cartesian.
+
+
+def _trigram_lm_sql(dialect: str) -> str:
+    if dialect == "spark":
+        idiv = "DIV"
+        toks = (
+            "SELECT doc_id, split(text, ' ') AS l, "
+            "CASE WHEN (CAST(conv(substr(md5(concat('v1:', "
+            "CAST(doc_id AS STRING))),1,15),16,10) AS BIGINT) % 1000) < 800 "
+            "THEN 'train' ELSE 'val' END AS split "
+            "FROM (SELECT /*+ REPARTITION(32) */ * FROM documents) "
+            "WHERE size(split(text, ' ')) >= 3"
+        )
+        tg = (
+            "SELECT doc_id, split, element_at(l, i) AS w1, "
+            "element_at(l, i + 1) AS w2, element_at(l, i + 2) AS w3 "
+            "FROM (SELECT doc_id, split, l, "
+            "      explode(sequence(1, size(l) - 2)) AS i FROM toks) x"
+        )
+    else:
+        idiv = "//"
+        toks = (
+            "SELECT doc_id, string_split(text, ' ') AS l, "
+            "CASE WHEN (('0x' || substr(md5('v1:' || "
+            "CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000) < 800 "
+            "THEN 'train' ELSE 'val' END AS split "
+            "FROM documents WHERE len(string_split(text, ' ')) >= 3"
+        )
+        tg = (
+            "SELECT doc_id, split, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3 "
+            "FROM (SELECT doc_id, split, l, "
+            "      unnest(generate_series(1, len(l) - 2)) AS i FROM toks) x"
+        )
+    return (
+        f"WITH toks AS ({toks}), "
+        f"tg AS ({tg}), "
+        "c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg "
+        "       WHERE split = 'train' GROUP BY 1, 2, 3), "
+        "c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tg "
+        "       WHERE split = 'train' GROUP BY 1, 2), "
+        "b2 AS (SELECT w2, w3, COUNT(*) AS b2 FROM tg "
+        "       WHERE split = 'train' GROUP BY 1, 2), "
+        "b1 AS (SELECT w2, COUNT(*) AS b1 FROM tg "
+        "       WHERE split = 'train' GROUP BY 1), "
+        "scored AS (SELECT v.doc_id, "
+        "  CASE WHEN c3.c3 IS NOT NULL THEN "
+        f"    c3.c3 * 1000 {idiv} c2.c2 "
+        "  WHEN b2.b2 IS NOT NULL THEN "
+        f"    400 * (b2.b2 * 1000 {idiv} b1.b1) {idiv} 1000 "
+        "  ELSE 0 END AS s "
+        "  FROM tg v "
+        "  LEFT JOIN c3 ON v.w1 = c3.w1 AND v.w2 = c3.w2 AND v.w3 = c3.w3 "
+        "  LEFT JOIN c2 ON v.w1 = c2.w1 AND v.w2 = c2.w2 "
+        "  LEFT JOIN b2 ON v.w2 = b2.w2 AND v.w3 = b2.w3 "
+        "  LEFT JOIN b1 ON v.w2 = b1.w2 "
+        "  WHERE v.split = 'val') "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams, "
+        f"CAST(SUM(s) {idiv} COUNT(*) AS BIGINT) AS lm3_permille "
+        "FROM scored GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+sql_query(
+    "text_trigram_backoff_lm",
+    _trigram_lm_sql("spark"),
+    oracle=_trigram_lm_sql("duck"),
+    tables=DOCS,
+    tags=("text", "quality", "lm", "backoff"),
+    doc="held-out trigram LM fluency with stupid backoff (alpha=0.4, "
+    "Brants 2007): counts fit on the train hash-split only, val docs "
+    "scored per trigram occurrence with integer-permille backoff chain "
+    "- the count-based perplexity filter over genuinely unseen text",
+)
