@@ -1,0 +1,69 @@
+"""On-disk curve layout + manifest pruning: pruned read == full filter,
+and the bucket filter lands in PartitionFilters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from console_datagen_spark.catalog import register_views
+from console_datagen_spark.operators.layout_store import (
+    candidate_buckets,
+    pruned_read,
+    write_curve_layout,
+)
+from console_datagen_spark.plans.layout import _morton_sql
+
+RANGES = {"ok16": (4096, 8191), "pk16": (4096, 8191)}
+
+
+def _scaled(spark, sf_dir):
+    li = register_views(spark, sf_dir, ("lineitem",))["lineitem"]
+    ext = li.agg(
+        (F.max("l_orderkey") + 1).alias("mok"), (F.max("l_partkey") + 1).alias("mpk")
+    )
+    return li.crossJoin(F.broadcast(ext)).select(
+        F.expr("CAST(CAST(l_orderkey AS BIGINT) * 65536 DIV mok AS BIGINT)").alias(
+            "ok16"
+        ),
+        F.expr("CAST(CAST(l_partkey AS BIGINT) * 65536 DIV mpk AS BIGINT)").alias(
+            "pk16"
+        ),
+    )
+
+
+def test_pruned_read_equals_full_filter(spark, sf_dir, tmp_path):
+    base = _scaled(spark, sf_dir)
+    path = str(tmp_path / "zstore")
+    write_curve_layout(
+        base,
+        path,
+        curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+        dims=["ok16", "pk16"],
+    )
+    got = pruned_read(spark, path, RANGES)
+    want = base
+    for d, (lo, hi) in RANGES.items():
+        want = want.where(F.col(d).between(lo, hi))
+    assert got.count() == want.count()
+
+    # pruning must actually bite AND never false-negative
+    cands = candidate_buckets(spark, path, RANGES)
+    assert 0 < len(cands) < 32
+
+    # the bucket IN-list must reach the scan as a partition filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_manifest_is_hidden_from_data_scans(spark, sf_dir, tmp_path):
+    """The _manifest dir must not leak rows into a plain read (leading
+    underscore = hidden to the file index, the _delta_log convention)."""
+    base = _scaled(spark, sf_dir)
+    path = str(tmp_path / "zstore2")
+    write_curve_layout(
+        base,
+        path,
+        curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+        dims=["ok16", "pk16"],
+    )
+    assert spark.read.parquet(path).count() == base.count()
