@@ -356,3 +356,64 @@ sql_query(
     "concentration via the rank formula — the whale-dominance gauge "
     "next to agg_key_skew's hottest-key permille",
 )
+
+
+# ---- multi-touch attribution ------------------------------------------------
+# The marketing-analytics closure of the sequence tier: every purchase
+# credits the click/view touches in its trailing 24 h window under three
+# standard models - last-touch (full credit to the latest touch),
+# first-touch, and linear (floor-even split, remainder to the last touch
+# so every model conserves total cents exactly - the cross-model
+# conservation is asserted in test_sequences_attribution). Touchless
+# purchases credit the 'direct' channel. Join shape: per-user equi-join
+# bounds the range probe (the banded form of join_range_bands applies
+# unchanged at 100 TB); two window ranks + one hash agg after it.
+
+
+def _attribution_sql(idiv: str, interval: str) -> str:
+    return (
+        "WITH p AS (SELECT user_id, ts, event_id, "
+        "  CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events "
+        "  WHERE event_type = 'purchase'), "
+        "t AS (SELECT user_id, ts, event_id, event_type FROM events "
+        "  WHERE event_type IN ('click', 'view')), "
+        "tw AS (SELECT p.event_id AS pid, p.v, t.event_type, t.ts, "
+        "  t.event_id AS tid FROM p JOIN t ON p.user_id = t.user_id "
+        f"  AND t.ts < p.ts AND t.ts >= p.ts - {interval}), "
+        "ranked AS (SELECT pid, v, event_type, "
+        "  ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ts DESC, tid DESC) "
+        "    AS rl, "
+        "  ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ts ASC, tid ASC) "
+        "    AS rf, "
+        "  COUNT(*) OVER (PARTITION BY pid) AS n FROM tw), "
+        "credit AS (SELECT event_type, "
+        "  CASE WHEN rl = 1 THEN v ELSE 0 END AS last_c, "
+        "  CASE WHEN rf = 1 THEN v ELSE 0 END AS first_c, "
+        f"  v {idiv} n + CASE WHEN rl = 1 THEN v - n * (v {idiv} n) "
+        "    ELSE 0 END AS lin_c, "
+        "  CASE WHEN rl = 1 THEN 1 ELSE 0 END AS won FROM ranked), "
+        "direct AS (SELECT 'direct' AS event_type, v AS last_c, "
+        "  v AS first_c, v AS lin_c, 1 AS won FROM p "
+        "  WHERE NOT EXISTS (SELECT 1 FROM tw WHERE tw.pid = p.event_id)) "
+        "SELECT event_type AS channel, "
+        "CAST(SUM(last_c) AS BIGINT) AS last_touch_cents, "
+        "CAST(SUM(first_c) AS BIGINT) AS first_touch_cents, "
+        "CAST(SUM(lin_c) AS BIGINT) AS linear_cents, "
+        "CAST(SUM(won) AS BIGINT) AS n_last_wins "
+        "FROM (SELECT * FROM credit UNION ALL SELECT * FROM direct) u "
+        "GROUP BY event_type ORDER BY channel"
+    )
+
+
+sql_query(
+    "seq_attribution",
+    _attribution_sql("DIV", "INTERVAL 24 HOUR"),
+    oracle=_attribution_sql("//", "INTERVAL 24 HOUR"),
+    tables=EV,
+    tags=("sequence", "attribution", "asof"),
+    doc="multi-touch attribution over the trailing 24 h touch window: "
+    "last-touch / first-touch / linear credit per channel in exact "
+    "integer cents (floor split, remainder to the last touch - every "
+    "model conserves total purchase cents), touchless purchases -> "
+    "'direct'",
+)

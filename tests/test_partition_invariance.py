@@ -1,0 +1,44 @@
+"""Shuffle-partition invariance: the certified surface must not depend
+on spark.sql.shuffle.partitions.
+
+The DuckDB oracle proves each query deterministic under ONE Spark
+config; this spot-check proves the other axis — the same query at 3 vs
+32 shuffle partitions must produce identical canonical results. Covers
+the risk classes: float-adjacent arithmetic (PQ/cosine), window
+tie-breaks, sampling/salting, sketch roll-ups, streaming-compaction
+twins.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from console_datagen_spark.plans import all_queries
+from tests.test_oracle import strict_canon
+
+SAMPLE = [
+    "dedup_minhash_pairs",
+    "dedup_lsh_capped",
+    "agg_kmv_setops",
+    "agg_salted_sum",
+    "sample_split",
+    "sim_pq_topk",
+    "win_session_30m",
+    "agg_quantiles",
+    "cdc_latest_state",
+    "text_trigram_backoff_lm",
+]
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    q = all_queries()[name]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        few = strict_canon(q.spark(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        many = strict_canon(q.spark(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert few.equals(many), name
