@@ -530,3 +530,53 @@ df_query(
     "next to the exact counts - the fully hash-certified cardinality "
     "sketch (deterministic md5 order, bit-identical in DuckDB)",
 )
+
+
+def _kmv_grouped_sql(dialect: str) -> str:
+    if dialect == "spark":
+        h = "CAST(conv(substr(md5(CAST(user_id AS STRING)),1,15),16,10) AS BIGINT)"
+        idiv = "DIV"
+        est = (
+            f"CASE WHEN n < {_KMV_K} THEN n "
+            f"ELSE CAST((n - 1) * CAST({_KMV_D} AS DECIMAL(38,0)) "
+            "DIV hk AS BIGINT) END"
+        )
+    else:
+        h = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT)"
+        idiv = "//"
+        est = (
+            f"CASE WHEN n < {_KMV_K} THEN n "
+            f"ELSE CAST(((n - 1)::HUGEINT * {_KMV_D}::HUGEINT) "
+            "// hk AS BIGINT) END"
+        )
+    return (
+        f"WITH hs AS (SELECT DISTINCT event_type, {h} AS h FROM events), "
+        "k AS (SELECT event_type, h, ROW_NUMBER() OVER ("
+        "  PARTITION BY event_type ORDER BY h) AS rn FROM hs), "
+        "s AS (SELECT event_type, COUNT(*) AS n, MAX(h) AS hk FROM k "
+        f"  WHERE rn <= {_KMV_K} GROUP BY event_type), "
+        "e AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct "
+        "  FROM events GROUP BY event_type) "
+        "SELECT s.event_type, "
+        f"CAST({est} AS BIGINT) AS est_distinct, "
+        "CAST(e.exact_distinct AS BIGINT) AS exact_distinct, "
+        f"CAST(ABS({est} - e.exact_distinct) * 1000 "
+        f"  {idiv} e.exact_distinct AS BIGINT) AS err_permille "
+        "FROM s JOIN e ON s.event_type = e.event_type "
+        "ORDER BY s.event_type"
+    )
+
+
+sql_query(
+    "agg_kmv_grouped",
+    _kmv_grouped_sql("spark"),
+    oracle=_kmv_grouped_sql("duck"),
+    tables=("events",),
+    tags=("sketch", "cardinality", "agg", "scale"),
+    doc="grouped KMV distinct-count estimates (per event_type distinct "
+    "users, k=64) next to the exact counts and the resulting error "
+    "permille - the GROUP-BY approximate-distinct production shape, "
+    "hash-certified end to end because the k-min order is the portable "
+    "md5 order; at scale the per-group k-min folds into the bounded "
+    "operators/kmv.py summaries",
+)
