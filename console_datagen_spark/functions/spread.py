@@ -24,8 +24,19 @@ from pyspark.sql import DataFrame
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Repartition ``df`` up to ``min_parallelism`` (default: the
     session's ``sparkContext.defaultParallelism``) iff it currently has
-    fewer partitions; otherwise return it untouched."""
+    fewer partitions; otherwise return it untouched.
+
+    Probe order: ``inputFiles()`` first — for the scan frames this guard
+    targets, the file count bounds the split count and only needs the
+    analyzed plan — falling back to ``df.rdd.getNumPartitions()`` (full
+    physical planning, strictly heavier) for computed frames with no
+    file sources.
+    """
     target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_parts = len(df.inputFiles()) or df.rdd.getNumPartitions()
+    except Exception:  # non-file-backed plans (e.g. local relations)
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts >= target:
         return df
     return df.repartition(target)

@@ -169,17 +169,9 @@ def minhash_bands(
     )
 
 
-def lsh_candidate_pairs(
-    documents: DataFrame,
-    k: int = 8,
-    rows_per_band: int = 2,
-    n: int = 3,
-    shingles_df: DataFrame | None = None,
-    ids_df: DataFrame | None = None,
-) -> DataFrame:
-    """Candidate near-dup pairs from banded MinHash signatures: an
-    equi-join on (band, bh) — only docs colliding in some band meet."""
-    bands = minhash_bands(documents, k, rows_per_band, n, shingles_df, ids_df)
+def _pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Distinct ordered (doc_a, doc_b) pairs colliding in some band —
+    the shared tail of the plain / capped / sampled candidate paths."""
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -190,6 +182,21 @@ def lsh_candidate_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    shingles_df: DataFrame | None = None,
+    ids_df: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash signatures: an
+    equi-join on (band, bh) — only docs colliding in some band meet."""
+    return _pairs_from_bands(
+        minhash_bands(documents, k, rows_per_band, n, shingles_df, ids_df)
     )
 
 
@@ -247,18 +254,7 @@ def lsh_candidate_pairs_capped(
         .where((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
         .select("band", "bh")
     )
-    kept = bands.join(keep, ["band", "bh"])
-    a, b = kept.alias("a"), kept.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _pairs_from_bands(bands.join(keep, ["band", "bh"]))
 
 
 def lsh_candidate_pairs_sampled(
@@ -305,17 +301,7 @@ def lsh_candidate_pairs_sampled(
         .where(F.col("rn") <= bucket_cap)
         .select("doc_id", "band", "bh")
     )
-    a, b = kept.alias("a"), kept.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _pairs_from_bands(kept)
 
 
 def ngram_jaccard_pairs(

@@ -63,7 +63,12 @@ def kmv_partition_summaries(df: DataFrame, key_col: str, k: int = 64) -> DataFra
                     members.add(h)
         yield pd.DataFrame({"h": sorted(members)}).astype({"h": "int64"})
 
-    hashed = df.select(kmv_hash(F.col(key_col).cast("string")).alias("h"))
+    # NULL keys hash to NULL; Arrow would convert the batch to float64
+    # (NaN) which both crashes int() and rounds 60-bit hashes — drop
+    # them JVM-side so the kernel only ever sees int64
+    hashed = df.select(
+        kmv_hash(F.col(key_col).cast("string")).alias("h")
+    ).where(F.col("h").isNotNull())
     return hashed.mapInPandas(summarize, schema="h long")
 
 
@@ -142,6 +147,7 @@ def kmv_stream(stream: DataFrame, key_col: str, k: int = 64) -> DataFrame:
             F.lit(0).alias("g"),
             kmv_hash(F.col(key_col).cast("string")).alias("h"),
         )
+        .where(F.col("h").isNotNull())  # same NULL/NaN guard as the batch path
         .groupBy("g")
         .applyInPandasWithState(
             update,

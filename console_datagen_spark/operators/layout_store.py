@@ -47,11 +47,17 @@ def write_curve_layout(
     ``curve`` and write the per-bucket min/max manifest over ``dims``.
 
     One pass for the data (partitionBy write), one cheap agg for the
-    manifest. The bucket width divides the curve's 2^curve_bits domain
-    evenly, matching the layout_* queries' bucketing.
+    manifest. The bucket width is the CEIL division of the curve's
+    2^curve_bits domain so the max curve value lands in bucket
+    n_buckets-1 (floor width would spill it into an extra directory for
+    non-power-of-two bucket counts), and the bucket id is exact integer
+    arithmetic ((curve - curve % width) / width), never a float quotient.
     """
-    width = (1 << curve_bits) // n_buckets
-    clustered = df.withColumn("bucket", (curve / F.lit(width)).cast("long"))
+    domain = 1 << curve_bits
+    width = -(-domain // n_buckets)
+    clustered = df.withColumn(
+        "bucket", ((curve - curve % F.lit(width)) / F.lit(width)).cast("long")
+    )
     clustered.write.mode("overwrite").partitionBy("bucket").parquet(path)
     manifest = clustered.groupBy("bucket").agg(
         F.count("*").alias("n_rows"),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.spread import spread
 from ..functions.vector import cosine, dot, to_double_vec
 
 
@@ -38,8 +39,6 @@ def with_norm(embeddings: DataFrame) -> DataFrame:
     assignment) is CPU-bound per row — repartition up to core count so
     those stages parallelize (no-op on a many-split production table).
     """
-    from ..functions.spread import spread
-
     v = to_double_vec("embedding")
     return spread(embeddings).select(
         "vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm")
@@ -834,8 +833,6 @@ def kmeans_int_iterate(
     argmax join + one posexplode/groupBy for the means — both linear in
     corpus size, no driver round-trips inside the loop.
     """
-    from ..functions.spread import spread
-
     # spread: the per-iteration corpus x centroids dot-product join is
     # the CPU stage; a single-file scan would pin it to one task
     iv = spread(embeddings).select(

@@ -476,7 +476,7 @@ sql_query(
 _HILBERT_ORDER = 16  # 16-bit x/y -> 32-bit d, same domain as the Morton arm
 
 
-def _hilbert_ctes(src: str) -> str:
+def _hilbert_ctes(src: str) -> tuple[str, str]:
     """CTE chain h0..h{order}: fold from (ok16, pk16) to hilbert d.
 
     ``src`` must expose ok16/pk16 (and any passthrough columns); each

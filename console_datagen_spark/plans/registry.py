@@ -107,6 +107,12 @@ def promote(names: list[str]) -> None:
     missing = [n for n in names if n not in _REGISTRY]
     if missing:
         raise KeyError(f"promote: unknown query names {missing}")
+    if len(set(names)) != len(names):
+        dups = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"promote: duplicate names {dups} — a repeated entry would "
+            "silently shrink the certification window"
+        )
     front = {n: _REGISTRY[n] for n in names}
     rest = {n: s for n, s in _REGISTRY.items() if n not in front}
     _REGISTRY.clear()

@@ -453,7 +453,7 @@ def _kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_i.alias("est_inter"),
         F.col("exact_inter").cast("long").alias("exact_inter"),
         F.expr(
-            "CAST(abs(CAST(u_c * CAST(1152921504606846976 AS DECIMAL(38,0)) "
+            f"CAST(abs(CAST(u_c * CAST({_KMV_D} AS DECIMAL(38,0)) "
             "DIV theta AS BIGINT) - exact_union) * 1000 "
             "DIV (CASE WHEN exact_union = 0 THEN 1 ELSE exact_union END) "
             "AS BIGINT)"

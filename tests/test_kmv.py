@@ -81,3 +81,13 @@ def test_kmv_stream_batch_parity(spark, tmp_path):
     want = kmv_estimate(kmv_kmin(batch_df, "uid", k), k).collect()[0]
     assert final.n_kept == want.n_kept
     assert final.est == want.est
+
+
+def test_null_keys_are_dropped_not_crashed(spark):
+    """NULL keys must not reach the Arrow kernel (NaN int() crash /
+    float64 hash corruption) — they are dropped JVM-side."""
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(20)] + [(None,), (None,)], "uid string"
+    )
+    row = kmv_estimate(kmv_kmin(df, "uid", 64), 64).collect()[0]
+    assert row.n_kept == 20 and row.est == 20
