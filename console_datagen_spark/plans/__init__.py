@@ -40,6 +40,23 @@ from .registry import QuerySpec, all_queries, get_query, promote  # noqa: F401
 # (sim_kmeans_assign, mm_features) stay past position 50 — a prefix-window
 # harness treats oracle-less entries as failures (r5 lesson). Everything
 # already driver-green keeps its name and definition; only order moves.
+#
+# Round-7 prep: assuming this window certifies, 37 queries remain outside
+# the r1–r6 driver union (computed against CORRECTNESS_r01..05 + this
+# window): the 29 r5-era stragglers (text_lang_confusion, sample_weighted,
+# text_bigram_lm, text_langid_ngram, text_domain_mix,
+# text_decontaminate_spans, text_zipf_check, sim_pq_rerank,
+# dedup_semantic_pairs, dedup_semantic, feat_minmax_normalize,
+# dedup_semantic_kmeans, sim_ivfpq_residual, sim_matryoshka_recall,
+# rag_eval_metrics, sim_ivf_balance, dedup_cross_lingual,
+# sample_hard_negatives, pipeline_triplets, dedup_components_stats,
+# dedup_keepers, dedup_incremental, sample_split_leakage,
+# graph_pagerank_dups, dedup_minhash_accuracy, graph_triangles,
+# text_novelty_curve, sample_negatives, dedup_cdc_chunks) plus the 8 new
+# r6 queries (mm_frames_checked, seq_attribution, text_trigram_backoff_lm,
+# dedup_lsh_sampled, dedup_keepers_capped, layout_hilbert_ab,
+# agg_kmv_setops, agg_kmv_grouped). Promote all 37 next round + 13
+# re-certs to fill the window; that closes the tail entirely.
 promote([
     "dedup_lsh_capped",
     # layout (10)
