@@ -55,8 +55,9 @@ from .registry import QuerySpec, all_queries, get_query, promote  # noqa: F401
 # text_novelty_curve, sample_negatives, dedup_cdc_chunks) plus the 8 new
 # r6 queries (mm_frames_checked, seq_attribution, text_trigram_backoff_lm,
 # dedup_lsh_sampled, dedup_keepers_capped, layout_hilbert_ab,
-# agg_kmv_setops, agg_kmv_grouped). Promote all 37 next round + 13
-# re-certs to fill the window; that closes the tail entirely.
+# agg_kmv_setops, agg_kmv_grouped, and dedup_embedding_capped — 38 total
+# with it). Promote all 38 next round + 12 re-certs to fill the window;
+# that closes the tail entirely.
 promote([
     "dedup_lsh_capped",
     # layout (10)

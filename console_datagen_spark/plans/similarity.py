@@ -275,6 +275,56 @@ df_query(
 )
 
 
+_EMB_BUCKET_CAP = 70  # bites at sf0.01 (bucket sizes run 40-89) so the
+# oracle certifies the sign-LSH cap logic itself
+
+
+def _emb_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    normed = S.with_norm(emb)
+    buckets = S.lsh_buckets_multi(emb, _DUP_BANDS, normed=normed)
+    cand = S.candidate_pairs_from_buckets(buckets, bucket_cap=_EMB_BUCKET_CAP)
+    return S.embedding_dup_pairs_lsh(
+        emb, bands=_DUP_BANDS, threshold=0.4, candidates=cand, normed=normed
+    ).orderBy("vec_a", "vec_b")
+
+
+df_query(
+    "dedup_embedding_capped",
+    _emb_dups_capped,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        f"planes AS ({_DUCK_BAND_PLANES}), "
+        "signs AS (SELECT n.vec_id, band, bit, "
+        "          CASE WHEN list_inner_product(n.v, pv) > 0 THEN 1 ELSE 0 END "
+        "          AS sgn FROM n, planes), "
+        "buckets AS (SELECT vec_id, band, "
+        "            CAST(SUM(CAST(sgn AS BIGINT) << bit) AS BIGINT) AS bucket "
+        "            FROM signs GROUP BY vec_id, band), "
+        "keep AS (SELECT band, bucket FROM buckets GROUP BY band, bucket "
+        f"         HAVING COUNT(*) BETWEEN 2 AND {_EMB_BUCKET_CAP}), "
+        "kept AS (SELECT b.* FROM buckets b JOIN keep k "
+        "         ON b.band = k.band AND b.bucket = k.bucket), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        "         FROM kept a JOIN kept b "
+        "         ON a.band = b.band AND a.bucket = b.bucket "
+        "         WHERE a.vec_id < b.vec_id) "
+        "SELECT vec_a, vec_b FROM cand "
+        "JOIN n na ON na.vec_id = cand.vec_a "
+        "JOIN n nb ON nb.vec_id = cand.vec_b "
+        "WHERE list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm) > 0.4 "
+        "ORDER BY vec_a, vec_b"
+    ),
+    tables=EMB,
+    tags=("dedup", "similarity", "lsh", "scale"),
+    doc="embedding near-dup pairs with the sign-LSH hot-bucket cap: "
+    f"buckets over {_EMB_BUCKET_CAP} members are dropped before pairing "
+    "(the crawl-scale boilerplate-embedding guard, twin of "
+    "dedup_lsh_capped) - candidate volume O(cap²)/bucket, exact verify "
+    "unchanged",
+)
+
+
 def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of IVF(nprobe=1) against the exact brute-force truth.
 
