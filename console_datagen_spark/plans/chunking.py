@@ -240,8 +240,10 @@ WITH keepers AS (
   SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
 base AS (
+  -- REPARTITION(32): same tiny-scan parallelism guard as _MIX_SPARK
   SELECT d.doc_id, d.lang, d.source, split(d.text, ' ') AS l
-  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+  FROM (SELECT /*+ REPARTITION(32) */ * FROM documents) d
+  JOIN keepers k ON d.doc_id = k.doc_id
 ),
 quality AS (
   SELECT doc_id, lang, source, l FROM base
