@@ -88,15 +88,25 @@ HEADLINE = [
     "vocab_oov_rate",
     "dedup_lsh_capped",
     "text_trigram_backoff_lm",
+    # the end-to-end crawl-dedup flagship (capped LSH -> verify ->
+    # components -> anti-join) and its sampled twin, benched next to the
+    # capped pair query so the composed cost is a tracked number
+    "dedup_keepers_capped",
+    "dedup_lsh_sampled",
     "ivfpq_index_probe",  # probe of the PERSISTED codes-only index (below)
+    "layout_pruned_read",  # manifest-pruned scan of the PERSISTED curve store
 ]
 
 # names special-cased in _run_once rather than resolved from the registry
 # (scripts/verify_driver_contract.py exempts these from its name check)
-SPECIAL = {"gen_records_1m", "ivfpq_index_probe"}
+SPECIAL = {"gen_records_1m", "ivfpq_index_probe", "layout_pruned_read"}
 
 GEN_BENCH_N = 1_000_000
 RUNS = 2  # per-query min-of-N: isolates real regressions from ambient load
+# r6 flagged sim_matryoshka_recall +58% on an unrelated ~5-line diff;
+# min-of-3 at the same pinned position separates GC/session noise from a
+# real regression (VERDICT r6 #3)
+EXTRA_RUNS = {"sim_matryoshka_recall": 3}
 
 # the production ANN read path: the cluster-partitioned PQ-code index is
 # built ONCE outside the timer (a real deployment has it prebuilt by the
@@ -110,6 +120,44 @@ def _prepare_ivfpq_index(spark) -> None:
 
     build_ivfpq_index(
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), IVFPQ_INDEX_PATH
+    )
+
+
+# the production data-skipping read path: the curve-clustered store +
+# min/max manifest is written ONCE outside the timer (a deployment's
+# OPTIMIZE job); the benched work is the pruned read — manifest envelope
+# test, partition-pruned bucket scan, residual predicate
+CURVE_STORE_PATH = "/tmp/bench_curve_store"
+CURVE_RANGES = {"ok16": (4096, 8191), "pk16": (4096, 8191)}
+
+
+def _prepare_curve_store(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from console_datagen_spark.operators.layout_store import write_curve_layout
+    from console_datagen_spark.plans.layout import _morton_sql
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ext = li.agg(
+        (F.max("l_orderkey") + 1).alias("mok"), (F.max("l_partkey") + 1).alias("mpk")
+    )
+    base = li.crossJoin(F.broadcast(ext)).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.expr("CAST(CAST(l_orderkey AS BIGINT) * 65536 DIV mok AS BIGINT)").alias(
+            "ok16"
+        ),
+        F.expr("CAST(CAST(l_partkey AS BIGINT) * 65536 DIV mpk AS BIGINT)").alias(
+            "pk16"
+        ),
+    )
+    write_curve_layout(
+        base,
+        CURVE_STORE_PATH,
+        curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+        dims=["ok16", "pk16"],
     )
 
 
@@ -131,6 +179,10 @@ def _run_once(spark, registry, name: str) -> float:
             IVFPQ_INDEX_PATH,
             spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
         )
+    elif name == "layout_pruned_read":
+        from console_datagen_spark.operators.layout_store import pruned_read
+
+        df = pruned_read(spark, CURVE_STORE_PATH, CURVE_RANGES)
     else:
         df = registry[name].spark(spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
@@ -143,12 +195,14 @@ def main() -> None:
     # warm the JVM + parquet footers with one tiny action
     registry["q1_scan_count"].spark(spark, SF_DIR).count()
     _prepare_ivfpq_index(spark)
+    _prepare_curve_store(spark)
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     for name in HEADLINE:
+        runs = EXTRA_RUNS.get(name, RUNS)
         timings[name] = round(
-            min(_run_once(spark, registry, name) for _ in range(RUNS)), 3
+            min(_run_once(spark, registry, name) for _ in range(runs)), 3
         )
         if name == "gen_records_1m":
             # reference baseline: 630 msg/s aggregate (BASELINE.md)

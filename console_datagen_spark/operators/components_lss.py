@@ -30,6 +30,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+_LAST_ROUNDS: int | None = None
+
+
+def last_lss_rounds() -> int | None:
+    """Rounds the most recent dup_components_lss call needed to converge
+    — the scale probe's O(log n) evidence (scripts/scale_probe.py)."""
+    return _LAST_ROUNDS
+
 
 def _canon(edges: DataFrame) -> DataFrame:
     """Distinct (hi, lo) canonical form, self-loops dropped."""
@@ -90,7 +98,9 @@ def dup_components_lss(
     edges = _ckpt(_canon(raw))
     n_edges = edges.count()
     converged = False
-    for _ in range(max_iter):
+    global _LAST_ROUNDS
+    for _round in range(max_iter):
+        _LAST_ROUNDS = _round + 1
         new_edges = _ckpt(_canon(_small_star(_canon(_large_star(edges)))))
         # both frames are distinct sets, so equal counts + one empty
         # one-sided anti probe ⇒ set equality (counts over checkpointed

@@ -12,20 +12,30 @@ logically; this module makes it physical, the way a Delta/Iceberg
    directory, and write a tiny **manifest** parquet next to it:
    per-bucket row count + min/max envelope of every clustered dimension.
    The manifest is the file-skipping metadata layer (what Delta keeps in
-   the transaction log, Iceberg in manifest files).
+   the transaction log, Iceberg in manifest files). The manifest is
+   derived FROM THE WRITTEN FILES (``spark.read.parquet(path)``), not by
+   re-evaluating the input plan — so a nondeterministic or shifting
+   upstream can never produce envelopes that disagree with the parquet
+   on disk, and the (possibly expensive) upstream pipeline runs exactly
+   once.
 2. ``pruned_read``: evaluate a conjunctive range predicate against the
-   manifest (a driver-side read of B rows, B = bucket count), derive the
-   surviving bucket list, and read ONLY those buckets — the ``bucket
-   IN (...)`` filter lands in the scan's PartitionFilters, so pruned
-   directories are never opened. min/max envelope semantics guarantee no
-   false negatives (a bucket whose envelope misses the predicate cannot
-   hold a matching row), so pruned-read == full-scan-filter exactly —
-   asserted in tests/test_layout_store.py.
+   manifest and read ONLY the surviving buckets. Two modes:
+   - default: a driver-side manifest read (B rows, B = bucket count)
+     derives the bucket list and the ``bucket IN (...)`` filter lands in
+     the scan's PartitionFilters, so pruned directories are never opened.
+   - ``broadcast_manifest=True``: the surviving buckets stay a DataFrame
+     joined to the scan (broadcast left-semi on the partition column), so
+     nothing is collected to the driver and Spark's dynamic partition
+     pruning skips the pruned directories at runtime — the mode to use
+     when B is 10^6+ manifest rows.
+   min/max envelope semantics guarantee no false negatives (a bucket
+   whose envelope misses the predicate cannot hold a matching row), so
+   pruned-read == full-scan-filter exactly in both modes — asserted in
+   tests/test_layout_store.py.
 
-At 100 TB the manifest stays tiny (one row per bucket), the candidate
-evaluation is O(buckets) on the driver (or a broadcast join if buckets
-grow huge), and scan cost drops by the measured skipping factor of the
-layout (7.6-7.9x for the bench predicate — see layout_hilbert_ab).
+At 100 TB the manifest stays tiny (one row per bucket) and scan cost
+drops by the measured skipping factor of the layout (7.6-7.9x for the
+bench predicate — see layout_hilbert_ab).
 """
 
 from __future__ import annotations
@@ -46,20 +56,25 @@ def write_curve_layout(
     """Cluster ``df`` into ``n_buckets`` directories by the top bits of
     ``curve`` and write the per-bucket min/max manifest over ``dims``.
 
-    One pass for the data (partitionBy write), one cheap agg for the
-    manifest. The bucket width is the CEIL division of the curve's
-    2^curve_bits domain so the max curve value lands in bucket
-    n_buckets-1 (floor width would spill it into an extra directory for
-    non-power-of-two bucket counts), and the bucket id is exact integer
-    arithmetic ((curve - curve % width) / width), never a float quotient.
+    One action for the data (partitionBy write); the manifest agg then
+    reads the files just written, so the envelopes describe exactly the
+    bytes on disk even if ``df``'s plan is nondeterministic. The bucket
+    width is the CEIL division of the curve's 2^curve_bits domain so the
+    max curve value lands in bucket n_buckets-1 (floor width would spill
+    it into an extra directory for non-power-of-two bucket counts), and
+    the bucket id is true integer division (SQL ``DIV``), exact for any
+    ``curve_bits`` — no float quotient at any width.
     """
     domain = 1 << curve_bits
     width = -(-domain // n_buckets)
-    clustered = df.withColumn(
-        "bucket", ((curve - curve % F.lit(width)) / F.lit(width)).cast("long")
+    clustered = (
+        df.withColumn("_curve", curve.cast("long"))
+        .withColumn("bucket", F.expr(f"_curve DIV CAST({width} AS BIGINT)"))
+        .drop("_curve")
     )
     clustered.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    manifest = clustered.groupBy("bucket").agg(
+    written = df.sparkSession.read.parquet(path)
+    manifest = written.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
         F.count("*").alias("n_rows"),
         *[
             agg
@@ -70,30 +85,55 @@ def write_curve_layout(
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
 
 
-def candidate_buckets(
-    spark: SparkSession, path: str, ranges: dict[str, tuple[int, int]]
-) -> list[int]:
-    """Buckets whose min/max envelope intersects every (lo, hi) range.
-
-    Driver-side: the manifest is one row per bucket. Envelope test =
-    NOT (max < lo OR min > hi) per dimension; a surviving bucket MAY
-    hold matches, a pruned one CANNOT (no false negatives).
-    """
-    m = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+def _survivor_filter(ranges: dict[str, tuple[int, int]]) -> Column:
+    """Envelope test: NOT (max < lo OR min > hi) per dimension; a
+    surviving bucket MAY hold matches, a pruned one CANNOT (no false
+    negatives)."""
     cond = F.lit(True)
     for d, (lo, hi) in ranges.items():
         cond = cond & (F.col(f"max_{d}") >= lo) & (F.col(f"min_{d}") <= hi)
-    return sorted(r.bucket for r in m.where(cond).select("bucket").collect())
+    return cond
+
+
+def candidate_buckets(
+    spark: SparkSession, path: str, ranges: dict[str, tuple[int, int]]
+) -> list[int]:
+    """Buckets whose min/max envelope intersects every (lo, hi) range —
+    driver-side: the manifest is one row per bucket. For huge manifests
+    prefer ``pruned_read(..., broadcast_manifest=True)``, which never
+    materializes this list."""
+    m = spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+    return sorted(
+        r.bucket for r in m.where(_survivor_filter(ranges)).select("bucket").collect()
+    )
 
 
 def pruned_read(
-    spark: SparkSession, path: str, ranges: dict[str, tuple[int, int]]
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple[int, int]],
+    broadcast_manifest: bool = False,
 ) -> DataFrame:
     """Read only manifest-surviving buckets, then apply the exact
-    predicate. The ``bucket IN (...)`` filter prunes partition
-    directories at plan time (PartitionFilters in the scan)."""
-    cands = candidate_buckets(spark, path, ranges)
-    df = spark.read.parquet(path).where(F.col("bucket").isin(cands))
+    predicate.
+
+    Default mode collects the survivor list (O(buckets) driver memory)
+    so the ``bucket IN (...)`` filter prunes partition directories at
+    plan time. ``broadcast_manifest=True`` instead broadcast-left-semi
+    joins the survivors to the scan on the partition column — dynamic
+    partition pruning skips the same directories with zero driver-side
+    materialization, the right mode at 10^6+ buckets."""
+    df = spark.read.parquet(path)
+    if broadcast_manifest:
+        surv = (
+            spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+            .where(_survivor_filter(ranges))
+            .select(F.col("bucket").cast(dict(df.dtypes)["bucket"]).alias("bucket"))
+        )
+        df = df.join(F.broadcast(surv), "bucket", "left_semi")
+    else:
+        cands = candidate_buckets(spark, path, ranges)
+        df = df.where(F.col("bucket").isin(cands))
     for d, (lo, hi) in ranges.items():
         df = df.where(F.col(d).between(lo, hi))
     return df

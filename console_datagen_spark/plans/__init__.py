@@ -32,92 +32,75 @@ from . import features  # noqa: F401
 from . import supervision  # noqa: F401
 from .registry import QuerySpec, all_queries, get_query, promote  # noqa: F401
 
-# Round 6 rotation: 50 queries never yet inside a driver window fill the
-# window exactly — the new hot-bucket-cap query, the eight modules with
-# zero driver greens (layout/versioning/vocab/curriculum/rag/scale_extras/
-# features/supervision = 42), and closure picks for temporal_plans,
-# windows, relational and chunking. Both rows-only-by-design queries
-# (sim_kmeans_assign, mm_features) stay past position 50 — a prefix-window
-# harness treats oracle-less entries as failures (r5 lesson). Everything
-# already driver-green keeps its name and definition; only order moves.
-#
-# Round-7 prep: assuming this window certifies, 37 queries remain outside
-# the r1–r6 driver union (computed against CORRECTNESS_r01..05 + this
-# window): the 29 r5-era stragglers (text_lang_confusion, sample_weighted,
-# text_bigram_lm, text_langid_ngram, text_domain_mix,
-# text_decontaminate_spans, text_zipf_check, sim_pq_rerank,
-# dedup_semantic_pairs, dedup_semantic, feat_minmax_normalize,
-# dedup_semantic_kmeans, sim_ivfpq_residual, sim_matryoshka_recall,
-# rag_eval_metrics, sim_ivf_balance, dedup_cross_lingual,
-# sample_hard_negatives, pipeline_triplets, dedup_components_stats,
-# dedup_keepers, dedup_incremental, sample_split_leakage,
-# graph_pagerank_dups, dedup_minhash_accuracy, graph_triangles,
-# text_novelty_curve, sample_negatives, dedup_cdc_chunks) plus the 8 new
-# r6 queries (mm_frames_checked, seq_attribution, text_trigram_backoff_lm,
-# dedup_lsh_sampled, dedup_keepers_capped, layout_hilbert_ab,
-# agg_kmv_setops, agg_kmv_grouped, and dedup_embedding_capped — 38 total
-# with it). Promote all 38 next round + 12 re-certs to fill the window;
-# that closes the tail entirely.
+# Round 7 rotation: the r6 window certified 50/50, leaving exactly 38
+# hash-oracle queries with no driver green across r1–r6 (the 29 r5-era
+# stragglers + the 8 new r6 queries + dedup_embedding_capped). All 38
+# lead this window, followed by 12 re-certs of long-stable queries to
+# fill the 50. Both rows-only-by-design queries (sim_kmeans_assign,
+# mm_features) stay past position 50 — a prefix-window harness treats
+# oracle-less entries as failures (r5 lesson). If this window certifies,
+# EVERY oracle-checkable registry query has a driver green and the
+# rotation machinery can retire to re-cert duty. The arithmetic is no
+# longer hand-counted: tests/test_rotation.py recomputes never-green =
+# registry − union(CORRECTNESS_r01..rN) and asserts this prefix covers
+# it, so a miscount fails CI instead of stranding a query.
 promote([
+    # --- the 38 never-driver-certified hash-oracle queries ---
+    # text_analysis (8)
+    "text_lang_confusion",
+    "text_bigram_lm",
+    "text_trigram_backoff_lm",
+    "text_langid_ngram",
+    "text_domain_mix",
+    "text_decontaminate_spans",
+    "text_zipf_check",
+    "text_novelty_curve",
+    # similarity / ANN (7)
+    "sim_pq_rerank",
+    "sim_ivfpq_residual",
+    "sim_matryoshka_recall",
+    "sim_ivf_balance",
+    "dedup_embedding_capped",
+    "dedup_semantic_pairs",
+    "dedup_semantic",
+    # semantic / graph dedup (6)
+    "dedup_semantic_kmeans",
+    "dedup_components_stats",
+    "graph_pagerank_dups",
+    "graph_triangles",
+    "dedup_minhash_accuracy",
+    "dedup_cross_lingual",
+    # LSH cap/sample + composed keepers (4)
+    "dedup_lsh_sampled",
+    "dedup_keepers_capped",
+    "dedup_keepers",
+    "dedup_incremental",
+    # sampling (5)
+    "sample_weighted",
+    "sample_hard_negatives",
+    "sample_negatives",
+    "sample_split_leakage",
+    "pipeline_triplets",
+    # misc r5/r6 tails (8)
+    "dedup_cdc_chunks",
+    "feat_minmax_normalize",
+    "rag_eval_metrics",
+    "mm_frames_checked",
+    "seq_attribution",
+    "layout_hilbert_ab",
+    "agg_kmv_setops",
+    "agg_kmv_grouped",
+    # --- 12 re-certs of long-stable driver greens ---
+    "gen_records",
+    "gen_rate_law",
+    "gen_topic_names",
+    "dedup_exact",
     "dedup_lsh_capped",
-    # layout (10)
-    "layout_zorder",
-    "agg_key_skew",
-    "agg_heavy_hitters",
-    "agg_outlier_events",
-    "join_salted_volume",
-    "agg_percentiles_exact",
-    "agg_value_histogram",
-    "profile_events_columns",
-    "layout_skipping_ab",
-    "feat_winsorize",
-    # versioning (3)
-    "corpus_snapshot_diff",
-    "compliance_delete_impact",
-    "corpus_datasheet",
-    # vocab (3)
-    "vocab_bpe_merges",
-    "vocab_bpe_compression",
-    "vocab_oov_rate",
-    # curriculum (2)
-    "pipeline_curriculum",
-    "pipeline_mix_solver",
-    # rag (4)
-    "rag_chunk_topk",
-    "rag_hybrid_rrf",
-    "rag_mmr_rerank",
-    "rag_mmr_gauge",
-    # scale_extras (7)
-    "dedup_substring_spans",
-    "q_waiting_suppliers",
-    "join_bloom_runtime",
-    "agg_quantile_sketch",
-    "dedup_components_lss",
-    "agg_cms_check",
-    "q_sales_opportunity",
-    # features (7)
-    "cdc_scd2_history",
-    "join_point_in_time",
-    "feat_target_encode",
-    "seq_cohort_retention",
-    "seq_funnel_windowed",
-    "pipeline_preference_pairs",
-    "pipeline_feature_matrix",
-    # supervision (6)
-    "label_model_vote",
-    "label_agreement_kappa",
-    "dq_split_drift",
-    "dq_benford_digits",
-    "dq_association_cramers",
-    "seq_daily_autocorr",
-    # temporal_plans closure (3)
-    "join_asof_next_purchase",
-    "join_interval_overlap",
-    "join_asof_tolerance",
-    # windows / relational closure (2)
-    "win_ratio_to_report",
-    "q_order_count_distribution",
-    # chunking (2)
+    "win_session_30m",
+    "agg_collect_list",
+    "scalar_json_construct",
+    "scalar_null_battery",
+    "grouped_event_gaps",
+    "setop_intersect_union",
     "pipeline_end_to_end",
-    "pipeline_pack_efficiency",
 ])

@@ -465,9 +465,9 @@ def _kmv_duck() -> str:
     h = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT)"
     return (
         f"WITH ha AS (SELECT DISTINCT {h} AS h FROM events "
-        f"            WHERE event_type = '{_KMV_A}'), "
+        f"            WHERE event_type = '{_KMV_A}' AND user_id IS NOT NULL), "
         f"hb AS (SELECT DISTINCT {h} AS h FROM events "
-        f"       WHERE event_type = '{_KMV_B}'), "
+        f"       WHERE event_type = '{_KMV_B}' AND user_id IS NOT NULL), "
         "ka AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn "
         f"       FROM ha) t WHERE rn <= {_KMV_K}), "
         "kb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) rn "
@@ -550,7 +550,8 @@ def _kmv_grouped_sql(dialect: str) -> str:
             "// hk AS BIGINT) END"
         )
     return (
-        f"WITH hs AS (SELECT DISTINCT event_type, {h} AS h FROM events), "
+        f"WITH hs AS (SELECT DISTINCT event_type, {h} AS h FROM events "
+        "  WHERE user_id IS NOT NULL), "
         "k AS (SELECT event_type, h, ROW_NUMBER() OVER ("
         "  PARTITION BY event_type ORDER BY h) AS rn FROM hs), "
         "s AS (SELECT event_type, COUNT(*) AS n, MAX(h) AS hk FROM k "

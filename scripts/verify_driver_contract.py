@@ -40,7 +40,7 @@ from console_datagen_spark.plans import all_queries  # noqa: E402
 
 _registry = all_queries()
 _bench_fails = [
-    n for n in HEADLINE if n not in SPECIAL and n not in _registry
+    (n, "not in registry") for n in HEADLINE if n not in SPECIAL and n not in _registry
 ]
 # the ivfpq probe entry is not registry-resolved: smoke it end-to-end at
 # tiny scale so a refactor of the index/probe API can't break the bench

@@ -55,6 +55,57 @@ def test_pruned_read_equals_full_filter(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+def test_broadcast_manifest_matches_collected_mode(spark, sf_dir, tmp_path):
+    """broadcast_manifest=True must return exactly the same rows without
+    collecting the survivor list to the driver; the semi join on the
+    partition column lets dynamic partition pruning skip directories."""
+    base = _scaled(spark, sf_dir)
+    path = str(tmp_path / "zstore3")
+    write_curve_layout(
+        base,
+        path,
+        curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+        dims=["ok16", "pk16"],
+    )
+    collected = pruned_read(spark, path, RANGES)
+    joined = pruned_read(spark, path, RANGES, broadcast_manifest=True)
+    a = collected.groupBy("ok16", "pk16").count()
+    b = joined.groupBy("ok16", "pk16").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # runtime pruning (DPP) must target the partition column
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_manifest_describes_written_files_not_input_plan(spark, tmp_path):
+    """A nondeterministic upstream (rand-keyed) must still yield a
+    manifest consistent with the parquet on disk: every row's dims fall
+    inside its own bucket's envelope."""
+    df = spark.range(0, 2000).select(
+        (F.abs(F.hash((F.rand(seed=7) * 1e9).cast("long"))) % 65536).alias("ok16"),
+        (F.col("id") * 32).alias("pk16"),
+    )
+    path = str(tmp_path / "zstore_nd")
+    write_curve_layout(
+        df,
+        path,
+        curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+        dims=["ok16", "pk16"],
+    )
+    data = spark.read.parquet(path)
+    mani = spark.read.parquet(f"{path}/_manifest")
+    joined = data.join(mani, "bucket")
+    bad = joined.where(
+        (F.col("ok16") < F.col("min_ok16"))
+        | (F.col("ok16") > F.col("max_ok16"))
+        | (F.col("pk16") < F.col("min_pk16"))
+        | (F.col("pk16") > F.col("max_pk16"))
+    )
+    assert bad.count() == 0
+    assert mani.agg(F.sum("n_rows")).first()[0] == data.count()
+
+
 def test_manifest_is_hidden_from_data_scans(spark, sf_dir, tmp_path):
     """The _manifest dir must not leak rows into a plain read (leading
     underscore = hidden to the file index, the _delta_log convention)."""
