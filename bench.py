@@ -105,8 +105,10 @@ GEN_BENCH_N = 1_000_000
 RUNS = 2  # per-query min-of-N: isolates real regressions from ambient load
 # r6 flagged sim_matryoshka_recall +58% on an unrelated ~5-line diff;
 # min-of-3 at the same pinned position separates GC/session noise from a
-# real regression (VERDICT r6 #3)
-EXTRA_RUNS = {"sim_matryoshka_recall": 3}
+# real regression (VERDICT r6 #3). r7 showed the same signature on
+# rag_hybrid_rrf (+40%, plans/rag.py untouched) — same treatment
+# (VERDICT r7 #3).
+EXTRA_RUNS = {"sim_matryoshka_recall": 3, "rag_hybrid_rrf": 3}
 
 # the production ANN read path: the cluster-partitioned PQ-code index is
 # built ONCE outside the timer (a real deployment has it prebuilt by the
@@ -218,6 +220,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf else SF_DIR,
                 "runs": RUNS,
+                # queries pinned to a higher min-of-N than the default
+                # RUNS, so JSON consumers see the real methodology
+                "extra_runs": EXTRA_RUNS,
                 **extras,
             }
         )

@@ -72,8 +72,19 @@ def write_curve_layout(
         .withColumn("bucket", F.expr(f"_curve DIV CAST({width} AS BIGINT)"))
         .drop("_curve")
     )
+    # shuffle by bucket BEFORE the partitionBy write: without it every
+    # write task emits a file into every bucket directory it sees —
+    # writers x buckets files (the scale probe measured ~320k files at
+    # 10^4 buckets / 32 tasks, and the manifest read-back became a
+    # 10^4-task crawl). Clustered, each bucket lands in exactly one task
+    # -> one file per bucket at ANY writer count, which is also the
+    # layout a pruned read wants to open
+    clustered = clustered.repartition(F.col("bucket"))
     clustered.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    written = df.sparkSession.read.parquet(path)
+    # read back with the known schema: an empty input writes zero data
+    # files and schema inference would throw UNABLE_TO_INFER_SCHEMA; the
+    # explicit schema makes the empty store (and its empty manifest) valid
+    written = df.sparkSession.read.schema(clustered.schema).parquet(path)
     manifest = written.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
         F.count("*").alias("n_rows"),
         *[

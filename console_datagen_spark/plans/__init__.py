@@ -32,75 +32,51 @@ from . import features  # noqa: F401
 from . import supervision  # noqa: F401
 from .registry import QuerySpec, all_queries, get_query, promote  # noqa: F401
 
-# Round 7 rotation: the r6 window certified 50/50, leaving exactly 38
-# hash-oracle queries with no driver green across r1–r6 (the 29 r5-era
-# stragglers + the 8 new r6 queries + dedup_embedding_capped). All 38
-# lead this window, followed by 12 re-certs of long-stable queries to
-# fill the 50. Both rows-only-by-design queries (sim_kmeans_assign,
-# mm_features) stay past position 50 — a prefix-window harness treats
-# oracle-less entries as failures (r5 lesson). If this window certifies,
-# EVERY oracle-checkable registry query has a driver green and the
-# rotation machinery can retire to re-cert duty. The arithmetic is no
-# longer hand-counted: tests/test_rotation.py recomputes never-green =
-# registry − union(CORRECTNESS_r01..rN) and asserts this prefix covers
-# it, so a miscount fails CI instead of stranding a query.
-promote([
-    # --- the 38 never-driver-certified hash-oracle queries ---
-    # text_analysis (8)
-    "text_lang_confusion",
-    "text_bigram_lm",
-    "text_trigram_backoff_lm",
-    "text_langid_ngram",
-    "text_domain_mix",
-    "text_decontaminate_spans",
-    "text_zipf_check",
-    "text_novelty_curve",
-    # similarity / ANN (7)
-    "sim_pq_rerank",
-    "sim_ivfpq_residual",
-    "sim_matryoshka_recall",
-    "sim_ivf_balance",
-    "dedup_embedding_capped",
-    "dedup_semantic_pairs",
-    "dedup_semantic",
-    # semantic / graph dedup (6)
-    "dedup_semantic_kmeans",
-    "dedup_components_stats",
-    "graph_pagerank_dups",
-    "graph_triangles",
-    "dedup_minhash_accuracy",
-    "dedup_cross_lingual",
-    # LSH cap/sample + composed keepers (4)
-    "dedup_lsh_sampled",
-    "dedup_keepers_capped",
-    "dedup_keepers",
-    "dedup_incremental",
-    # sampling (5)
-    "sample_weighted",
-    "sample_hard_negatives",
-    "sample_negatives",
-    "sample_split_leakage",
-    "pipeline_triplets",
-    # misc r5/r6 tails (8)
-    "dedup_cdc_chunks",
-    "feat_minmax_normalize",
-    "rag_eval_metrics",
-    "mm_frames_checked",
-    "seq_attribution",
-    "layout_hilbert_ab",
-    "agg_kmv_setops",
-    "agg_kmv_grouped",
-    # --- 12 re-certs of long-stable driver greens ---
-    "gen_records",
-    "gen_rate_law",
-    "gen_topic_names",
-    "dedup_exact",
-    "dedup_lsh_capped",
-    "win_session_30m",
-    "agg_collect_list",
-    "scalar_json_construct",
-    "scalar_null_battery",
-    "grouped_event_gaps",
-    "setop_intersect_union",
-    "pipeline_end_to_end",
-])
+# Re-cert rotation (r8+): with every oracle-checkable query driver-green
+# at least once (r1-r7 union = 204/204), the window's job is keeping that
+# evidence FRESH. The order is computed, not hand-built: each query is
+# keyed by the last round whose CORRECTNESS_r*.json artifact certified it
+# and the stalest-certified queries rotate to the front (never-green
+# queries, e.g. ones added this round, key as round 0 and lead outright).
+# Oracle-less rows-only queries sort last — a prefix-window harness
+# treats them as failures (r5 lesson). tests/test_rotation.py asserts
+# both invariants against the artifacts, so the schedule can't drift.
+
+
+def _recert_order() -> list[str]:
+    """Registry names, stalest driver certification first."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        try:
+            with open(path) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, res in results.items():
+            if (
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match") in (True, None)
+            ):
+                last_green[name] = rnd
+    registry = all_queries()
+    names = list(registry)
+    return sorted(
+        names,
+        key=lambda n: (
+            registry[n].oracle is None,  # rows-only past the window
+            last_green.get(n, 0),  # stalest (or never) green first
+            names.index(n),  # stable tie-break: registration order
+        ),
+    )
+
+
+promote(_recert_order())

@@ -160,3 +160,82 @@ sql_query(
     "tokens, exact-dup docs, quality-pass permille) a dataset release "
     "ships with — single pass, map-side combining aggregates",
 )
+
+
+# ---- datasheet cardinalities (KMV) ----------------------------------------
+
+_CARD_K = 64
+_CARD_D = 1 << 60  # 60-bit md5-prefix hash domain (operators/kmv.py)
+
+
+def _card_sql(dialect: str) -> str:
+    """One-row cardinality card: exact + KMV-estimated distinct counts
+    for the two identities a release datasheet quotes — unique document
+    texts (content identity, the dedup denominator) and unique tokens
+    (vocabulary size). The KMV k-min rides the portable md5 order
+    (functions/hashing.py), so the estimate is bit-identical in DuckDB
+    and fully hash-certified; at 100 TB the same estimate folds from
+    operators/kmv.py's bounded per-partition summaries while the exact
+    COUNT(DISTINCT) column is dropped — the card's estimate column is
+    the one that survives scale, the exact/err columns certify it here.
+    Complements corpus_datasheet (the certified release card this
+    extends with cardinalities — VERDICT r6/r7 stretch)."""
+    if dialect == "spark":
+        ht = "CAST(conv(substr(md5(text),1,15),16,10) AS BIGINT)"
+        hw = "CAST(conv(substr(md5(tok),1,15),16,10) AS BIGINT)"
+        toks = ("SELECT explode(split(text, ' ')) AS tok FROM documents")
+        idiv = "DIV"
+        est = (
+            f"CASE WHEN n < {_CARD_K} THEN n "
+            f"ELSE CAST((n - 1) * CAST({_CARD_D} AS DECIMAL(38,0)) "
+            "DIV hk AS BIGINT) END"
+        )
+    else:
+        ht = "(('0x' || substr(md5(text),1,15))::BIGINT)"
+        hw = "(('0x' || substr(md5(tok),1,15))::BIGINT)"
+        toks = (
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"
+        )
+        idiv = "//"
+        est = (
+            f"CASE WHEN n < {_CARD_K} THEN n "
+            f"ELSE CAST(((n - 1)::HUGEINT * {_CARD_D}::HUGEINT) "
+            "// hk AS BIGINT) END"
+        )
+    return (
+        f"WITH th AS (SELECT DISTINCT {ht} AS h FROM documents), "
+        "tk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM th), "
+        f"ts AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM tk "
+        f"       WHERE rn <= {_CARD_K}), "
+        f"wh AS (SELECT DISTINCT {hw} AS h FROM ({toks}) x WHERE tok <> ''), "
+        "wk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM wh), "
+        f"ws AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM wk "
+        f"       WHERE rn <= {_CARD_K}), "
+        "ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS texts_exact "
+        "       FROM documents), "
+        "wx AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS tokens_exact "
+        f"      FROM ({toks}) x WHERE tok <> '') "
+        "SELECT ex.n_docs, ex.texts_exact, "
+        f"CAST((SELECT {est} FROM ts) AS BIGINT) AS texts_kmv, "
+        f"CAST(ABS((SELECT {est} FROM ts) - ex.texts_exact) * 1000 "
+        f"  {idiv} ex.texts_exact AS BIGINT) AS texts_err_permille, "
+        "wx.tokens_exact, "
+        f"CAST((SELECT {est} FROM ws) AS BIGINT) AS tokens_kmv, "
+        f"CAST(ABS((SELECT {est} FROM ws) - wx.tokens_exact) * 1000 "
+        f"  {idiv} wx.tokens_exact AS BIGINT) AS tokens_err_permille "
+        "FROM ex CROSS JOIN wx"
+    )
+
+
+sql_query(
+    "datasheet_cardinalities",
+    _card_sql("spark"),
+    oracle=_card_sql("duck"),
+    tables=DOCS,
+    tags=("versioning", "telemetry", "datasheet", "sketch"),
+    doc="KMV cardinality card extending corpus_datasheet: exact vs "
+    "k-min-values estimated distinct texts and tokens with error "
+    "permille — the bounded-memory cardinality column a 100 TB data "
+    "card actually ships (exact COUNT DISTINCT certifies it at test SF)",
+)

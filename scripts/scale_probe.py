@@ -1,0 +1,449 @@
+"""Scale probe: measure the dedup/ANN/packing tier at 1x/3x/10x sf0.1.
+
+The bench certifies plan SHAPES at sf0.1 (17 MB); this probe funds the
+100 TB design claims with a measurement (VERDICT r6 #2 / r7 #1): it
+materializes synthetic documents/embeddings at 1x, 3x and 10x the sf0.1
+row counts — same statistical shape as the fixtures (seeded word-salad,
+fixed-size near-dup families) PLUS a crawl-realistic 5% boilerplate
+family whose size grows linearly with the corpus, the exact pathology
+the hot-bucket cap exists for — then measures, per scale:
+
+- RAW LSH candidate pairs (uncapped): expected super-linear growth —
+  the boilerplate family alone contributes O((0.05 n)^2) candidates;
+- CAPPED LSH candidate pairs (bucket_cap=64): the production path —
+  must stay sub-quadratic (gate: log-log growth exponent < 1.5);
+- oversized-bucket telemetry (how much the cap dropped, max bucket);
+- verified pairs -> large-star/small-star components: rounds consumed
+  (operators.components_lss.last_lss_rounds) must stay bounded
+  (gate: rounds(10x) <= rounds(1x) + 4, and converged < max_iter);
+- registered headline queries run unmodified against the scaled dirs
+  (dedup_lsh_capped, dedup_keepers_capped, dedup_components_lss,
+  pipeline_pack_sequences, pipeline_end_to_end) — wall time per scale;
+- IVFPQ persisted-index build + fixed-20-query probe: per-query probe
+  work must not scale with corpus size beyond the probed clusters;
+- shuffle write/read bytes + spill per measurement (Spark REST API) —
+  gate: zero disk spill at 10x on local[32];
+- a 10^4-bucket curve store written once, then pruned_read in
+  broadcast-manifest mode — gate: the plan shows dynamic partition
+  pruning on the partition column and pruned == full-scan-filter counts
+  (the VERDICT r7 #5 elevated-bucket-count evidence).
+
+Writes ONE JSON document to BENCH_scale.json at the repo root:
+{"scales": {...}, "exponents": {...}, "layout_10k": {...},
+ "gates": {...}, "ok": bool}.
+
+Runtime: ~4-8 min at the default scales. Smoke mode (pytest hook):
+SPARK_GRAFT_PROBE_SMOKE=1 shrinks base sizes 10x and runs scales [1, 2]
+so CI can execute the full code path in seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import resource
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SMOKE = os.environ.get("SPARK_GRAFT_PROBE_SMOKE") == "1"
+BASE_DOCS = 500 if SMOKE else 5_000  # sf0.1 documents row count
+BASE_EMB = 200 if SMOKE else 2_000  # sf0.1 embeddings row count
+SCALES = [1, 2] if SMOKE else [1, 3, 10]
+PROBE_DIR = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/scale_probe")
+OUT_PATH = os.environ.get(
+    "SPARK_GRAFT_PROBE_OUT",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "BENCH_scale.json"),
+)
+
+# probe-local LSH parameters: the registered queries keep their oracle-
+# tuned constants (plans/dedup.py pins bucket_cap=2 so the cap bites at
+# sf0.01); the probe's own candidate measurements use the production-
+# realistic cap so "capped" means "bounded per-bucket work", not "empty"
+K, ROWS_PER_BAND, JACCARD_PERMILLE = 8, 2, 350
+# smoke shrinks the corpus 10x, so the boilerplate family (5% of docs)
+# shrinks to ~25 members — the cap must sit below that to bite in both
+# modes, or the smoke gates measure nothing
+BUCKET_CAP = 8 if SMOKE else 64
+
+REGISTRY_QUERIES = [
+    "dedup_lsh_capped",
+    "dedup_keepers_capped",
+    "dedup_components_lss",
+    "pipeline_pack_sequences",
+    "pipeline_end_to_end",
+]
+
+_VOCAB = (
+    "spark line column order small sort fast value scan hash slow group "
+    "batch part query agg table stream filter big merge join window key "
+    "vector data customer the a cache shuffle plan disk read write token "
+    "model train corpus seed"
+).split()
+
+
+def gen_documents(spark: SparkSession, n: int) -> DataFrame:
+    """Seeded word-salad documents, fixture-shaped (doc_id, text, lang,
+    source, n_chars), with a scale-invariant near-dup structure:
+
+    - 5% of docs (id % 20 == 0) belong to ONE boilerplate family
+      (template fam = -1, 3% word drift) — its size grows linearly with
+      n, so its uncapped candidate volume grows quadratically;
+    - everyone else sits in a family of <= 8 (fam = id DIV 8) whose
+      members drift 0..28% from the template — cluster count grows
+      linearly, cluster size is fixed, so their pair volume is linear.
+
+    Pure SQL (hash/pmod/transform): deterministic, no Python in the
+    generate path, and the same expressions run identically at any n.
+    """
+    v = len(_VOCAB)
+    vocab_sql = "array(" + ",".join(f"'{w}'" for w in _VOCAB) + ")"
+    fam = "CASE WHEN id % 20 = 0 THEN CAST(-1 AS BIGINT) ELSE id DIV 8 END"
+    mut_pct = "CASE WHEN id % 20 = 0 THEN 3 ELSE CAST((id % 8) * 4 AS INT) END"
+    word_idx = (
+        f"CASE WHEN pmod(hash('x', id, j), 100) < {mut_pct} "
+        f"THEN pmod(hash('m', id, j), {v}) "
+        f"ELSE pmod(hash('t', {fam}, j), {v}) END"
+    )
+    return (
+        spark.range(n)
+        .selectExpr(
+            "id AS doc_id",
+            f"array_join(transform(sequence(0, 59), j -> "
+            f"element_at({vocab_sql}, 1 + CAST({word_idx} AS INT))), ' ') AS text",
+            "element_at(array('en','en','en','de','fr','es','zh'), "
+            "1 + CAST(pmod(hash('l', id), 7) AS INT)) AS lang",
+            "concat('src', pmod(hash('s', id), 20)) AS source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+
+
+def gen_embeddings(spark: SparkSession, n: int) -> DataFrame:
+    """64-dim float embeddings with 25 planted clusters (fixture-shaped:
+    vec_id, embedding, label): centroid(label) + small per-vector noise,
+    all from hash() — deterministic at any n."""
+    return spark.range(n).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), j -> CAST("
+        " (pmod(hash('c', pmod(hash('lab', id), 25), j), 2000) - 1000) / 1000.0"
+        " + (pmod(hash('n', id, j), 400) - 200) / 2000.0 AS FLOAT)) AS embedding",
+        "CAST(pmod(hash('lab', id), 25) AS INT) AS label",
+    )
+
+
+def materialize(spark: SparkSession, scale: int) -> str:
+    sf_dir = f"{PROBE_DIR}/x{scale}"
+    gen_documents(spark, BASE_DOCS * scale).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    gen_embeddings(spark, BASE_EMB * scale).write.mode("overwrite").parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
+    return sf_dir
+
+
+# ------------------------------------------------------------- metrics
+def _rest_stage_totals(spark: SparkSession) -> dict[str, int]:
+    """Sum shuffle/spill bytes over all completed stages via the UI REST
+    API (retainedStages is raised so stages aren't evicted mid-probe)."""
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return {}
+    try:
+        apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages")
+        )
+    except Exception:  # noqa: BLE001 — metrics are best-effort telemetry
+        return {}
+    tot: dict[str, int] = {}
+    for s in stages:
+        for k in (
+            "shuffleWriteBytes",
+            "shuffleReadBytes",
+            "memoryBytesSpilled",
+            "diskBytesSpilled",
+        ):
+            tot[k] = tot.get(k, 0) + int(s.get(k) or 0)
+    return tot
+
+
+def _heap_used_mb(spark: SparkSession) -> int:
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    return int((rt.totalMemory() - rt.freeMemory()) / (1 << 20))
+
+
+class Meter:
+    """Wall time + REST shuffle/spill delta around one measurement."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def run(self, fn) -> tuple[float, dict[str, int], object]:
+        before = _rest_stage_totals(self.spark)
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        after = _rest_stage_totals(self.spark)
+        delta = {k: after.get(k, 0) - before.get(k, 0) for k in after}
+        return round(dt, 3), delta, out
+
+
+# ------------------------------------------------------- per-scale probe
+def probe_scale(spark: SparkSession, sf_dir: str, scale: int) -> dict:
+    from console_datagen_spark.operators import dedup as D
+    from console_datagen_spark.operators.components_lss import (
+        dup_components_lss,
+        last_lss_rounds,
+    )
+    from console_datagen_spark.operators.ivf_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+    from console_datagen_spark.plans import all_queries
+
+    m = Meter(spark)
+    out: dict = {"scale": scale, "n_docs": BASE_DOCS * scale,
+                 "n_emb": BASE_EMB * scale}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # shared shingle-id frame, built once like the composed pipelines do
+    ids = D.doc_shingle_ids(docs)
+    bands = D.minhash_bands(docs, K, ROWS_PER_BAND, ids_df=ids)
+    bands = bands.localCheckpoint(eager=True)  # pay the sig pipeline once
+
+    # raw path: same checkpointed bands frame as the capped path so the
+    # two counts differ ONLY by the cap (lsh_candidate_pairs == pairs
+    # from these bands; it has no bands_df injection point)
+    t, sh, n = m.run(lambda: D._pairs_from_bands(bands).count())
+    out["cand_uncapped"] = {"n": n, "sec": t, **sh}
+
+    t, sh, n = m.run(
+        lambda: D.lsh_candidate_pairs_capped(
+            docs, bucket_cap=BUCKET_CAP, bands_df=bands
+        ).count()
+    )
+    out["cand_capped"] = {"n": n, "sec": t, **sh}
+
+    over = D.lsh_oversized_buckets(bands, BUCKET_CAP).agg(
+        F.count("*").alias("n_over"), F.max("bsz").alias("max_bucket")
+    ).collect()[0]
+    out["oversized_buckets"] = {
+        "n_over": over["n_over"],
+        "max_bucket": over["max_bucket"],
+    }
+
+    def _verified_components():
+        cand = D.lsh_candidate_pairs_capped(
+            docs, bucket_cap=BUCKET_CAP, bands_df=bands
+        )
+        pairs = D.ngram_jaccard_pairs(
+            docs, threshold_permille=JACCARD_PERMILLE, candidates=cand, ids_df=ids
+        )
+        n_pairs = pairs.count()
+        labels = dup_components_lss(pairs)
+        return n_pairs, labels.count(), last_lss_rounds()
+
+    t, sh, (n_pairs, n_labeled, rounds) = m.run(_verified_components)
+    out["verify_components"] = {
+        "n_pairs": n_pairs,
+        "n_labeled": n_labeled,
+        "lss_rounds": rounds,
+        "sec": t,
+        **sh,
+    }
+
+    registry = all_queries()
+    out["registry"] = {}
+    for name in REGISTRY_QUERIES:
+        t, sh, _ = m.run(
+            lambda name=name: registry[name]
+            .spark(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        out["registry"][name] = {"sec": t, **sh}
+
+    idx_path = f"{sf_dir}/ivfpq_index"
+    t, sh, _ = m.run(lambda: build_ivfpq_index(emb, idx_path))
+    out["ivfpq_build"] = {"sec": t, **sh}
+    t, sh, n = m.run(lambda: probe_ivfpq_index(spark, idx_path, emb).count())
+    out["ivfpq_probe"] = {"n": n, "sec": t, **sh}
+
+    out["heap_used_mb"] = _heap_used_mb(spark)
+    out["driver_maxrss_mb"] = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    return out
+
+
+# --------------------------------------------------- 10^4-bucket layout
+def probe_layout(spark: SparkSession, n_buckets: int = 10_000) -> dict:
+    """Write a curve store at 10^4 buckets and certify the broadcast-
+    manifest pruned read: dynamic partition pruning in the plan, exact
+    parity with the full-scan filter, and the measured skip factor."""
+    from console_datagen_spark.operators.layout_store import (
+        pruned_read,
+        write_curve_layout,
+    )
+    from console_datagen_spark.plans.layout import _morton_sql
+
+    n_rows = 20_000 if SMOKE else 2_000_000
+    base = spark.range(n_rows).selectExpr(
+        "id",
+        "CAST(pmod(hash('x', id), 65536) AS BIGINT) AS ok16",
+        "CAST(pmod(hash('y', id), 65536) AS BIGINT) AS pk16",
+    )
+    path = f"{PROBE_DIR}/curve_store_{n_buckets}"
+    t0 = time.perf_counter()
+    write_curve_layout(
+        base,
+        path,
+        curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+        dims=["ok16", "pk16"],
+        n_buckets=n_buckets,
+    )
+    write_sec = round(time.perf_counter() - t0, 3)
+
+    ranges = {"ok16": (4096, 8191), "pk16": (4096, 8191)}
+    pruned = pruned_read(spark, path, ranges, broadcast_manifest=True)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    dpp = "dynamicpruning" in plan.lower()
+    t0 = time.perf_counter()
+    n_pruned = pruned.count()
+    probe_sec = round(time.perf_counter() - t0, 3)
+    full = spark.read.parquet(path)
+    for d, (lo, hi) in ranges.items():
+        full = full.where(F.col(d).between(lo, hi))
+    n_full = full.count()
+    manifest = spark.read.parquet(f"{path}/_manifest")
+    from console_datagen_spark.operators.layout_store import _survivor_filter
+
+    n_total_buckets = manifest.count()
+    n_surv = manifest.where(_survivor_filter(ranges)).count()
+    return {
+        "n_buckets": n_total_buckets,
+        "surviving_buckets": n_surv,
+        "skip_factor": round(n_total_buckets / max(n_surv, 1), 2),
+        "dpp_in_plan": dpp,
+        "pruned_rows": n_pruned,
+        "full_filter_rows": n_full,
+        "parity": n_pruned == n_full,
+        "write_sec": write_sec,
+        "probe_sec": probe_sec,
+    }
+
+
+# ------------------------------------------------------------- exponents
+def _growth_exp(lo: float, hi: float, s_lo: int, s_hi: int) -> float | None:
+    if not lo or not hi or lo <= 0 or hi <= 0:
+        return None
+    return round(math.log(hi / lo) / math.log(s_hi / s_lo), 3)
+
+
+def main() -> int:
+    from console_datagen_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="console-datagen-spark-scale-probe",
+        extra_conf={
+            "spark.ui.enabled": "true",  # REST metrics source
+            "spark.ui.retainedStages": "50000",
+            # Scale finding from this probe's first x10 run: the session's
+            # 64 MB autoBroadcastJoinThreshold is sized for real executor
+            # heaps, but local-mode's JVM-default ~1 GB driver heap can't
+            # BUILD a ~40 MB-serialized broadcast hash relation (x10's
+            # capped-candidate frame) — BroadcastExchange OOMed. The fix a
+            # deployment would make: size the one JVM to the box (128 GiB
+            # here), not shrink the threshold; the no-spill gate still
+            # has to pass under the sized heap.
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_PROBE_DRIVER_MEM", "16g"
+            ),
+        },
+    )
+    results: dict = {"base_docs": BASE_DOCS, "base_emb": BASE_EMB,
+                     "smoke": SMOKE, "scales": {}}
+    # discarded warm-up pass at the smallest scale: JVM/codegen/parquet-
+    # footer warm-up otherwise lands entirely on the x1 measurements and
+    # drags every time exponent negative
+    warm_dir = materialize(spark, SCALES[0])
+    print("--- warm-up pass (discarded) ---", flush=True)
+    probe_scale(spark, warm_dir, SCALES[0])
+    for s in SCALES:
+        sf_dir = materialize(spark, s)
+        print(f"--- scale x{s}: {BASE_DOCS * s} docs ---", flush=True)
+        results["scales"][str(s)] = probe_scale(spark, sf_dir, s)
+
+    lo, hi = str(SCALES[0]), str(SCALES[-1])
+    r_lo, r_hi = results["scales"][lo], results["scales"][hi]
+    exps = {
+        "cand_uncapped": _growth_exp(
+            r_lo["cand_uncapped"]["n"], r_hi["cand_uncapped"]["n"],
+            SCALES[0], SCALES[-1],
+        ),
+        "cand_capped": _growth_exp(
+            r_lo["cand_capped"]["n"], r_hi["cand_capped"]["n"],
+            SCALES[0], SCALES[-1],
+        ),
+        "verified_pairs": _growth_exp(
+            r_lo["verify_components"]["n_pairs"],
+            r_hi["verify_components"]["n_pairs"],
+            SCALES[0], SCALES[-1],
+        ),
+    }
+    for name in REGISTRY_QUERIES:
+        exps[f"time_{name}"] = _growth_exp(
+            r_lo["registry"][name]["sec"], r_hi["registry"][name]["sec"],
+            SCALES[0], SCALES[-1],
+        )
+    results["exponents"] = exps
+
+    results["layout_10k"] = probe_layout(
+        spark, n_buckets=200 if SMOKE else 10_000
+    )
+
+    spill = sum(
+        results["scales"][hi][sec].get("diskBytesSpilled", 0)
+        for sec in ("cand_uncapped", "cand_capped", "verify_components")
+    ) + sum(
+        v.get("diskBytesSpilled", 0)
+        for v in results["scales"][hi]["registry"].values()
+    )
+    gates = {
+        # the production (capped) candidate path must be sub-quadratic
+        "capped_subquadratic": (exps["cand_capped"] or 99) < 1.5,
+        # the cap must actually be doing work vs the raw path
+        "cap_bites": (exps["cand_uncapped"] or 0)
+        > (exps["cand_capped"] or 99) - 0.001,
+        # component rounds bounded: converged, and didn't grow linearly
+        "lss_rounds_bounded": (
+            r_hi["verify_components"]["lss_rounds"] is not None
+            and r_hi["verify_components"]["lss_rounds"]
+            <= (r_lo["verify_components"]["lss_rounds"] or 0) + 4
+        ),
+        "no_disk_spill_at_top_scale": spill == 0,
+        "layout_dpp_fires": results["layout_10k"]["dpp_in_plan"],
+        "layout_parity": results["layout_10k"]["parity"],
+    }
+    results["gates"] = gates
+    results["ok"] = all(gates.values())
+    with open(OUT_PATH, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=False)
+        f.write("\n")
+    print(json.dumps({"gates": gates, "exponents": exps,
+                      "out": OUT_PATH}, indent=1), flush=True)
+    spark.stop()
+    return 0 if results["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

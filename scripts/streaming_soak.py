@@ -1,0 +1,231 @@
+"""Streaming long-run soak: bounded-state + flat-latency evidence.
+
+The streaming tier is parity-certified per micro-batch (tests/), but the
+bounded-state claims (streaming/cdc.py TTL eviction, dedup_stream.py
+partition-pruned index probes) had never run for more than a few batches
+(VERDICT r7 #4). This soak drives both for a sustained run and writes
+SOAK.json next to the bench artifacts:
+
+1. ``latest_wins_stateful`` (applyInPandasWithState, processing-time TTL)
+   against a rate source with a CONTINUOUSLY GROWING key space
+   (user_id = value DIV keys-churn) — the adversarial shape for state:
+   without eviction, state rows grow linearly forever; with the TTL the
+   store must plateau at ~(new keys/sec x TTL). Sampled every trigger via
+   StreamingQueryProgress: numRowsTotal (state store size) and
+   processedRowsPerSecond. Gates: state plateaus (last third <= 1.25x
+   middle third) and throughput holds (last third >= 0.7x middle third).
+
+2. ``index_probe_dedup_stream`` round-driven: each round lands a fresh
+   parquet file of generator documents (scale_probe.gen_documents with a
+   sliding id range, so ~families straddle round boundaries and the
+   cross-batch index has real dups to catch) and runs one availableNow
+   pass. The per-round wall time must stay FLAT as the persisted corpus
+   and index grow — the partition-pruned probe reads only the incoming
+   batch's buckets, so round N's cost must not scale with rounds 1..N-1.
+   Gates: late-round median <= 1.5x early-round median, and the corpus
+   holds fewer rows than were fed (cross-round dups were dropped).
+
+Runtime: ~SOAK_SECS + ~INGEST_ROUNDS x ~1.5 s (defaults ~8 min, ~1.5k
+micro-batches). Smoke mode (SPARK_GRAFT_SOAK_SMOKE=1) runs seconds for
+CI.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SMOKE = os.environ.get("SPARK_GRAFT_SOAK_SMOKE") == "1"
+SOAK_SECS = int(os.environ.get("SPARK_GRAFT_SOAK_SECS", "20" if SMOKE else "360"))
+INGEST_ROUNDS = int(
+    os.environ.get("SPARK_GRAFT_SOAK_ROUNDS", "4" if SMOKE else "120")
+)
+DOCS_PER_ROUND = 40 if SMOKE else 200
+TTL_MS = 5_000 if SMOKE else 30_000
+ROWS_PER_SEC = 500 if SMOKE else 2_000
+KEY_CHURN = 100  # a new user_id every KEY_CHURN events -> unbounded keys
+OUT_PATH = os.environ.get(
+    "SPARK_GRAFT_SOAK_OUT",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "SOAK.json"),
+)
+WORK_DIR = os.environ.get("SPARK_GRAFT_SOAK_DIR", "/tmp/streaming_soak")
+
+
+def soak_cdc_ttl(spark) -> dict:
+    from console_datagen_spark.streaming.cdc import latest_wins_stateful
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(ROWS_PER_SEC))
+        .load()
+        .select(
+            F.expr(f"value DIV {KEY_CHURN}").alias("user_id"),
+            F.col("value").alias("event_id"),
+            F.element_at(
+                F.expr("array('view','click','purchase')"),
+                (F.pmod("value", F.lit(3)) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod("value", F.lit(1000)) / 10.0).alias("value"),
+        )
+    )
+    q = (
+        latest_wins_stateful(src, ttl_ms=TTL_MS)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", f"{WORK_DIR}/cdc_ckpt")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    samples: list[dict] = []
+    t_end = time.time() + SOAK_SECS
+    last_batch = -1
+    try:
+        while time.time() < t_end:
+            time.sleep(1.0)
+            p = q.lastProgress
+            if not p or p["batchId"] == last_batch:
+                continue
+            last_batch = p["batchId"]
+            ops = p.get("stateOperators") or []
+            samples.append(
+                {
+                    "t": round(time.time() - (t_end - SOAK_SECS), 1),
+                    "batch_id": p["batchId"],
+                    "state_rows": ops[0]["numRowsTotal"] if ops else None,
+                    "rows_per_sec": round(p.get("processedRowsPerSecond") or 0, 1),
+                }
+            )
+    finally:
+        q.stop()
+
+    thirds = max(len(samples) // 3, 1)
+    mid, last = samples[thirds : 2 * thirds], samples[2 * thirds :]
+    max_mid = max((s["state_rows"] or 0) for s in mid) if mid else 0
+    max_last = max((s["state_rows"] or 0) for s in last) if last else 0
+    tp_mid = statistics.mean(s["rows_per_sec"] for s in mid) if mid else 0
+    tp_last = statistics.mean(s["rows_per_sec"] for s in last) if last else 0
+    keys_seen = (samples[-1]["batch_id"] + 1) if samples else 0  # informational
+    return {
+        "secs": SOAK_SECS,
+        "micro_batches": (samples[-1]["batch_id"] + 1) if samples else 0,
+        "ttl_ms": TTL_MS,
+        "rows_per_sec_target": ROWS_PER_SEC,
+        "new_keys_per_sec": ROWS_PER_SEC / KEY_CHURN,
+        "expected_plateau_keys": ROWS_PER_SEC / KEY_CHURN * TTL_MS / 1000,
+        "state_rows_max_mid_third": max_mid,
+        "state_rows_max_last_third": max_last,
+        "throughput_mid_third": round(tp_mid, 1),
+        "throughput_last_third": round(tp_last, 1),
+        "series": samples if SMOKE else samples[:: max(len(samples) // 120, 1)],
+        "gates": {
+            "state_plateaus": max_last <= max(max_mid * 1.25, 50),
+            "throughput_holds": tp_last >= tp_mid * 0.7,
+        },
+        "_keys_note": keys_seen and "state_rows must sit near the plateau, "
+        "not near total keys fed (unbounded without TTL)",
+    }
+
+
+def soak_dedup_ingest(spark) -> dict:
+    import shutil
+
+    from scale_probe import gen_documents
+
+    from console_datagen_spark.streaming.dedup_stream import (
+        index_probe_dedup_stream,
+    )
+
+    root = f"{WORK_DIR}/ingest"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/src"
+    os.makedirs(src, exist_ok=True)
+    idx, corpus, ckpt = f"{root}/index", f"{root}/corpus", f"{root}/ckpt"
+    stage = f"{root}/stage"
+
+    round_secs: list[float] = []
+    fed = 0
+    for r in range(INGEST_ROUNDS):
+        # sliding id window with 25% overlap: docs re-appearing from the
+        # overlap are exact/near dups the cross-batch index must drop
+        start = r * (DOCS_PER_ROUND * 3 // 4)
+        batch = (
+            gen_documents(spark, start + DOCS_PER_ROUND)
+            .where(F.col("doc_id") >= start)
+            .withColumn("doc_id", F.col("doc_id") + 0)  # keep global ids
+            .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+            .select("doc_id", "text", "ts")
+        )
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.startswith("part-")
+        )
+        shutil.move(f"{stage}/{part}", f"{src}/round_{r:05d}.parquet")
+        fed += DOCS_PER_ROUND
+        t0 = time.perf_counter()
+        q = index_probe_dedup_stream(
+            spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+            .parquet(src),
+            idx,
+            corpus,
+            ckpt,
+            n_buckets=64,
+        )
+        q.awaitTermination()
+        round_secs.append(round(time.perf_counter() - t0, 3))
+
+    corpus_rows = spark.read.parquet(corpus).count()
+    early = round_secs[min(5, len(round_secs) - 1) : max(len(round_secs) // 3, 2)]
+    late = round_secs[-max(len(round_secs) // 5, 2) :]
+    med_early = statistics.median(early) if early else 0
+    med_late = statistics.median(late) if late else 0
+    return {
+        "rounds": INGEST_ROUNDS,
+        "docs_fed": fed,
+        "corpus_rows": corpus_rows,
+        "dups_dropped": fed - corpus_rows,
+        "round_secs_median_early": round(med_early, 3),
+        "round_secs_median_late": round(med_late, 3),
+        "round_secs": round_secs,
+        "gates": {
+            "round_latency_flat": med_late <= max(med_early * 1.5, 1.0),
+            "cross_round_dups_dropped": corpus_rows < fed,
+        },
+    }
+
+
+def main() -> int:
+    import shutil
+
+    from console_datagen_spark.session import get_spark
+
+    shutil.rmtree(WORK_DIR, ignore_errors=True)
+    spark = get_spark(app_name="console-datagen-spark-soak")
+    results = {
+        "smoke": SMOKE,
+        "cdc_ttl": soak_cdc_ttl(spark),
+        "dedup_ingest": soak_dedup_ingest(spark),
+    }
+    gates = {
+        **{f"cdc_{k}": v for k, v in results["cdc_ttl"]["gates"].items()},
+        **{f"ingest_{k}": v for k, v in results["dedup_ingest"]["gates"].items()},
+    }
+    results["gates"] = gates
+    results["ok"] = all(gates.values())
+    with open(OUT_PATH, "w") as f:
+        json.dump(results, f, indent=1)
+        f.write("\n")
+    print(json.dumps({"gates": gates, "out": OUT_PATH}, indent=1), flush=True)
+    spark.stop()
+    return 0 if results["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

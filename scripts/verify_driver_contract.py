@@ -58,6 +58,48 @@ try:
         probe_ivfpq_index(spark, f"{_tmp}/idx", _emb).count()
 except Exception as exc:  # noqa: BLE001
     _bench_fails.append(("ivfpq_index_probe", str(exc).splitlines()[0][:200]))
+# layout_pruned_read is the third SPECIAL entry: smoke the full
+# write_curve_layout -> pruned_read chain at tiny scale so a signature
+# change in _morton_sql/write_curve_layout/pruned_read (or the bench's
+# curve-store prep) fails HERE, not in the driver's bench run
+try:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from console_datagen_spark.operators.layout_store import (
+        pruned_read,
+        write_curve_layout,
+    )
+    from console_datagen_spark.plans.layout import _morton_sql
+
+    with tempfile.TemporaryDirectory() as _tmp:
+        _li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        _ext = _li.agg(
+            (F.max("l_orderkey") + 1).alias("mok"),
+            (F.max("l_partkey") + 1).alias("mpk"),
+        )
+        _base = _li.crossJoin(F.broadcast(_ext)).select(
+            "l_orderkey",
+            "l_partkey",
+            F.expr(
+                "CAST(CAST(l_orderkey AS BIGINT) * 65536 DIV mok AS BIGINT)"
+            ).alias("ok16"),
+            F.expr(
+                "CAST(CAST(l_partkey AS BIGINT) * 65536 DIV mpk AS BIGINT)"
+            ).alias("pk16"),
+        )
+        write_curve_layout(
+            _base,
+            f"{_tmp}/store",
+            curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+            dims=["ok16", "pk16"],
+        )
+        pruned_read(
+            spark, f"{_tmp}/store", {"ok16": (4096, 8191), "pk16": (4096, 8191)}
+        ).count()
+except Exception as exc:  # noqa: BLE001
+    _bench_fails.append(("layout_pruned_read", str(exc).splitlines()[0][:200]))
 try:
     from console_datagen_spark.sources.generator import generate_batch
 

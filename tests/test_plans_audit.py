@@ -85,3 +85,25 @@ def test_plan_summary_tool(spark, sf_dir):
     assert not s.cartesian
     assert s.scans and any(x["n_cols"] == 2 for x in s.scans)
     assert "joins=" in s.describe()
+
+
+def test_plans_doc_in_sync_with_bench_headline():
+    """PLANS.md advertises itself as the at-scale checklist of the bench
+    headline; it lagged HEADLINE twice (r6, r7). The doc's row set must
+    equal bench.HEADLINE exactly — regenerate with
+    `python scripts/gen_plans_doc.py` whenever HEADLINE changes."""
+    import os
+    import re
+
+    from bench import HEADLINE
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md")) as f:
+        doc = f.read()
+    doc_names = set(re.findall(r"^\| `([a-z0-9_]+)` \|", doc, re.M))
+    missing = sorted(set(HEADLINE) - doc_names)
+    stale = sorted(doc_names - set(HEADLINE))
+    assert not missing and not stale, (
+        f"PLANS.md out of sync with bench.HEADLINE — missing rows: "
+        f"{missing}; stale rows: {stale}. Re-run scripts/gen_plans_doc.py."
+    )

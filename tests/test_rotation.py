@@ -68,6 +68,40 @@ def test_no_oracle_less_query_inside_window():
     assert not bad, f"oracle-less queries inside the driver window: {bad}"
 
 
+def _last_green_round() -> dict[str, int]:
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        with open(path) as f:
+            for name, res in json.load(f).items():
+                if (
+                    res.get("rows_match")
+                    and res.get("schema_match")
+                    and res.get("hash_match") in (True, None)
+                ):
+                    last[name] = rnd
+    return last
+
+
+def test_window_refreshes_stalest_evidence_first():
+    """r8+ re-cert schedule: no hash-oracle query outside the window may
+    have STALER driver evidence than one inside it — the window must be
+    the 50 oldest-certified (never-green keys as round 0 and leads)."""
+    registry = plans.all_queries()
+    names = list(registry)
+    last = _last_green_round()
+    inside = [n for n in names[:WINDOW] if registry[n].oracle is not None]
+    outside = [n for n in names[WINDOW:] if registry[n].oracle is not None]
+    if not outside:
+        return
+    worst_inside = max(last.get(n, 0) for n in inside)
+    best_outside = min(last.get(n, 0) for n in outside)
+    assert worst_inside <= best_outside, (
+        f"window holds evidence from round {worst_inside} while a query "
+        f"outside is stale since round {best_outside}"
+    )
+
+
 def test_window_is_full():
     """The registry is bigger than the window; a short promote() list
     wastes certification slots only if the tail is also unordered —
