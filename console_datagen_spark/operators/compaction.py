@@ -88,3 +88,86 @@ def compact_for_write(
         # spread within each output partition value
         return df.repartition(n_files, *partition_cols)
     return df.repartition(n_files)
+
+
+def compact_batch_store(
+    spark,
+    path: str,
+    partition_col: str = "_batch",
+    keep_last: int = 8,
+    consolidated: int = -1,
+    cluster_cols: list[str] | None = None,
+) -> dict:
+    """Fold a streaming ingest store's accumulated per-batch partitions
+    into one consolidated partition — the maintenance job every
+    append-per-micro-batch layout needs (streaming/dedup_stream.py
+    writes one ``_batch=<id>`` directory per micro-batch; after 10^4
+    batches the listing + footer overhead of 10^4 directories dominates
+    every probe even when each holds a single file).
+
+    Folds every ``partition_col`` value older than the newest
+    ``keep_last`` batch ids into ``consolidated`` (merging with a prior
+    consolidated partition) and deletes the folded directories. The
+    newest ``keep_last`` are left alone because foreachBatch's
+    at-least-once contract may replay them: a replayed batch overwrites
+    its own partition (the idempotence recipe), which must not resurrect
+    rows that were already folded. Only fold batches old enough that the
+    stream's checkpoint has committed past them.
+
+    ``cluster_cols``: extra partition columns of the store (e.g. the
+    band index's ``bucket``); the consolidated write is repartitioned by
+    them so each (cluster, consolidated) directory gets ONE file.
+
+    Returns {"folded_batches": n, "rows": n} telemetry. The rewrite runs
+    as one batch job between stream triggers — a deployment schedules it
+    like any OPTIMIZE job, with the store offline to writers or fenced
+    by a manifest swap.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    batches = sorted(
+        r[0] for r in df.select(partition_col).distinct().collect()
+    )
+    live = {b for b in batches if b != consolidated}
+    fold = sorted(live)[: max(0, len(live) - keep_last)]
+    if not fold:
+        return {"folded_batches": 0, "rows": 0}
+    old = df.where(F.col(partition_col).isin(fold + [consolidated]))
+    merged = old.withColumn(partition_col, F.lit(consolidated))
+    if cluster_cols:
+        merged = merged.repartition(*[F.col(c) for c in cluster_cols])
+    else:
+        merged = merged.repartition(1)
+    n_rows = merged.count()
+    tmp = f"{path}__compact_tmp"
+    part_cols = [*(cluster_cols or []), partition_col]
+    merged.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+    # swap: drop the folded (and old consolidated) dirs, move the new
+    # consolidated partitions in. Directory layout is
+    # [cluster=.../]partition_col=value, so walk the tmp tree.
+    import os
+
+    def _rel_partition_dirs(root: str) -> list[str]:
+        out = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            base = os.path.basename(dirpath)
+            if base.startswith(f"{partition_col}="):
+                out.append(os.path.relpath(dirpath, root))
+                dirnames.clear()
+        return out
+
+    for rel in _rel_partition_dirs(path):
+        val = rel.split(f"{partition_col}=")[-1]
+        if val == str(consolidated) or any(
+            val == str(b) for b in fold
+        ):
+            shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+    for rel in _rel_partition_dirs(tmp):
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(os.path.join(tmp, rel), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"folded_batches": len(fold), "rows": n_rows}

@@ -107,8 +107,21 @@ def index_probe_dedup_stream(
         kept = kept.withColumn("_batch", F.lit(batch_id))
         kept.persist()
         try:
+            # Cluster each batch's writes so the stores grow by a BOUNDED
+            # file count per round: without this, every one of W write
+            # tasks emits a file into every partition dir it sees (W
+            # files/batch in the corpus, up to W x n_buckets in the
+            # index), and after a few hundred micro-batches the listing +
+            # parquet-footer overhead of hundreds of thousands of tiny
+            # files dominates every probe (the streaming soak OOMed at
+            # ~round 70 before this). One file per batch / per (bucket,
+            # batch) is right at ingest granularity; a deployment sizing
+            # multi-GB batches would repartition by target file size
+            # instead — the invariant to keep is files-per-batch bounded,
+            # not writers x partitions.
             (
-                kept.write.mode("overwrite")
+                kept.repartition(1)
+                .write.mode("overwrite")
                 .partitionBy("_batch")
                 .parquet(corpus_path)
             )
@@ -116,6 +129,7 @@ def index_probe_dedup_stream(
             (
                 bands.withColumn("bucket", F.pmod(F.col("bh"), F.lit(n_buckets)))
                 .withColumn("_batch", F.lit(batch_id))
+                .repartition(F.col("bucket"))
                 .write.mode("overwrite")
                 .partitionBy("bucket", "_batch")
                 .parquet(index_path)

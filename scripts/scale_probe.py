@@ -280,6 +280,21 @@ def probe_scale(spark: SparkSession, sf_dir: str, scale: int) -> dict:
     t, sh, n = m.run(lambda: probe_ivfpq_index(spark, idx_path, emb).count())
     out["ivfpq_probe"] = {"n": n, "sec": t, **sh}
 
+    # IVF scaling law: centroid_mod picks every mod-th vector as a
+    # centroid, so FIXED mod => nlist grows ~n/mod and per-query centroid
+    # scoring is linear in corpus size (the fixed-mod probe above grows
+    # with scale). mod ~ sqrt(n) keeps nlist = sqrt(n) — the classic IVF
+    # balance point: per-query work ~ nlist + nprobe * n/nlist ~ 2*sqrt(n).
+    # Both are measured so BENCH_scale.json shows the flatter curve.
+    mod = max(25, int(round(math.sqrt(out["n_emb"]))))
+    idx2 = f"{sf_dir}/ivfpq_index_sqrt"
+    t, sh, _ = m.run(lambda: build_ivfpq_index(emb, idx2, centroid_mod=mod))
+    out["ivfpq_build_sqrt_nlist"] = {"sec": t, "centroid_mod": mod, **sh}
+    t, sh, n = m.run(
+        lambda: probe_ivfpq_index(spark, idx2, emb, centroid_mod=mod).count()
+    )
+    out["ivfpq_probe_sqrt_nlist"] = {"n": n, "sec": t, **sh}
+
     out["heap_used_mb"] = _heap_used_mb(spark)
     out["driver_maxrss_mb"] = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     return out
@@ -404,6 +419,10 @@ def main() -> int:
         exps[f"time_{name}"] = _growth_exp(
             r_lo["registry"][name]["sec"], r_hi["registry"][name]["sec"],
             SCALES[0], SCALES[-1],
+        )
+    for k in ("ivfpq_probe", "ivfpq_probe_sqrt_nlist"):
+        exps[f"time_{k}"] = _growth_exp(
+            r_lo[k]["sec"], r_hi[k]["sec"], SCALES[0], SCALES[-1]
         )
     results["exponents"] = exps
 

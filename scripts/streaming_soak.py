@@ -43,9 +43,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 SMOKE = os.environ.get("SPARK_GRAFT_SOAK_SMOKE") == "1"
-SOAK_SECS = int(os.environ.get("SPARK_GRAFT_SOAK_SECS", "20" if SMOKE else "360"))
+SOAK_SECS = int(os.environ.get("SPARK_GRAFT_SOAK_SECS", "20" if SMOKE else "600"))
 INGEST_ROUNDS = int(
-    os.environ.get("SPARK_GRAFT_SOAK_ROUNDS", "4" if SMOKE else "120")
+    os.environ.get("SPARK_GRAFT_SOAK_ROUNDS", "4" if SMOKE else "100")
 )
 DOCS_PER_ROUND = 40 if SMOKE else 200
 TTL_MS = 5_000 if SMOKE else 30_000
@@ -150,7 +150,20 @@ def soak_dedup_ingest(spark) -> dict:
     idx, corpus, ckpt = f"{root}/index", f"{root}/corpus", f"{root}/ckpt"
     stage = f"{root}/stage"
 
+    def _n_files(p: str) -> int:
+        return sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(p)
+        )
+
+    # without this maintenance pass, round latency grows linearly with
+    # accumulated per-batch files (measured 3.5 s -> 12.3 s over 100
+    # rounds); every-10-rounds keeps the live tail small enough that the
+    # per-round cost plateaus
+    compact_every = max(INGEST_ROUNDS // 10, 2)
     round_secs: list[float] = []
+    compactions: list[dict] = []
+    file_series: list[dict] = []
     fed = 0
     for r in range(INGEST_ROUNDS):
         # sliding id window with 25% overlap: docs re-appearing from the
@@ -180,12 +193,46 @@ def soak_dedup_ingest(spark) -> dict:
         )
         q.awaitTermination()
         round_secs.append(round(time.perf_counter() - t0, 3))
+        # the maintenance pass a real deployment schedules: fold old
+        # per-batch partitions so store file counts stay bounded
+        # (operators/compaction.compact_batch_store) — run between
+        # triggers, exactly where an OPTIMIZE job sits
+        if (r + 1) % compact_every == 0:
+            from console_datagen_spark.operators.compaction import (
+                compact_batch_store,
+            )
+
+            t0 = time.perf_counter()
+            c1 = compact_batch_store(spark, corpus, keep_last=8)
+            c2 = compact_batch_store(
+                spark, idx, keep_last=8, cluster_cols=["bucket"]
+            )
+            compactions.append(
+                {
+                    "after_round": r + 1,
+                    "sec": round(time.perf_counter() - t0, 3),
+                    "corpus_folded": c1["folded_batches"],
+                    "index_folded": c2["folded_batches"],
+                }
+            )
+        if (r + 1) % 10 == 0 or r + 1 == INGEST_ROUNDS:
+            file_series.append(
+                {
+                    "round": r + 1,
+                    "corpus_files": _n_files(corpus),
+                    "index_files": _n_files(idx),
+                }
+            )
 
     corpus_rows = spark.read.parquet(corpus).count()
-    early = round_secs[min(5, len(round_secs) - 1) : max(len(round_secs) // 3, 2)]
-    late = round_secs[-max(len(round_secs) // 5, 2) :]
-    med_early = statistics.median(early) if early else 0
-    med_late = statistics.median(late) if late else 0
+    # early window: skip warm-up rounds but never slice to empty (the
+    # smoke run has only a handful of rounds)
+    n = len(round_secs)
+    warm = 1 if n < 12 else 5
+    early = round_secs[warm : max(warm + 1, n // 3)]
+    late = round_secs[-max(n // 5, 2) :]
+    med_early = statistics.median(early)
+    med_late = statistics.median(late)
     return {
         "rounds": INGEST_ROUNDS,
         "docs_fed": fed,
@@ -194,9 +241,19 @@ def soak_dedup_ingest(spark) -> dict:
         "round_secs_median_early": round(med_early, 3),
         "round_secs_median_late": round(med_late, 3),
         "round_secs": round_secs,
+        "compactions": compactions,
+        "file_counts": file_series,
         "gates": {
             "round_latency_flat": med_late <= max(med_early * 1.5, 1.0),
             "cross_round_dups_dropped": corpus_rows < fed,
+            # compaction keeps store file counts bounded: the final
+            # index file count must sit at ~n_buckets + keep_last tail,
+            # not ~rounds x buckets
+            "store_files_bounded": (
+                not file_series
+                or file_series[-1]["index_files"]
+                <= 64 + (compact_every + 8) * 64
+            ),
         },
     }
 
@@ -207,7 +264,17 @@ def main() -> int:
     from console_datagen_spark.session import get_spark
 
     shutil.rmtree(WORK_DIR, ignore_errors=True)
-    spark = get_spark(app_name="console-datagen-spark-soak")
+    spark = get_spark(
+        app_name="console-datagen-spark-soak",
+        # same local-mode sizing rationale as scripts/scale_probe.py: a
+        # sustained run accumulates parquet footers + state + listing
+        # metadata that the JVM-default ~1 GB heap cannot absorb
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_SOAK_DRIVER_MEM", "8g"
+            )
+        },
+    )
     results = {
         "smoke": SMOKE,
         "cdc_ttl": soak_cdc_ttl(spark),

@@ -118,3 +118,64 @@ def test_manifest_is_hidden_from_data_scans(spark, sf_dir, tmp_path):
         dims=["ok16", "pk16"],
     )
     assert spark.read.parquet(path).count() == base.count()
+
+
+def test_elevated_bucket_count_dpp_and_one_file_per_bucket(spark, tmp_path):
+    """The 10^4-bucket regime, shrunk to CI size (512 buckets): the
+    broadcast-manifest read must prune via DYNAMIC partition pruning on
+    the partition column (not a full scan + post-filter), and the write
+    must emit ONE data file per bucket regardless of writer count — the
+    scale probe measured writers x buckets files (~320k at 10^4/32)
+    before write_curve_layout clustered on bucket ahead of the
+    partitioned write."""
+    import glob
+    import os
+
+    n_buckets = 512
+    base = spark.range(0, 60_000, 1, 16).selectExpr(
+        "CAST(pmod(hash('x', id), 65536) AS BIGINT) AS ok16",
+        "CAST(pmod(hash('y', id), 65536) AS BIGINT) AS pk16",
+    )
+    path = str(tmp_path / "bigstore")
+    write_curve_layout(
+        base,
+        path,
+        curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+        dims=["ok16", "pk16"],
+        n_buckets=n_buckets,
+    )
+    bucket_dirs = glob.glob(os.path.join(path, "bucket=*"))
+    assert len(bucket_dirs) > 256  # the hash fill actually spans buckets
+    files_per_bucket = [
+        len(glob.glob(os.path.join(d, "part-*.parquet"))) for d in bucket_dirs
+    ]
+    assert max(files_per_bucket) == 1, (
+        f"bucket with {max(files_per_bucket)} files — the pre-write "
+        "clustering regressed (writers x buckets small-file explosion)"
+    )
+
+    joined = pruned_read(spark, path, RANGES, broadcast_manifest=True)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    full = spark.read.parquet(path)
+    for d, (lo, hi) in RANGES.items():
+        full = full.where(F.col(d).between(lo, hi))
+    assert joined.count() == full.count()
+
+
+def test_write_curve_layout_empty_input(spark, tmp_path):
+    """An empty input produces a valid (empty) store + manifest instead
+    of UNABLE_TO_INFER_SCHEMA on the manifest read-back."""
+    base = spark.range(0).selectExpr(
+        "CAST(id AS BIGINT) AS ok16", "CAST(id AS BIGINT) AS pk16"
+    )
+    path = str(tmp_path / "empty_store")
+    write_curve_layout(
+        base,
+        path,
+        curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+        dims=["ok16", "pk16"],
+    )
+    # the manifest exists and certifies zero buckets -> every range
+    # predicate prunes everything without touching data files
+    assert candidate_buckets(spark, path, RANGES) == []

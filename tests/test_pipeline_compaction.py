@@ -2,6 +2,8 @@
 
 import pathlib
 
+from pyspark.sql import functions as F
+
 from console_datagen_spark.catalog import register_views
 from console_datagen_spark.operators.compaction import (
     compact_for_write,
@@ -96,3 +98,83 @@ def test_estimate_bytes_sample_fallback(spark, monkeypatch):
     monkeypatch.setattr(compaction, "plan_size_in_bytes", lambda _df: None)
     est = compaction.estimate_bytes(df)
     assert est > 100  # 100 rows x nonzero JSON width
+
+
+def test_compact_batch_store_folds_old_batches(spark, tmp_path):
+    """compact_batch_store folds all but the newest keep_last batch
+    partitions into _batch=-1, preserves every row, and bounds the
+    directory count — the maintenance pass for the streaming ingest
+    stores (one dir per micro-batch otherwise grows forever)."""
+    import glob
+
+    from console_datagen_spark.operators.compaction import compact_batch_store
+
+    path = str(tmp_path / "store")
+    for b in range(10):
+        (
+            spark.range(b * 100, b * 100 + 100)
+            .selectExpr("id AS doc_id", "CAST(id % 7 AS INT) AS bucket")
+            .withColumn("_batch", F.lit(b))
+            .repartition(1)
+            .write.mode("append")
+            .partitionBy("_batch")
+            .parquet(path)
+        )
+    # materialize the before-state: compaction deletes the underlying
+    # files, so a lazy frame would re-scan paths that no longer exist
+    before_ids = {
+        r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()
+    }
+    total = len(before_ids)
+    out = compact_batch_store(spark, path, keep_last=3)
+    assert out["folded_batches"] == 7 and out["rows"] == 700
+    after = spark.read.parquet(path)
+    assert after.count() == total
+    # exact row preservation, not just counts
+    after_ids = {r.doc_id for r in after.select("doc_id").collect()}
+    assert after_ids == before_ids
+    dirs = sorted(
+        d.split("=")[-1] for d in glob.glob(f"{path}/_batch=*")
+    )
+    assert dirs == ["-1", "7", "8", "9"]
+    # consolidated partition holds ONE file
+    assert len(glob.glob(f"{path}/_batch=-1/part-*.parquet")) == 1
+    # idempotent: a second pass with nothing old enough is a no-op
+    assert compact_batch_store(spark, path, keep_last=3) == {
+        "folded_batches": 0,
+        "rows": 0,
+    }
+    # a later pass folds newer batches INTO the existing consolidated dir
+    out2 = compact_batch_store(spark, path, keep_last=1)
+    assert out2["folded_batches"] == 2
+    assert spark.read.parquet(path).count() == total
+
+
+def test_compact_batch_store_clustered_layout(spark, tmp_path):
+    """With cluster_cols (the band index shape: bucket x _batch), the
+    consolidated write keeps the bucket partitioning and lands one file
+    per (bucket, -1) directory."""
+    import glob
+
+    from console_datagen_spark.operators.compaction import compact_batch_store
+
+    path = str(tmp_path / "idx")
+    for b in range(6):
+        (
+            spark.range(b * 50, b * 50 + 50)
+            .selectExpr("id AS doc_id", "CAST(id % 4 AS INT) AS bucket")
+            .withColumn("_batch", F.lit(b))
+            .repartition(F.col("bucket"))
+            .write.mode("append")
+            .partitionBy("bucket", "_batch")
+            .parquet(path)
+        )
+    total = spark.read.parquet(path).count()
+    out = compact_batch_store(spark, path, keep_last=2, cluster_cols=["bucket"])
+    assert out["folded_batches"] == 4
+    assert spark.read.parquet(path).count() == total
+    for bdir in glob.glob(f"{path}/bucket=*"):
+        cons = glob.glob(f"{bdir}/_batch=-1/part-*.parquet")
+        assert len(cons) == 1, bdir
+        live = glob.glob(f"{bdir}/_batch=*")
+        assert len(live) <= 3  # -1 + the 2 kept batches
