@@ -93,6 +93,10 @@ HEADLINE = [
     # capped pair query so the composed cost is a tracked number
     "dedup_keepers_capped",
     "dedup_lsh_sampled",
+    # asymmetric containment (rare-shingle blocking) + the probe-panel
+    # density estimator — the r8 additions to the curation tier
+    "dedup_containment",
+    "sim_knn_density",
     "ivfpq_index_probe",  # probe of the PERSISTED codes-only index (below)
     "layout_pruned_read",  # manifest-pruned scan of the PERSISTED curve store
 ]

@@ -1202,3 +1202,164 @@ df_query(
     "per anchor with ZERO shared shingles (anti-join on the overlap "
     "frame), seeded-hash ranked for reproducibility",
 )
+
+
+# ---- containment dedup (quote-inclusion detection) -------------------------
+
+# Jaccard-gated dedup misses A ⊂ B when |A| << |B|: a doc that quotes a
+# whole paragraph of another has inter/union ~ |A|/|B| (small) but
+# inter/min(|A|,|B|) ~ 1000 permille. Containment is the asymmetric
+# complement of dedup_minhash_pairs (Broder's resemblance vs containment).
+#
+# Scale path — rare-shingle blocking, NOT MinHash bands: band-LSH is tuned
+# for symmetric Jaccard and systematically misses low-Jaccard containment
+# pairs, so candidates instead come from shingles whose GLOBAL document
+# frequency is in [2, _CONT_MAX_DF]. Candidate volume is bounded by
+# Σ_rare C(df,2) ≤ (_CONT_MAX_DF-1)/2 · |rare postings| — linear in the
+# corpus — and a contained span of ≥ shingle length almost surely carries
+# at least one rare shingle (the df cap only drops boilerplate shingles,
+# which identify nothing). No all-pairs stage; the verify join is
+# candidate-driven exactly like the LSH verify fanout.
+
+_CONT_MAX_DF = 8
+_CONT_PERMILLE = 500
+_cont_cache = CacheSlot()
+
+
+def _containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _cont_cache.release()
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    # sizes, the df filter and the verify join all consume the shingle-id
+    # frame — one materialized build instead of three shingle explodes
+    ids = _cont_cache.hold(D.doc_shingle_ids(docs))
+    sizes = ids.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = (
+        ids.groupBy("tid")
+        .agg(F.count("*").alias("dfreq"))
+        .where((F.col("dfreq") >= 2) & (F.col("dfreq") <= _CONT_MAX_DF))
+        .select("tid")
+    )
+    rids = ids.join(rare, "tid")
+    cand = (
+        rids.alias("a")
+        .join(rids.alias("b"), "tid")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(ids.select(F.col("doc_id").alias("doc_a"), "tid"), "doc_a")
+        .join(ids.select(F.col("doc_id").alias("doc_b"), "tid"), ["doc_b", "tid"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_sz"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "cont_permille",
+            F.expr("inter_sz * 1000 DIV least(sz_a, sz_b)").cast("long"),
+        )
+        .where(F.col("cont_permille") >= _CONT_PERMILLE)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter_sz").cast("long").alias("inter_sz"),
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            "cont_permille",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+df_query(
+    "dedup_containment",
+    _containment,
+    oracle=(
+        f"WITH {_DUCK_IDS}, "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id), "
+        "dfc AS (SELECT tid, COUNT(*) AS dfreq FROM ids GROUP BY tid), "
+        f"rare AS (SELECT tid FROM dfc WHERE dfreq BETWEEN 2 AND {_CONT_MAX_DF}), "
+        "rids AS (SELECT i.doc_id, i.tid FROM ids i JOIN rare r ON i.tid = r.tid), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "         FROM rids a JOIN rids b "
+        "         ON a.tid = b.tid AND a.doc_id < b.doc_id), "
+        "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_sz "
+        "          FROM cand c "
+        "          JOIN ids a ON a.doc_id = c.doc_a "
+        "          JOIN ids b ON b.doc_id = c.doc_b AND a.tid = b.tid "
+        "          GROUP BY 1, 2) "
+        "SELECT i.doc_a, i.doc_b, CAST(inter_sz AS BIGINT) AS inter_sz, "
+        "       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b, "
+        "       CAST(inter_sz * 1000 // least(sa.sz, sb.sz) AS BIGINT) "
+        "       AS cont_permille "
+        "FROM inter i "
+        "JOIN sizes sa ON i.doc_a = sa.doc_id "
+        "JOIN sizes sb ON i.doc_b = sb.doc_id "
+        f"WHERE inter_sz * 1000 // least(sa.sz, sb.sz) >= {_CONT_PERMILLE} "
+        "ORDER BY doc_a, doc_b"
+    ),
+    tables=DOCS,
+    tags=("dedup", "containment", "scale"),
+    doc="asymmetric containment pairs (quote-inclusion): rare-shingle "
+    f"blocking (df 2..{_CONT_MAX_DF}) -> exact intersection verify, "
+    f"inter*1000 DIV min(|A|,|B|) >= {_CONT_PERMILLE} — catches the "
+    "A-subset-of-B dups Jaccard-banded LSH is blind to",
+)
+
+
+# ---- leakage-free group-aware split ----------------------------------------
+
+# sample_split_leakage MEASURES near-dup leakage across a naive per-doc
+# split; this is the constructive fix: split by the canonicalized content
+# GROUP (dedup_normalized's key), so every trivially-reformatted copy of a
+# doc lands in the same fold by construction. The query emits per-split
+# doc/group counts plus n_leaky_groups — the count of groups spanning >1
+# split, structurally 0 — so the no-leakage invariant itself is
+# hash-certified, not just asserted in a test. One groupBy on the group
+# key; the text column never shuffles.
+
+_GS_SEED = "gsplit1"
+
+
+def _group_split_sql(norm: str, bucket: str) -> str:
+    return (
+        f"WITH g AS (SELECT doc_id, {norm} AS gkey FROM documents), "
+        f"s AS (SELECT doc_id, gkey, "
+        f"      CASE WHEN {bucket} < 800 THEN 'train' "
+        f"           WHEN {bucket} < 900 THEN 'val' "
+        f"           ELSE 'test' END AS split FROM g), "
+        "leak AS (SELECT COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) "
+        "         AS n_leaky FROM (SELECT gkey, COUNT(DISTINCT split) AS ns "
+        "                          FROM s GROUP BY gkey) t) "
+        "SELECT split, COUNT(*) AS n_docs, "
+        "       COUNT(DISTINCT gkey) AS n_groups, "
+        "       (SELECT CAST(n_leaky AS BIGINT) FROM leak) AS n_leaky_groups "
+        "FROM s GROUP BY split ORDER BY split"
+    )
+
+
+from ..functions.hashing import bucket_sql_duck, bucket_sql_spark  # noqa: E402
+from .extras import _NORM_DUCK, _NORM_SPARK  # noqa: E402
+from .registry import sql_query  # noqa: E402
+
+sql_query(
+    "sample_group_split",
+    _group_split_sql(_NORM_SPARK, bucket_sql_spark("gkey", _GS_SEED)),
+    oracle=_group_split_sql(_NORM_DUCK, bucket_sql_duck("gkey", _GS_SEED)),
+    tables=DOCS,
+    tags=("sampling", "split", "dedup"),
+    doc="group-aware train/val/test split (800/100/100 permille) keyed on "
+    "the canonicalized-content group, with the zero-leakage invariant "
+    "emitted as a certified column (constructive counterpart of "
+    "sample_split_leakage)",
+)

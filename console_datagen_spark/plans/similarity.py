@@ -1501,3 +1501,93 @@ df_query(
     "nearest different-label neighbor (hard negative) per anchor from "
     "ONE scored candidate pass — triplet-loss data prep",
 )
+
+
+# ---- kNN density / outlier probe -------------------------------------------
+
+# Embedding-space density estimation for curation: low-density points are
+# the embedding outliers (mislabeled, off-distribution, or encoder-garbage
+# rows) that contrastive pipelines prune, and high-density points flag
+# over-represented regions that diversity sampling thins. The estimator is
+# the standard probe-panel shape — a FIXED-size panel of probes scored
+# against the corpus (deployments use a constant panel, so the broadcast
+# side never grows with the corpus; the full kNN graph at threshold lives
+# in dedup_embedding's sign-LSH path). Only integer counts/ids are
+# emitted; cosines order and threshold but are never hashed.
+
+_DEN_MOD = 10  # probe panel: vec_id % 10 == 0
+_DEN_COS = 0.25  # radius for the density count (fixture cos max ~0.49)
+_DEN_LOW = 10  # n_close below this => low-density outlier flag
+
+
+def _knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    n = S.with_norm(emb)
+    p = n.where(F.col("vec_id") % _DEN_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("nrm").alias("pn"),
+    )
+    from ..functions.vector import dot
+
+    scored = n.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("nrm"))).alias("cos"),
+    )
+    agg = scored.groupBy("probe_id").agg(
+        F.sum(F.when(F.col("cos") >= _DEN_COS, 1).otherwise(0))
+        .cast("long")
+        .alias("n_close")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    nn1 = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("probe_id", F.col("neighbor_id").alias("nn1_id"))
+    )
+    return (
+        agg.join(nn1, "probe_id")
+        .select(
+            "probe_id",
+            "n_close",
+            "nn1_id",
+            F.when(F.col("n_close") < _DEN_LOW, 1).otherwise(0)
+            .cast("int")
+            .alias("low_density"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+df_query(
+    "sim_knn_density",
+    _knn_density,
+    oracle=(
+        f"WITH {_DUCK_NORM}, "
+        f"p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n "
+        f"      WHERE vec_id % {_DEN_MOD} = 0), "
+        "s AS (SELECT probe_id, c.vec_id AS neighbor_id, "
+        "      list_inner_product(pv, c.v) / (pn * c.nrm) AS cos "
+        "      FROM n c, p WHERE c.vec_id <> probe_id), "
+        "a AS (SELECT probe_id, "
+        f"     CAST(SUM(CASE WHEN cos >= {_DEN_COS} THEN 1 ELSE 0 END) "
+        "          AS BIGINT) AS n_close FROM s GROUP BY probe_id), "
+        "r AS (SELECT probe_id, neighbor_id AS nn1_id, "
+        "      ROW_NUMBER() OVER (PARTITION BY probe_id "
+        "                         ORDER BY cos DESC, neighbor_id) AS rnk "
+        "      FROM s) "
+        "SELECT a.probe_id, a.n_close, r.nn1_id, "
+        f"CAST(CASE WHEN a.n_close < {_DEN_LOW} THEN 1 ELSE 0 END AS INT) "
+        "AS low_density "
+        "FROM a JOIN r ON a.probe_id = r.probe_id AND r.rnk = 1 "
+        "ORDER BY a.probe_id"
+    ),
+    tables=EMB,
+    tags=("similarity", "density", "outlier"),
+    doc="probe-panel kNN density: per-probe radius count (cos >= 0.25), "
+    "nearest-neighbor id and low-density outlier flag — embedding-space "
+    "curation signal (outlier pruning / diversity thinning)",
+)
