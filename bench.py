@@ -97,6 +97,9 @@ HEADLINE = [
     # density estimator — the r8 additions to the curation tier
     "dedup_containment",
     "sim_knn_density",
+    # r8 batch 2: diversity coreset + CCNet perplexity-tier sampling
+    "sample_kcenter",
+    "pipeline_ccnet_buckets",
     "ivfpq_index_probe",  # probe of the PERSISTED codes-only index (below)
     "layout_pruned_read",  # manifest-pruned scan of the PERSISTED curve store
 ]

@@ -304,6 +304,82 @@ def lsh_candidate_pairs_sampled(
     return _pairs_from_bands(kept)
 
 
+def containment_candidates(
+    documents: DataFrame,
+    max_df: int = 8,
+    n: int = 3,
+    ids_df: DataFrame | None = None,
+) -> DataFrame:
+    """Rare-shingle-blocked candidate pairs for CONTAINMENT dedup.
+
+    Band-LSH is tuned for symmetric Jaccard and systematically misses
+    A-subset-of-B pairs (resemblance ~ |A|/|B| is tiny even when
+    containment is 1000 permille), so candidates come instead from
+    shingles whose GLOBAL document frequency lies in [2, max_df]: a
+    contained span of >= n tokens almost surely carries a rare shingle,
+    while the df cap excludes exactly the boilerplate shingles that
+    identify nothing. Candidate volume is bounded by
+    sum_rare C(df, 2) <= (max_df - 1) / 2 * |rare postings| — linear in
+    the corpus, never all-pairs.
+    """
+    ids = ids_df if ids_df is not None else doc_shingle_ids(documents, n)
+    rare = (
+        ids.groupBy("tid")
+        .agg(F.count("*").alias("dfreq"))
+        .where((F.col("dfreq") >= 2) & (F.col("dfreq") <= max_df))
+        .select("tid")
+    )
+    rids = ids.join(rare, "tid")
+    return (
+        rids.alias("a")
+        .join(rids.alias("b"), "tid")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    max_df: int = 8,
+    threshold_permille: int = 500,
+    n: int = 3,
+    ids_df: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric containment pairs: inter * 1000 DIV min(|A|, |B|) >=
+    threshold. Candidates from ``containment_candidates`` (rare-shingle
+    blocking); the verify stage joins candidates back to the shingle-id
+    frame — candidate-driven exactly like the LSH verify fanout, no
+    all-pairs stage.
+    """
+    ids = ids_df if ids_df is not None else doc_shingle_ids(documents, n)
+    sizes = ids.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    cand = containment_candidates(documents, max_df, n, ids_df=ids)
+    inter = (
+        cand.join(ids.select(F.col("doc_id").alias("doc_a"), "tid"), "doc_a")
+        .join(ids.select(F.col("doc_id").alias("doc_b"), "tid"), ["doc_b", "tid"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_sz"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "cont_permille",
+            F.expr("inter_sz * 1000 DIV least(sz_a, sz_b)").cast("long"),
+        )
+        .where(F.col("cont_permille") >= threshold_permille)
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,

@@ -1232,43 +1232,10 @@ def _containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sizes, the df filter and the verify join all consume the shingle-id
     # frame — one materialized build instead of three shingle explodes
     ids = _cont_cache.hold(D.doc_shingle_ids(docs))
-    sizes = ids.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    rare = (
-        ids.groupBy("tid")
-        .agg(F.count("*").alias("dfreq"))
-        .where((F.col("dfreq") >= 2) & (F.col("dfreq") <= _CONT_MAX_DF))
-        .select("tid")
-    )
-    rids = ids.join(rare, "tid")
-    cand = (
-        rids.alias("a")
-        .join(rids.alias("b"), "tid")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    inter = (
-        cand.join(ids.select(F.col("doc_id").alias("doc_a"), "tid"), "doc_a")
-        .join(ids.select(F.col("doc_id").alias("doc_b"), "tid"), ["doc_b", "tid"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_sz"))
-    )
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
-            "doc_a",
+        D.containment_pairs(
+            docs, _CONT_MAX_DF, _CONT_PERMILLE, ids_df=ids
         )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
-            "doc_b",
-        )
-        .withColumn(
-            "cont_permille",
-            F.expr("inter_sz * 1000 DIV least(sz_a, sz_b)").cast("long"),
-        )
-        .where(F.col("cont_permille") >= _CONT_PERMILLE)
         .select(
             "doc_a",
             "doc_b",

@@ -1591,3 +1591,163 @@ df_query(
     "nearest-neighbor id and low-density outlier flag — embedding-space "
     "curation signal (outlier pruning / diversity thinning)",
 )
+
+
+# ---- greedy k-center coreset (diversity sampling) --------------------------
+
+# Farthest-point k-center (Gonzalez 1985) is THE classic diversity-coreset
+# selector for training-data curation: k rounds, each picking the point
+# farthest from every center chosen so far — a 2-approximation of the
+# optimal k-center cover. The selection chain is inherently sequential, so
+# the k-1 argmax steps run as bounded driver actions (one 1-row collect
+# each, the vocab_bpe_merges precedent); every distance scan is a full
+# codegen'd pass with the centers inlined as literals — at 100 TB each
+# round is one broadcast-free map + top-1 reduce, and k stays O(10).
+#
+# Cross-engine exactness: distances are INTEGER squared-L2 over int8-
+# quantized vectors (floor-quantization, sim_quantize_int8's format), so
+# the argmax chain — where one flipped comparison would diverge the whole
+# downstream selection — never touches float accumulation order.
+
+_KC_K = 6
+_kc_cache = CacheSlot()
+
+
+def _d2q(a, b):
+    """Integer squared-L2 between int8-quantized vectors (exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import absmax_scale, quantize_int8, to_double_vec
+
+    _kc_cache.release()
+    emb = register_views(spark, sf_dir, EMB)["embeddings"]
+    v = to_double_vec(F.col("embedding"))
+    q = _kc_cache.hold(
+        emb.select(
+            "vec_id",
+            absmax_scale(v).alias("scale"),
+            quantize_int8(v, absmax_scale(v)).alias("q"),
+        )
+        .where(F.col("scale") > 0)
+        .select("vec_id", "q")
+    )
+
+    def lit_vec(cq):
+        return F.array(*[F.lit(int(x)) for x in cq])
+
+    seed = q.orderBy("vec_id").first()
+    centers = [(seed["vec_id"], list(seed["q"]))]
+    for _ in range(1, _KC_K):
+        ds = [_d2q(F.col("q"), lit_vec(cq)) for _, cq in centers]
+        mind = ds[0] if len(ds) == 1 else F.least(*ds)
+        nxt = (
+            q.select("vec_id", "q", mind.alias("mind"))
+            .orderBy(F.col("mind").desc(), "vec_id")
+            .first()
+        )
+        centers.append((nxt["vec_id"], list(nxt["q"])))
+
+    dcols = [
+        _d2q(F.col("q"), lit_vec(cq)).alias(f"d{i}")
+        for i, (_, cq) in enumerate(centers)
+    ]
+    scored = q.select("vec_id", *dcols).withColumn(
+        "mind", F.least(*[F.col(f"d{i}") for i in range(_KC_K)])
+    )
+    # first center index attaining the min — matches the oracle's CASE
+    step = F.coalesce(
+        *[F.when(F.col(f"d{i}") == F.col("mind"), F.lit(i)) for i in range(_KC_K)]
+    )
+    assigned = (
+        scored.withColumn("step", step)
+        .groupBy("step")
+        .agg(F.count("*").alias("n_assigned"), F.max("mind").alias("radius"))
+    )
+    cent = spark.createDataFrame(
+        [(i, int(cid)) for i, (cid, _) in enumerate(centers)],
+        "step int, center_id long",
+    )
+    return (
+        cent.join(assigned, "step", "left")
+        .select(
+            "step",
+            "center_id",
+            F.coalesce(F.col("n_assigned"), F.lit(0)).cast("long").alias("n_assigned"),
+            F.coalesce(F.col("radius"), F.lit(0)).cast("long").alias("radius"),
+        )
+        .orderBy("step")
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy chain: one 1-row CTE per center, cross-joined into
+    the next round's distance scan (every prior CTE is a single row, so
+    the 'join' is a constant inline)."""
+
+    def d2(a, b):
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) "
+        "AS scale FROM e)",
+        "q AS (SELECT vec_id, list_transform(v, "
+        "x -> CAST(FLOOR(x * 127 / scale) AS BIGINT)) AS q "
+        "FROM s WHERE scale > 0)",
+        "c0 AS (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT 1)",
+    ]
+    for i in range(1, k):
+        priors = ", ".join(f"c{j}" for j in range(i))
+        ds = [d2("p.q", f"c{j}.q") for j in range(i)]
+        mind = ds[0] if i == 1 else "least(" + ", ".join(ds) + ")"
+        parts.append(
+            f"c{i} AS (SELECT p.vec_id, p.q FROM q p, {priors} "
+            f"ORDER BY {mind} DESC, p.vec_id LIMIT 1)"
+        )
+    all_c = ", ".join(f"c{j}" for j in range(k))
+    dsel = ", ".join(d2("p.q", f"c{j}.q") + f" AS d{j}" for j in range(k))
+    least = "least(" + ", ".join(f"d{j}" for j in range(k)) + ")"
+    case = (
+        "CASE " + " ".join(f"WHEN d{j} = mind THEN {j}" for j in range(k)) + " END"
+    )
+    cent = " UNION ALL ".join(
+        f"SELECT {j} AS step, vec_id AS center_id FROM c{j}" for j in range(k)
+    )
+    parts += [
+        f"d AS (SELECT p.vec_id, {dsel} FROM q p, {all_c})",
+        f"m AS (SELECT *, {least} AS mind FROM d)",
+        f"a AS (SELECT vec_id, mind, {case} AS step FROM m)",
+        "g AS (SELECT step, COUNT(*) AS n_assigned, MAX(mind) AS radius "
+        "FROM a GROUP BY step)",
+        f"cent AS ({cent})",
+    ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT CAST(c.step AS INT) AS step, c.center_id, "
+        "CAST(COALESCE(g.n_assigned, 0) AS BIGINT) AS n_assigned, "
+        "CAST(COALESCE(g.radius, 0) AS BIGINT) AS radius "
+        "FROM cent c LEFT JOIN g USING (step) ORDER BY step"
+    )
+
+
+df_query(
+    "sample_kcenter",
+    _kcenter,
+    oracle=_kcenter_oracle(_KC_K),
+    tables=EMB,
+    tags=("sampling", "coreset", "similarity"),
+    doc=f"greedy farthest-point k-center coreset (k={_KC_K}, Gonzalez "
+    "2-approx): diversity sampling over int8-quantized embeddings with "
+    "integer squared-L2 — emits selection order, coverage count and "
+    "radius per center; the argmax chain is integer-exact so the oracle "
+    "hashes the full selection, not just counts",
+)

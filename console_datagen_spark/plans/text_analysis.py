@@ -824,3 +824,99 @@ sql_query(
     "scored per trigram occurrence with integer-permille backoff chain "
     "- the count-based perplexity filter over genuinely unseen text",
 )
+
+
+# ---- CCNet-style perplexity buckets + per-bucket sampling -------------------
+
+# The CCNet curation recipe (Wenzek et al. 2020): score every doc with an
+# LM, split the corpus into head/middle/tail perplexity terciles, then
+# keep each tier at a different rate (head kept whole, tail subsampled
+# hard). Restated count-exact: the bigram-MLE fluency score
+# (text_bigram_lm's integer permille) ranks docs, NTILE(3) over the
+# deterministic (score DESC, doc_id) order assigns tiers, and the keep
+# decision is the canonical seeded permille hash — so the whole
+# pipeline, sampling included, is replayed bit-exactly by the oracle.
+#
+# Scale: one tokenize pass, two vocab-bound count aggs, two hash-keyed
+# equi-joins, ONE global window for the tercile split. The window's
+# total sort is the one genuinely global stage — at 100 TB the tercile
+# boundary would come from an approx-quantile pass over doc scores (the
+# agg_quantile_sketch operator) instead of a full NTILE sort; tiles are
+# certified here because they make the tier assignment hash-exact.
+
+
+from ..functions.hashing import (  # noqa: E402
+    bucket_sql_duck,
+    bucket_sql_spark,
+    token_id_sql_duck,
+    token_id_sql_spark,
+)
+
+
+def _ccnet_sql(dialect: str) -> str:
+    if dialect == "spark":
+        idiv = "DIV"
+        tid = token_id_sql_spark
+        bucket = bucket_sql_spark("doc_id", "ccnet1")
+        toks = (
+            "SELECT doc_id, split(text, ' ') AS l "
+            "FROM (SELECT /*+ REPARTITION(32) */ * FROM documents) "
+            "WHERE size(split(text, ' ')) >= 2"
+        )
+        bg = (
+            "SELECT doc_id, element_at(l, i) AS w1, element_at(l, i + 1) AS w2 "
+            "FROM (SELECT doc_id, l, "
+            "      explode(sequence(1, size(l) - 1)) AS i FROM toks) x"
+        )
+    else:
+        idiv = "//"
+        tid = token_id_sql_duck
+        bucket = bucket_sql_duck("doc_id", "ccnet1")
+        toks = (
+            "SELECT doc_id, string_split(text, ' ') AS l FROM documents "
+            "WHERE len(string_split(text, ' ')) >= 2"
+        )
+        bg = (
+            "SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 "
+            "FROM (SELECT doc_id, l, "
+            "      unnest(generate_series(1, len(l) - 1)) AS i FROM toks) x"
+        )
+    bid = tid("concat(w1, ' ', w2)")
+    return (
+        f"WITH toks AS ({toks}), "
+        f"bg AS ({bg}), "
+        f"bgo AS (SELECT doc_id, {bid} AS bid, "
+        f"        {tid('w1')} AS wid FROM bg), "
+        "uni AS (SELECT wid, COUNT(*) AS c1 FROM bgo GROUP BY wid), "
+        "bc AS (SELECT bid, COUNT(*) AS c2 FROM bgo GROUP BY bid), "
+        "sc AS (SELECT doc_id, "
+        f"       SUM(c2 * 1000 {idiv} c1) {idiv} COUNT(*) AS lm_permille "
+        "       FROM bgo JOIN bc USING (bid) JOIN uni USING (wid) "
+        "       GROUP BY doc_id), "
+        "bkt AS (SELECT doc_id, lm_permille, "
+        "        NTILE(3) OVER (ORDER BY lm_permille DESC, doc_id) AS t "
+        "        FROM sc), "
+        "named AS (SELECT doc_id, lm_permille, "
+        "          CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+        "               ELSE 'tail' END AS bucket, "
+        "          CASE t WHEN 1 THEN 1000 WHEN 2 THEN 500 "
+        "               ELSE 100 END AS rate, "
+        f"          {bucket} AS hb FROM bkt) "
+        "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN hb < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+        f"CAST(SUM(lm_permille) {idiv} COUNT(*) AS BIGINT) AS avg_lm_permille "
+        "FROM named GROUP BY bucket ORDER BY bucket"
+    )
+
+
+sql_query(
+    "pipeline_ccnet_buckets",
+    _ccnet_sql("spark"),
+    oracle=_ccnet_sql("duck"),
+    tables=DOCS,
+    tags=("pipeline", "sampling", "lm"),
+    doc="CCNet-style head/middle/tail perplexity terciles (bigram-MLE "
+    "permille score, NTILE over deterministic order) with per-tier "
+    "seeded keep rates 1000/500/100 permille - the classic LM-filtered "
+    "corpus mix, sampling decision included in the certified output",
+)

@@ -13,6 +13,10 @@ the hot-bucket cap exists for — then measures, per scale:
 - CAPPED LSH candidate pairs (bucket_cap=64): the production path —
   must stay sub-quadratic (gate: log-log growth exponent < 1.5);
 - oversized-bucket telemetry (how much the cap dropped, max bucket);
+- containment candidates (rare-shingle blocking, df 2..8): must stay
+  sub-quadratic — the boilerplate family's shingles exceed the df cap at
+  every scale, so the blocked volume tracks the linear family count
+  (gate: log-log growth exponent < 1.5);
 - verified pairs -> large-star/small-star components: rounds consumed
   (operators.components_lss.last_lss_rounds) must stay bounded
   (gate: rounds(10x) <= rounds(1x) + 4, and converged < max_iter);
@@ -76,9 +80,24 @@ REGISTRY_QUERIES = [
     "dedup_lsh_capped",
     "dedup_keepers_capped",
     "dedup_components_lss",
+    "dedup_containment",
     "pipeline_pack_sequences",
     "pipeline_end_to_end",
 ]
+
+# containment probe df cap: the boilerplate family's shingles have
+# df ~ 0.05 n (>> 8 at every scale), so rare-shingle blocking excludes
+# them BY CONSTRUCTION and candidate volume must track the linear
+# family count, not the quadratic boilerplate mass.
+# CONT_N=5 (not the LSH tier's 3): this corpus draws words from a
+# 40-word vocab, so the 3-gram space is 64k and at probe sizes CHANCE
+# shingle collisions land in the df 2..8 band with birthday-quadratic
+# mass — an artifact of the tiny synthetic vocab, not of the blocking
+# scheme (real corpora have ~unbounded shingle spaces). 5-grams give a
+# 40^5 ~ 1e8 space where chance df>=2 is rare at every probe scale, so
+# the exponent measures the blocking scheme, not vocab aliasing.
+CONT_MAX_DF = 8
+CONT_N = 5
 
 _VOCAB = (
     "spark line column order small sort fast value scan hash slow group "
@@ -262,6 +281,24 @@ def probe_scale(spark: SparkSession, sf_dir: str, scale: int) -> dict:
         **sh,
     }
 
+    # containment tier: candidate volume from rare-shingle blocking must
+    # stay linear even though the boilerplate family's UNCAPPED pair mass
+    # is quadratic — the df filter is the cap here, measured separately
+    # from the verified-pair yield
+    ids5 = D.doc_shingle_ids(docs, CONT_N).localCheckpoint(eager=True)
+    t, sh, n = m.run(
+        lambda: D.containment_candidates(
+            docs, CONT_MAX_DF, CONT_N, ids_df=ids5
+        ).count()
+    )
+    out["cont_candidates"] = {"n": n, "sec": t, **sh}
+    t, sh, n = m.run(
+        lambda: D.containment_pairs(
+            docs, CONT_MAX_DF, n=CONT_N, ids_df=ids5
+        ).count()
+    )
+    out["cont_pairs"] = {"n": n, "sec": t, **sh}
+
     registry = all_queries()
     out["registry"] = {}
     for name in REGISTRY_QUERIES:
@@ -414,6 +451,10 @@ def main() -> int:
             r_hi["verify_components"]["n_pairs"],
             SCALES[0], SCALES[-1],
         ),
+        "cont_candidates": _growth_exp(
+            r_lo["cont_candidates"]["n"], r_hi["cont_candidates"]["n"],
+            SCALES[0], SCALES[-1],
+        ),
     }
     for name in REGISTRY_QUERIES:
         exps[f"time_{name}"] = _growth_exp(
@@ -432,7 +473,13 @@ def main() -> int:
 
     spill = sum(
         results["scales"][hi][sec].get("diskBytesSpilled", 0)
-        for sec in ("cand_uncapped", "cand_capped", "verify_components")
+        for sec in (
+            "cand_uncapped",
+            "cand_capped",
+            "verify_components",
+            "cont_candidates",
+            "cont_pairs",
+        )
     ) + sum(
         v.get("diskBytesSpilled", 0)
         for v in results["scales"][hi]["registry"].values()
@@ -440,6 +487,9 @@ def main() -> int:
     gates = {
         # the production (capped) candidate path must be sub-quadratic
         "capped_subquadratic": (exps["cand_capped"] or 99) < 1.5,
+        # rare-shingle blocking must keep containment candidates
+        # sub-quadratic despite the linearly-growing boilerplate family
+        "containment_subquadratic": (exps["cont_candidates"] or 99) < 1.5,
         # the cap must actually be doing work vs the raw path
         "cap_bites": (exps["cand_uncapped"] or 0)
         > (exps["cand_capped"] or 99) - 0.001,
