@@ -1220,10 +1220,33 @@ df_query(
 # at least one rare shingle (the df cap only drops boilerplate shingles,
 # which identify nothing). No all-pairs stage; the verify join is
 # candidate-driven exactly like the LSH verify fanout.
+#
+# _CONT_N = 5 (not the Jaccard tier's 3): blocking quality depends on the
+# shingle SPACE being large relative to the corpus — the fixtures draw
+# from a ~40-word vocab, so 3-grams alias by the birthday effect and
+# flood the df 2..8 band with chance collisions (measured at sf0.1:
+# 189,567 candidates at n=3 vs 1,489 at n=5 — a 127x reduction for the
+# same recall class, since a quoted span of >= 5 tokens still carries
+# rare 5-grams). Same finding as the scale probe's CONT_N
+# (scripts/scale_probe.py), where the 1x/3x/10x growth exponent is 1.08.
 
+_CONT_N = 5
 _CONT_MAX_DF = 8
 _CONT_PERMILLE = 500
 _cont_cache = CacheSlot()
+
+# 5-gram twin of _DUCK_IDS (final CTE name stays `ids` so the downstream
+# oracle text is shingle-width-agnostic)
+_DUCK_IDS5 = (
+    "toks5 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents "
+    f"         WHERE len(string_split(text, ' ')) >= {_CONT_N}), "
+    "sh5 AS (SELECT doc_id, unnest(list_transform("
+    f"       generate_series(1, len(l)-{_CONT_N - 1}), "
+    f"       i -> array_to_string(l[i:i+{_CONT_N - 1}], ' '))) AS s FROM toks5), "
+    "d5 AS (SELECT DISTINCT doc_id, s FROM sh5), "
+    "ids AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT "
+    f"        % {HASH_PRIME} AS tid FROM d5)"
+)
 
 
 def _containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1231,10 +1254,10 @@ def _containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, DOCS)["documents"]
     # sizes, the df filter and the verify join all consume the shingle-id
     # frame — one materialized build instead of three shingle explodes
-    ids = _cont_cache.hold(D.doc_shingle_ids(docs))
+    ids = _cont_cache.hold(D.doc_shingle_ids(docs, _CONT_N))
     return (
         D.containment_pairs(
-            docs, _CONT_MAX_DF, _CONT_PERMILLE, ids_df=ids
+            docs, _CONT_MAX_DF, _CONT_PERMILLE, n=_CONT_N, ids_df=ids
         )
         .select(
             "doc_a",
@@ -1252,7 +1275,7 @@ df_query(
     "dedup_containment",
     _containment,
     oracle=(
-        f"WITH {_DUCK_IDS}, "
+        f"WITH {_DUCK_IDS5}, "
         "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id), "
         "dfc AS (SELECT tid, COUNT(*) AS dfreq FROM ids GROUP BY tid), "
         f"rare AS (SELECT tid FROM dfc WHERE dfreq BETWEEN 2 AND {_CONT_MAX_DF}), "
@@ -1277,7 +1300,7 @@ df_query(
     ),
     tables=DOCS,
     tags=("dedup", "containment", "scale"),
-    doc="asymmetric containment pairs (quote-inclusion): rare-shingle "
+    doc=f"asymmetric containment pairs (quote-inclusion): rare-{_CONT_N}-gram "
     f"blocking (df 2..{_CONT_MAX_DF}) -> exact intersection verify, "
     f"inter*1000 DIV min(|A|,|B|) >= {_CONT_PERMILLE} — catches the "
     "A-subset-of-B dups Jaccard-banded LSH is blind to",
