@@ -140,6 +140,54 @@ def sample_frames(media: DataFrame, frame_bytes: int = 32, stride: int = 2) -> D
     return media.mapInPandas(kernel, schema=FRAMES_SCHEMA)
 
 
+AUDIO_SCHEMA = "doc_id BIGINT, win_idx INT, energy_permille BIGINT, low_energy INT"
+
+
+def audio_energy_windows(
+    media: DataFrame,
+    window_bytes: int = 64,
+    hop_bytes: int = 32,
+    low_permille: int = 480,
+) -> DataFrame:
+    """Sliding-window energy analysis over an "audio" byte stream — the
+    audio analog of ``sample_frames``: one row per (doc, window) with the
+    window's mean-amplitude permille and a low-energy (silence-candidate)
+    flag. Real impl swaps the byte-mean for an RMS over decoded PCM
+    samples (soundfile/librosa); the windowing, hop arithmetic and Arrow
+    batch shape are exactly what that kernel plugs into.
+
+    Integer permille (floor) so the output is hash-exact cross-engine;
+    only COMPLETE windows are emitted (a real VAD pads or drops the tail
+    — dropping is the deterministic choice).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        denom = 255 * window_bytes
+        for pdf in batches:
+            out_doc, out_idx, out_en, out_low = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                arr = np.frombuffer(bytes(content), dtype=np.uint8)
+                w = 0
+                while w * hop_bytes + window_bytes <= len(arr):
+                    s = int(arr[w * hop_bytes : w * hop_bytes + window_bytes].sum())
+                    en = s * 1000 // denom
+                    out_doc.append(doc_id)
+                    out_idx.append(w)
+                    out_en.append(en)
+                    out_low.append(1 if en < low_permille else 0)
+                    w += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "win_idx": out_idx,
+                    "energy_permille": out_en,
+                    "low_energy": out_low,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=AUDIO_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize — NOT available without a codec library.
 

@@ -457,6 +457,49 @@ df_query(
 )
 
 
+def _mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    media = M.synth_media(docs, "audio", n_bytes=256)
+    return M.audio_energy_windows(media, window_bytes=64, hop_bytes=32).orderBy(
+        "doc_id", "win_idx"
+    )
+
+
+df_query(
+    "mm_audio_energy",
+    _mm_audio,
+    oracle=(
+        # replay synth_media's md5-chain bytes and the sliding-window
+        # energy kernel in SQL: byte p of the payload is hex pair
+        # [p*2+1, p*2+2]; window w covers bytes [w*32, w*32+64), 7
+        # complete windows over 256 bytes; energy = floor-permille of
+        # the byte mean, low_energy below 480
+        "WITH hexc AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 512) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 15) AS t(i) "
+        "  GROUP BY doc_id), "
+        "wb AS (SELECT doc_id, w, "
+        "  SUM(('0x' || substr(hx, (w * 32 + b) * 2 + 1, 2))::INT) AS s "
+        "  FROM hexc CROSS JOIN generate_series(0, 6) AS gw(w) "
+        "  CROSS JOIN generate_series(0, 63) AS gb(b) "
+        "  GROUP BY doc_id, w) "
+        "SELECT doc_id, CAST(w AS INT) AS win_idx, "
+        "CAST(s * 1000 // (255 * 64) AS BIGINT) AS energy_permille, "
+        "CAST(CASE WHEN s * 1000 // (255 * 64) < 480 THEN 1 ELSE 0 END "
+        "     AS INT) AS low_energy "
+        "FROM wb ORDER BY doc_id, win_idx"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "audio"),
+    doc="hash-certified audio windowing path: audio_energy_windows' "
+    "mapInPandas kernel (64-byte windows, 32-byte hop, floor-permille "
+    "energy + silence flag) replayed byte-for-byte by the oracle via "
+    "the md5-chain content (operators/multimodal.py audio analog of "
+    "sample_frames)",
+)
+
+
 # §2.5 grouping-set tier beyond q7's ROLLUP: explicit GROUPING SETS incl.
 # the grand total, with grouping() markers disambiguating "NULL because
 # aggregated away" from data NULLs and a grouping_id-style composite key.

@@ -97,3 +97,30 @@ def test_map_in_arrow_token_stats_parity(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_audio_energy_windows(media):
+    wins = M.audio_energy_windows(media, window_bytes=64, hop_bytes=32)
+    rows = wins.orderBy("doc_id", "win_idx").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    # 256 bytes, 64-byte window, 32-byte hop → 7 complete windows
+    # (w*32 + 64 <= 256 → w <= 6); the incomplete tail is dropped
+    assert all(len(v) == 7 for v in per_doc.values())
+    doc_id, wrows = next(iter(per_doc.items()))
+    raw = np.frombuffer(M._md5_chain_bytes(doc_id, 256), dtype=np.uint8)
+    for r in wrows:
+        s = int(raw[r.win_idx * 32 : r.win_idx * 32 + 64].sum())
+        assert r.energy_permille == s * 1000 // (255 * 64)
+        assert r.low_energy == (1 if r.energy_permille < 480 else 0)
+
+
+def test_audio_windows_partition_invariance(media):
+    a = M.audio_energy_windows(media).orderBy("doc_id", "win_idx").collect()
+    b = (
+        M.audio_energy_windows(media.repartition(7))
+        .orderBy("doc_id", "win_idx")
+        .collect()
+    )
+    assert a == b
