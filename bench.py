@@ -100,6 +100,8 @@ HEADLINE = [
     # r8 batch 2: diversity coreset + CCNet perplexity-tier sampling
     "sample_kcenter",
     "pipeline_ccnet_buckets",
+    # r8 batch 3: the Arrow/mapInPandas path gets a tracked number too
+    "mm_audio_energy",
     "ivfpq_index_probe",  # probe of the PERSISTED codes-only index (below)
     "layout_pruned_read",  # manifest-pruned scan of the PERSISTED curve store
 ]
