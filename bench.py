@@ -102,6 +102,11 @@ HEADLINE = [
     "pipeline_ccnet_buckets",
     # r8 batch 3: the Arrow/mapInPandas path gets a tracked number too
     "mm_audio_energy",
+    # r8 batch 4: the selection tier — template strip, DSIR keep set, and
+    # the covariance-free power-iteration direction
+    "text_boilerplate_segments",
+    "pipeline_dsir_select",
+    "sim_power_direction",
     "ivfpq_index_probe",  # probe of the PERSISTED codes-only index (below)
     "layout_pruned_read",  # manifest-pruned scan of the PERSISTED curve store
 ]

@@ -1751,3 +1751,78 @@ df_query(
     "radius per center; the argmax chain is integer-exact so the oracle "
     "hashes the full selection, not just counts",
 )
+
+
+# Top principal direction by two unrolled power-iteration steps over the
+# int8-quantized vectors (sim_quantize_int8's floor/absmax format) — the
+# covariance-free distributed PCA shape: v_{t+1}[d] = sum_i q_i[d] *
+# <q_i, v_t>. Each step is one per-dim SUM after a posexplode — the Gram
+# matrix is never materialized and no driver-side linear algebra runs at
+# all; cost is linear in rows per step, which is exactly how a 100 TB
+# whitening/decorrelation pass has to be shaped (MLlib's RowMatrix PCA
+# builds the dim*dim Gram the same streaming way, but on the driver).
+# All arithmetic is BIGINT-exact except the two between-step rescalings,
+# which divide by the max-abs component and floor: one exactly-rounded
+# IEEE division + FLOOR on both engines, so the permille output is
+# bit-replayable. v_0 = all-ones (deterministic, never orthogonal to the
+# top direction of a nonneg-correlation bulk); the 1024 rescale keeps the
+# second step inside BIGINT for corpus sizes up to ~1e9 rows (127 * 1024
+# * 64 * 1e9 < 2^63).
+
+def _power_direction_sql(dialect: str) -> str:
+    if dialect == "spark":
+        head = (
+            "WITH e AS (SELECT vec_id, transform(embedding, "
+            "           x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "s AS (SELECT vec_id, v, array_max(transform(v, x -> abs(x))) "
+            "      AS scale FROM e), "
+            "q AS (SELECT vec_id, transform(v, x -> CAST(FLOOR(x * 127 / scale) "
+            "      AS BIGINT)) AS q FROM s WHERE scale > 0), "
+            "d0 AS (SELECT vec_id, q, aggregate(q, CAST(0 AS BIGINT), "
+            "       (a, x) -> a + x) AS dot0 FROM q), "
+            "x1 AS (SELECT pos AS d, SUM(x * dot0) AS p1 "
+            "       FROM d0 LATERAL VIEW posexplode(q) t AS pos, x GROUP BY pos), "
+            "ex AS (SELECT vec_id, pos AS d, x "
+            "       FROM q LATERAL VIEW posexplode(q) t AS pos, x), "
+        )
+    else:
+        head = (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) "
+            "      AS scale FROM e), "
+            "q AS (SELECT vec_id, list_transform(v, x -> CAST(FLOOR(x * 127 / scale) "
+            "      AS BIGINT)) AS q FROM s WHERE scale > 0), "
+            "d0 AS (SELECT vec_id, q, CAST(list_sum(q) AS BIGINT) AS dot0 FROM q), "
+            "x1 AS (SELECT i - 1 AS d, CAST(SUM(q[i] * dot0) AS BIGINT) AS p1 "
+            "       FROM d0, unnest(generate_series(1, len(q))) AS t(i) GROUP BY i), "
+            "ex AS (SELECT vec_id, i - 1 AS d, q[i] AS x "
+            "       FROM q, unnest(generate_series(1, len(q))) AS t(i)), "
+        )
+    cast = "" if dialect == "spark" else "CAST("
+    endc = "" if dialect == "spark" else " AS BIGINT)"
+    return head + (
+        "m1 AS (SELECT MAX(ABS(p1)) AS mx FROM x1), "
+        "v1 AS (SELECT d, CAST(FLOOR(p1 * 1024.0 / mx) AS BIGINT) AS w "
+        "       FROM x1 CROSS JOIN m1), "
+        f"d1 AS (SELECT vec_id, {cast}SUM(x * w){endc} AS dot1 "
+        "       FROM ex JOIN v1 ON ex.d = v1.d GROUP BY vec_id), "
+        f"x2 AS (SELECT ex.d, {cast}SUM(ex.x * d1.dot1){endc} AS p2 "
+        "       FROM ex JOIN d1 ON ex.vec_id = d1.vec_id GROUP BY ex.d), "
+        "m2 AS (SELECT MAX(ABS(p2)) AS mx2 FROM x2) "
+        "SELECT d AS dim, CAST(FLOOR(p2 * 1000.0 / mx2) AS BIGINT) AS dir_permille "
+        "FROM x2 CROSS JOIN m2 ORDER BY dim"
+    )
+
+
+sql_query(
+    "sim_power_direction",
+    _power_direction_sql("spark"),
+    oracle=_power_direction_sql("duck"),
+    tables=EMB,
+    tags=("similarity", "pca", "scale"),
+    doc="top principal direction via two unrolled power-iteration steps "
+    "over int8-quantized vectors: per-dim SUM of q[d] * <q, v> (linear in "
+    "rows, Gram matrix never built, zero driver math) - the distributed "
+    "whitening/decorrelation primitive; permille components, integer-exact "
+    "up to two floored IEEE rescales",
+)

@@ -920,3 +920,227 @@ sql_query(
     "seeded keep rates 1000/500/100 permille - the classic LM-filtered "
     "corpus mix, sampling decision included in the certified output",
 )
+
+
+# Corpus-global boilerplate detection (the MassiveText/RefinedWeb repeated-
+# template filter, reference-free analog of its "repeated lines across
+# documents" rule): a fixed-width aligned 8-token segment that occurs in
+# >= 2 DISTINCT documents anywhere in the corpus is boilerplate (cookie
+# banners, nav bars, license headers — template text repeats verbatim
+# wherever it lands, so the block key is global, not per-source). The
+# fixture has no newlines, so the aligned segment stands in for the line;
+# a real crawl swaps the segmenter, the operator shape is identical.
+#
+# Scale: segments are hashed to 60-bit ids INSIDE the transform, before
+# the explode (doc_shingle_ids' trick — the shuffle carries fixed-width
+# ints, never segment strings), then compacted to one row per (doc,
+# segment) and CacheSlot-held: the repeated-segment dictionary, the
+# per-source totals and the affected-doc rollup are three consumers of
+# that ONE materialized frame — one tokenize+explode pass over the
+# corpus, not three (a shared SQL CTE would be re-planned per consumer
+# because each branch prunes different columns; the explicit hold is the
+# Spark-idiomatic fix). The boilerplate id set is vocabulary-bound, so
+# its join side broadcasts.
+
+_BP_SEG = 8
+_BP_MIN_DOCS = 2
+_bp_cache = CacheSlot()
+
+
+def _bp_segment_ids_expr() -> str:
+    from ..functions.hashing import HASH_PRIME, token_id_sql_spark
+
+    seg = f"concat_ws(' ', slice(l, i * {_BP_SEG} + 1, {_BP_SEG}))"
+    return (
+        f"transform(sequence(0, CAST((size(l) - {_BP_SEG}) DIV {_BP_SEG} AS INT)), "
+        f"i -> {token_id_sql_spark(seg)} % {HASH_PRIME})"
+    )
+
+
+def _boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.spread import spread
+
+    _bp_cache.release()
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    seg = (
+        spread(docs)
+        .select("doc_id", "source", F.split("text", " ").alias("l"))
+        .where(F.size("l") >= _BP_SEG)
+        .select("doc_id", "source", F.explode(F.expr(_bp_segment_ids_expr())).alias("tid"))
+    )
+    pd = _bp_cache.hold(
+        seg.groupBy("doc_id", "source", "tid").agg(F.count("*").alias("cnt"))
+    )
+    boiler = (
+        pd.groupBy("tid")
+        .agg(F.count("*").alias("ndocs"))  # pd is per-doc distinct already
+        .where(F.col("ndocs") >= _BP_MIN_DOCS)
+        .select("tid")
+    )
+    tot = pd.groupBy("source").agg(
+        F.sum("cnt").alias("total_inst"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    hits = (
+        pd.join(F.broadcast(boiler), "tid")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("binst"),
+            F.countDistinct("doc_id").alias("affected"),
+            F.countDistinct("tid").alias("n_seg"),
+        )
+    )
+    return (
+        tot.join(hits, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("n_seg", F.lit(0)).cast("long").alias("boiler_segments"),
+            F.coalesce("affected", F.lit(0)).cast("long").alias("affected_docs"),
+            F.expr("CAST(COALESCE(binst, 0) * 1000 DIV total_inst AS BIGINT)").alias(
+                "boiler_permille"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _boilerplate_oracle() -> str:
+    from ..functions.hashing import HASH_PRIME, token_id_sql_duck
+
+    return (
+        "WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l "
+        "              FROM documents), "
+        f"seg AS (SELECT doc_id, source, "
+        f"        unnest(list_transform(generate_series(0, (len(l) - {_BP_SEG}) "
+        f"        // {_BP_SEG}), i -> array_to_string("
+        f"        l[i * {_BP_SEG} + 1 : i * {_BP_SEG} + {_BP_SEG}], ' '))) AS s "
+        f"        FROM toks WHERE len(l) >= {_BP_SEG}), "
+        f"ids AS (SELECT doc_id, source, {token_id_sql_duck('s')} "
+        f"        % {HASH_PRIME} AS tid FROM seg), "
+        "pd AS (SELECT doc_id, source, tid, COUNT(*) AS cnt "
+        "       FROM ids GROUP BY doc_id, source, tid), "
+        "dfc AS (SELECT tid, COUNT(*) AS ndocs FROM pd GROUP BY tid), "
+        f"boiler AS (SELECT tid FROM dfc WHERE ndocs >= {_BP_MIN_DOCS}), "
+        "tot AS (SELECT source, SUM(cnt) AS total_inst, "
+        "        COUNT(DISTINCT doc_id) AS n_docs FROM pd GROUP BY source), "
+        "hits AS (SELECT g.source, SUM(g.cnt) AS binst, "
+        "         COUNT(DISTINCT g.doc_id) AS affected, "
+        "         COUNT(DISTINCT g.tid) AS n_seg "
+        "         FROM pd g JOIN boiler b ON g.tid = b.tid GROUP BY g.source) "
+        "SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs, "
+        "CAST(COALESCE(h.n_seg, 0) AS BIGINT) AS boiler_segments, "
+        "CAST(COALESCE(h.affected, 0) AS BIGINT) AS affected_docs, "
+        "CAST(COALESCE(h.binst, 0) * 1000 // t.total_inst AS BIGINT) "
+        "AS boiler_permille "
+        "FROM tot t LEFT JOIN hits h ON t.source = h.source "
+        "ORDER BY t.source"
+    )
+
+
+df_query(
+    "text_boilerplate_segments",
+    _boilerplate,
+    oracle=_boilerplate_oracle(),
+    tables=DOCS,
+    tags=("text", "quality", "boilerplate", "dedup"),
+    doc=f"corpus-global boilerplate report: aligned {_BP_SEG}-token segments "
+    f"(60-bit-hashed pre-explode) repeated in >= {_BP_MIN_DOCS} distinct docs "
+    "anywhere, rolled up per source (n_docs / repeated segments / affected "
+    "docs / boilerplate permille of segment instances) - the repeated-"
+    "template strip gate",
+)
+
+
+# DSIR-style data selection (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every raw doc by how much its
+# hashed-n-gram feature mass looks like a TARGET distribution (here: the
+# lang='en' slice stands in for the high-quality target corpus), then keep
+# the top scorers. The published method uses log-likelihood ratios of
+# hashed n-gram counts; this integer-exact surrogate uses the add-one-
+# smoothed count RATIO per bucket scaled to parts-per-million — same
+# ordering signal for the common case, and bit-replayable by the oracle
+# (floor DIV everywhere, no float log).
+#
+# Scale: ONE tokenize pass feeds a compact CacheSlot-held (doc, bucket,
+# count) frame; the 256-bucket weight table (target and raw counted in
+# the same agg via conditional sum) and the per-doc scoring join are two
+# consumers of that one materialized frame, and the weight table joins
+# back broadcast. SUM(w*cnt) DIV SUM(cnt) restates the instance-level
+# mean over the compacted counts.
+
+_DSIR_B = 256
+_DSIR_SEED = "dsir1"
+_DSIR_TOPN = 100
+_dsir_cache = CacheSlot()
+
+
+def _dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import bucket_sql_spark
+    from ..functions.spread import spread
+
+    _dsir_cache.release()
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    tok = (
+        spread(docs)
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", "lang", F.expr(bucket_sql_spark("tok", _DSIR_SEED, _DSIR_B)).alias("b"))
+    )
+    pd = _dsir_cache.hold(
+        tok.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        pd.groupBy("b")
+        .agg(
+            F.sum("cnt").alias("rn"),
+            F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias("tn"),
+        )
+        .select("b", F.expr("(tn + 1) * 1000000 DIV (rn + 1)").alias("w"))
+    )
+    ds = (
+        pd.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(SUM(w * cnt) DIV SUM(cnt) AS BIGINT)").alias("dsir_score"))
+    )
+    return (
+        ds.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "dsir_score")
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(_DSIR_TOPN)
+    )
+
+
+def _dsir_oracle() -> str:
+    from ..functions.hashing import bucket_sql_duck
+
+    bucket = bucket_sql_duck("tok", _DSIR_SEED, _DSIR_B)
+    return (
+        "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) "
+        "             AS tok FROM documents), "
+        f"tb AS (SELECT doc_id, lang, {bucket} AS b FROM tok), "
+        "pd AS (SELECT doc_id, lang, b, COUNT(*) AS cnt "
+        "       FROM tb GROUP BY doc_id, lang, b), "
+        "cnt AS (SELECT b, SUM(cnt) AS rn, "
+        "        SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS tn "
+        "        FROM pd GROUP BY b), "
+        "w AS (SELECT b, (tn + 1) * 1000000 // (rn + 1) AS w FROM cnt), "
+        "ds AS (SELECT doc_id, CAST(SUM(w.w * pd.cnt) // SUM(pd.cnt) "
+        "       AS BIGINT) AS dsir_score "
+        "       FROM pd JOIN w ON pd.b = w.b GROUP BY doc_id) "
+        "SELECT d.doc_id, d.lang, d.source, s.dsir_score "
+        "FROM ds s JOIN documents d ON s.doc_id = d.doc_id "
+        f"ORDER BY s.dsir_score DESC, d.doc_id LIMIT {_DSIR_TOPN}"
+    )
+
+
+df_query(
+    "pipeline_dsir_select",
+    _dsir,
+    oracle=_dsir_oracle(),
+    tables=DOCS,
+    tags=("pipeline", "sampling", "dsir", "text"),
+    doc=f"DSIR-style importance selection: {_DSIR_B}-bucket hashed-unigram "
+    "target-vs-raw count ratios (add-one smoothed, ppm integer), mean "
+    f"bucket weight per doc, deterministic top-{_DSIR_TOPN} keep set "
+    "(Xie et al. 2023 shape with integer-exact ratio weights)",
+)
