@@ -1353,3 +1353,89 @@ sql_query(
     "emitted as a certified column (constructive counterpart of "
     "sample_split_leakage)",
 )
+
+
+# ---- quality-aware keeper selection -----------------------------------------
+
+# dedup_keepers drops every cluster member that is not the MIN-ID doc —
+# cheap, but a real curation pass (RefinedWeb, FineWeb) keeps the
+# highest-QUALITY copy of each near-dup cluster instead: boilerplate-laden
+# or truncated variants lose to the clean one. This query emits the
+# per-cluster decision record: keeper = argmax(distinct-token permille,
+# doc_id tiebreak) over the same dup_components clusters, plus the
+# cluster size and the quality spread the argmax acted on — so the
+# keep-the-best policy itself is hash-certified, not just the label set.
+#
+# Scale: quality is a per-row projection (array built-ins, codegen); the
+# argmax is ONE window over (component) — partition-bounded by cluster
+# size, which the capped LSH tier already bounds upstream. No new
+# all-pairs anywhere: this composes the certified pair/component stages.
+
+_QK_QUALITY_SPARK = (
+    "CAST(size(array_distinct(split(text, ' '))) * 1000 "
+    "DIV size(split(text, ' ')) AS BIGINT)"
+)
+_QK_QUALITY_DUCK = (
+    "CAST(len(list_distinct(string_split(text, ' '))) * 1000 "
+    "// len(string_split(text, ' ')) AS BIGINT)"
+)
+
+
+def _keepers_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    pairs = _minhash_pairs(spark, sf_dir)
+    labels = D.dup_components(pairs)
+    member_q = labels.join(
+        docs.select("doc_id", F.expr(_QK_QUALITY_SPARK).alias("q")), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    ranked = member_q.select(
+        "component", "doc_id", "q", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper"),
+            F.count("*").cast("long").alias("n_members"),
+            F.max("q").alias("best_q"),
+            F.min("q").alias("worst_q"),
+        )
+        .orderBy("component")
+    )
+
+
+df_query(
+    "dedup_keepers_quality",
+    _keepers_quality,
+    oracle=(
+        f"WITH RECURSIVE {_DUCK_PAIRS}, "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(id, r) AS ("
+        "  SELECT src, src FROM edges "
+        "  UNION "
+        "  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), "
+        "comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id), "
+        "memberq AS (SELECT c.component, c.id AS doc_id, "
+        f"            {_QK_QUALITY_DUCK} AS q "
+        "            FROM comp c JOIN documents d ON c.id = d.doc_id), "
+        "ranked AS (SELECT component, doc_id, q, "
+        "           ROW_NUMBER() OVER (PARTITION BY component "
+        "                              ORDER BY q DESC, doc_id) AS rn "
+        "           FROM memberq) "
+        "SELECT component, "
+        "MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper, "
+        "COUNT(*) AS n_members, MAX(q) AS best_q, MIN(q) AS worst_q "
+        "FROM ranked GROUP BY component ORDER BY component"
+    ),
+    tables=DOCS,
+    tags=("dedup", "components", "quality", "pipeline"),
+    doc="quality-aware keeper per near-dup cluster: argmax distinct-token "
+    "permille (doc_id tiebreak) over dup_components clusters, with "
+    "cluster size and quality spread - the keep-the-best-copy curation "
+    "policy as a certified decision record",
+)

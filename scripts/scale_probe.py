@@ -83,6 +83,11 @@ REGISTRY_QUERIES = [
     "dedup_containment",
     "pipeline_pack_sequences",
     "pipeline_end_to_end",
+    # r8 selection tier: all three are single-tokenize-pass / per-dim-agg
+    # shapes whose time must track corpus size ~linearly
+    "text_boilerplate_segments",
+    "pipeline_dsir_select",
+    "sim_power_direction",
 ]
 
 # containment probe df cap: the boilerplate family's shingles have
