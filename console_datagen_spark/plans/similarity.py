@@ -1826,3 +1826,76 @@ sql_query(
     "whitening/decorrelation primitive; permille components, integer-exact "
     "up to two floored IEEE rescales",
 )
+
+
+# Per-dimension class-separation (Fisher) scores over the int8-quantized
+# vectors: fisher_d = between-class / total sum-of-squares for dimension d
+# against the embedding labels — the embedding-space feature diagnostic
+# (which dims carry the label signal; the pruning/whitening companion to
+# sim_power_direction). One posexplode + ONE groupBy(dim, label) — the
+# aggregate frame is dims*classes rows (1,600 here) no matter the corpus
+# size, so the reduce side is constant-width at 100 TB. All sums are
+# BIGINT-exact; the only non-integer steps are per-group floor DIVs
+# (deterministic both engines; the floored numerator is clamped at 0).
+# BIGINT bound: n*qq <= 127^2 * dims * n^2 — safe to ~1e8 rows per job,
+# same envelope class as sim_power_direction's second step.
+
+def _fisher_dims_sql(dialect: str) -> str:
+    if dialect == "spark":
+        idiv = "DIV"
+        head = (
+            "WITH e AS (SELECT vec_id, label, transform(embedding, "
+            "           x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+            "s AS (SELECT vec_id, label, v, array_max(transform(v, "
+            "      x -> abs(x))) AS scale FROM e), "
+            "q AS (SELECT vec_id, label, transform(v, x -> CAST(FLOOR("
+            "      x * 127 / scale) AS BIGINT)) AS q FROM s WHERE scale > 0), "
+            "ex AS (SELECT label, pos AS d, x "
+            "       FROM q LATERAL VIEW posexplode(q) t AS pos, x), "
+            "g AS (SELECT d, label, COUNT(*) AS ng, SUM(x) AS sg, "
+            "      SUM(x * x) AS qg FROM ex GROUP BY d, label), "
+            "agg AS (SELECT d, SUM(ng) AS n, SUM(sg) AS s, SUM(qg) AS qq, "
+            f"        SUM(sg * sg {idiv} ng) AS bsum FROM g GROUP BY d), "
+        )
+    else:
+        idiv = "//"
+        head = (
+            "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v "
+            "           FROM embeddings), "
+            "s AS (SELECT vec_id, label, v, list_max(list_transform(v, "
+            "      x -> abs(x))) AS scale FROM e), "
+            "q AS (SELECT vec_id, label, list_transform(v, x -> CAST(FLOOR("
+            "      x * 127 / scale) AS BIGINT)) AS q FROM s WHERE scale > 0), "
+            "ex AS (SELECT label, i - 1 AS d, q[i] AS x "
+            "       FROM q, unnest(generate_series(1, len(q))) AS t(i)), "
+            "g AS (SELECT d, label, COUNT(*) AS ng, CAST(SUM(x) AS BIGINT) "
+            "      AS sg, CAST(SUM(x * x) AS BIGINT) AS qg "
+            "      FROM ex GROUP BY d, label), "
+            "agg AS (SELECT d, CAST(SUM(ng) AS BIGINT) AS n, "
+            "        CAST(SUM(sg) AS BIGINT) AS s, "
+            "        CAST(SUM(qg) AS BIGINT) AS qq, "
+            f"        CAST(SUM(sg * sg {idiv} ng) AS BIGINT) AS bsum "
+            "        FROM g GROUP BY d), "
+        )
+    return head + (
+        "f AS (SELECT d, CASE WHEN n * qq - s * s > 0 "
+        f"      THEN GREATEST(CAST(0 AS BIGINT), n * bsum - s * s) * 1000000 "
+        f"           {idiv} (n * qq - s * s) ELSE 0 END AS fisher_ppm "
+        "      FROM agg) "
+        "SELECT d AS dim, CAST(fisher_ppm AS BIGINT) AS fisher_ppm, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY fisher_ppm DESC, d) AS INT) AS rnk "
+        "FROM f ORDER BY dim"
+    )
+
+
+sql_query(
+    "sim_fisher_dims",
+    _fisher_dims_sql("spark"),
+    oracle=_fisher_dims_sql("duck"),
+    tables=EMB,
+    tags=("similarity", "feature_selection", "quality"),
+    doc="per-dimension Fisher class-separation score (between/total "
+    "sum-of-squares ppm, integer-exact sums, floored per-class terms) "
+    "with a separability ranking - embedding feature diagnostics over a "
+    "constant-width dims*classes aggregate",
+)

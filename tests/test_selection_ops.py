@@ -106,3 +106,31 @@ def test_selection_plans_consume_cached_frame(spark, sf_dir):
         df = all_queries()[name].spark(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") >= consumers, (name, plan[:1200])
+
+
+def test_fisher_dims_match_numpy(spark, sf_dir):
+    """Exact integer replay of the Fisher assembly in numpy, plus the
+    semantic invariant: scores live in [0, 1e6] (between <= total SS)."""
+    out = all_queries()["sim_fisher_dims"].spark(spark, sf_dir).toPandas()
+    assert out["fisher_ppm"].between(0, 1_000_000).all()
+    raw = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding", "label")
+        .toPandas()
+    )
+    emb = pd.DataFrame(raw["embedding"].tolist()).to_numpy(dtype=np.float64)
+    labels = raw["label"].to_numpy()
+    scale = np.abs(emb).max(axis=1, keepdims=True)
+    q = np.floor(emb * 127 / scale).astype(np.int64)
+    n = len(q)
+    expect = []
+    for d in range(q.shape[1]):
+        x = q[:, d]
+        s, qq = int(x.sum()), int((x * x).sum())
+        bsum = sum(
+            int(x[labels == g].sum()) ** 2 // int((labels == g).sum())
+            for g in np.unique(labels)
+        )
+        tot = n * qq - s * s
+        expect.append(max(0, n * bsum - s * s) * 1_000_000 // tot if tot > 0 else 0)
+    assert list(out["fisher_ppm"]) == expect
