@@ -107,6 +107,7 @@ HEADLINE = [
     "text_boilerplate_segments",
     "pipeline_dsir_select",
     "sim_power_direction",
+    "sim_fisher_dims",
     "ivfpq_index_probe",  # probe of the PERSISTED codes-only index (below)
     "layout_pruned_read",  # manifest-pruned scan of the PERSISTED curve store
 ]
