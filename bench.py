@@ -108,6 +108,9 @@ HEADLINE = [
     "pipeline_dsir_select",
     "sim_power_direction",
     "sim_fisher_dims",
+    # the selection DAG composed end to end (boilerplate gate -> DSIR
+    # keep -> leakage-free split) — the tier's pipeline_end_to_end analog
+    "pipeline_select_compose",
     "ivfpq_index_probe",  # probe of the PERSISTED codes-only index (below)
     "layout_pruned_read",  # manifest-pruned scan of the PERSISTED curve store
 ]

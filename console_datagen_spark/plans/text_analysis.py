@@ -1075,12 +1075,14 @@ _DSIR_TOPN = 100
 _dsir_cache = CacheSlot()
 
 
-def _dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_score_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, dsir_score) over the full corpus — weights always come
+    from the RAW distribution (DSIR's prescription), so composers that
+    filter the corpus first still score against unfiltered counts."""
     from ..functions.hashing import bucket_sql_spark
     from ..functions.spread import spread
 
     _dsir_cache.release()
-    docs = register_views(spark, sf_dir, DOCS)["documents"]
     tok = (
         spread(docs)
         .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
@@ -1097,13 +1099,18 @@ def _dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b", F.expr("(tn + 1) * 1000000 DIV (rn + 1)").alias("w"))
     )
-    ds = (
+    return (
         pd.join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(F.expr("CAST(SUM(w * cnt) DIV SUM(cnt) AS BIGINT)").alias("dsir_score"))
     )
+
+
+def _dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
     return (
-        ds.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        _dsir_score_frame(docs)
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
         .select("doc_id", "lang", "source", "dsir_score")
         .orderBy(F.desc("dsir_score"), "doc_id")
         .limit(_DSIR_TOPN)
@@ -1143,4 +1150,182 @@ df_query(
     "target-vs-raw count ratios (add-one smoothed, ppm integer), mean "
     f"bucket weight per doc, deterministic top-{_DSIR_TOPN} keep set "
     "(Xie et al. 2023 shape with integer-exact ratio weights)",
+)
+
+
+# The selection tier composed end-to-end (the counterpart of
+# pipeline_end_to_end for the r8 selection family): per-doc boilerplate
+# gate -> DSIR top-N keep -> leakage-free group-aware split. Certifies
+# that the stages compose on the same corpus with no grain mismatch:
+# boilerplate permille is re-derived per DOC from the same hashed
+# segment frame the per-source report uses, DSIR weights come from the
+# RAW corpus (filtering first would bias the denominator — DSIR's own
+# prescription), and the final split keys on the canonicalized-content
+# group so the kept set ships with its zero-leakage invariant as a
+# certified column. Scale: each stage is the already-audited shape;
+# composition adds two equi-joins on doc_id and nothing else.
+
+_SC_MAX_BP = 500  # drop docs that are majority template text
+_SC_TOPN = 200
+_SC_SEED = "scsplit1"
+_sc_cache = CacheSlot()
+_sc_keep_cache = CacheSlot()
+
+
+def _select_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import bucket_sql_spark
+    from ..functions.spread import spread
+    from .extras import _NORM_SPARK
+
+    _sc_cache.release()
+    _sc_keep_cache.release()
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    # stage 1: per-doc boilerplate permille over the shared segment frame
+    seg = (
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("l"))
+        .where(F.size("l") >= _BP_SEG)
+        .select("doc_id", F.explode(F.expr(_bp_segment_ids_expr())).alias("tid"))
+    )
+    pd_seg = _sc_cache.hold(
+        seg.groupBy("doc_id", "tid").agg(F.count("*").alias("cnt"))
+    )
+    boiler = (
+        pd_seg.groupBy("tid")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= _BP_MIN_DOCS)
+        .select("tid")
+    )
+    tot = pd_seg.groupBy("doc_id").agg(F.sum("cnt").alias("tot"))
+    binst = (
+        pd_seg.join(F.broadcast(boiler), "tid")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("binst"))
+    )
+    bp = (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(binst, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN tot IS NULL THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(COALESCE(binst, 0) * 1000 DIV tot AS BIGINT) END"
+            ).alias("bp"),
+        )
+    )
+    survivors = bp.where(F.col("bp") <= _SC_MAX_BP).select("doc_id")
+    # stage 2: DSIR keep set (weights from the RAW corpus)
+    keep = _sc_keep_cache.hold(
+        survivors.join(_dsir_score_frame(docs), "doc_id")
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(_SC_TOPN)
+    )
+    # stage 3: group-aware split of the keep set
+    g = keep.join(
+        docs.select("doc_id", F.expr(_NORM_SPARK).alias("gkey")), "doc_id"
+    ).select(
+        "gkey",
+        "dsir_score",
+        F.expr(
+            f"CASE WHEN {bucket_sql_spark('gkey', _SC_SEED)} < 800 THEN 'train' "
+            f"WHEN {bucket_sql_spark('gkey', _SC_SEED)} < 900 THEN 'val' "
+            "ELSE 'test' END"
+        ).alias("split"),
+    )
+    leaky = (
+        g.groupBy("gkey")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_leaky_groups")
+        )
+    )
+    return (
+        g.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("gkey").cast("long").alias("n_groups"),
+            F.sum("dsir_score").cast("long").alias("sum_dsir"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .orderBy("split")
+    )
+
+
+def _select_compose_oracle() -> str:
+    from ..functions.hashing import (
+        HASH_PRIME,
+        bucket_sql_duck,
+        token_id_sql_duck,
+    )
+    from .extras import _NORM_DUCK
+
+    bucket = bucket_sql_duck("tok", _DSIR_SEED, _DSIR_B)
+    sbucket = bucket_sql_duck("gkey", _SC_SEED)
+    return (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "              FROM documents), "
+        f"seg AS (SELECT doc_id, "
+        f"        unnest(list_transform(generate_series(0, (len(l) - {_BP_SEG}) "
+        f"        // {_BP_SEG}), i -> array_to_string("
+        f"        l[i * {_BP_SEG} + 1 : i * {_BP_SEG} + {_BP_SEG}], ' '))) AS s "
+        f"        FROM toks WHERE len(l) >= {_BP_SEG}), "
+        f"ids AS (SELECT doc_id, {token_id_sql_duck('s')} % {HASH_PRIME} AS tid "
+        "        FROM seg), "
+        "pds AS (SELECT doc_id, tid, COUNT(*) AS cnt "
+        "        FROM ids GROUP BY doc_id, tid), "
+        "dfc AS (SELECT tid, COUNT(*) AS nd FROM pds GROUP BY tid), "
+        f"boiler AS (SELECT tid FROM dfc WHERE nd >= {_BP_MIN_DOCS}), "
+        "tot AS (SELECT doc_id, SUM(cnt) AS tot FROM pds GROUP BY doc_id), "
+        "binst AS (SELECT p.doc_id, SUM(p.cnt) AS binst FROM pds p "
+        "          JOIN boiler b ON p.tid = b.tid GROUP BY p.doc_id), "
+        "bp AS (SELECT d.doc_id, CASE WHEN t.tot IS NULL THEN 0 "
+        "       ELSE COALESCE(bi.binst, 0) * 1000 // t.tot END AS bp "
+        "       FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id "
+        "       LEFT JOIN binst bi ON d.doc_id = bi.doc_id), "
+        f"surv AS (SELECT doc_id FROM bp WHERE bp <= {_SC_MAX_BP}), "
+        "tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok "
+        "        FROM documents), "
+        f"tb AS (SELECT doc_id, lang, {bucket} AS b FROM tok), "
+        "pdk AS (SELECT doc_id, lang, b, COUNT(*) AS cnt "
+        "        FROM tb GROUP BY doc_id, lang, b), "
+        "cntb AS (SELECT b, SUM(cnt) AS rn, "
+        "         SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS tn "
+        "         FROM pdk GROUP BY b), "
+        "w AS (SELECT b, (tn + 1) * 1000000 // (rn + 1) AS w FROM cntb), "
+        "ds AS (SELECT doc_id, CAST(SUM(w.w * pdk.cnt) // SUM(pdk.cnt) "
+        "       AS BIGINT) AS dsir_score "
+        "       FROM pdk JOIN w ON pdk.b = w.b GROUP BY doc_id), "
+        "keep AS (SELECT s.doc_id, ds.dsir_score FROM surv s "
+        "         JOIN ds ON s.doc_id = ds.doc_id "
+        f"        ORDER BY ds.dsir_score DESC, s.doc_id LIMIT {_SC_TOPN}), "
+        f"g AS (SELECT {_NORM_DUCK} AS gkey, k.dsir_score, "
+        f"      CASE WHEN {sbucket} < 800 THEN 'train' "
+        f"           WHEN {sbucket} < 900 THEN 'val' ELSE 'test' END AS split "
+        "      FROM keep k JOIN documents d ON k.doc_id = d.doc_id), "
+        "leak AS (SELECT COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) "
+        "         AS nl FROM (SELECT gkey, COUNT(DISTINCT split) AS ns "
+        "                     FROM g GROUP BY gkey) t) "
+        "SELECT split, COUNT(*) AS n_docs, "
+        "COUNT(DISTINCT gkey) AS n_groups, "
+        "CAST(SUM(dsir_score) AS BIGINT) AS sum_dsir, "
+        "(SELECT CAST(nl AS BIGINT) FROM leak) AS n_leaky_groups "
+        "FROM g GROUP BY split ORDER BY split"
+    )
+
+
+df_query(
+    "pipeline_select_compose",
+    _select_compose,
+    oracle=_select_compose_oracle(),
+    tables=DOCS,
+    tags=("pipeline", "sampling", "dsir", "boilerplate", "split"),
+    doc=f"selection tier composed: boilerplate gate (per-doc permille <= "
+    f"{_SC_MAX_BP}) -> DSIR top-{_SC_TOPN} keep (raw-corpus weights) -> "
+    "group-aware train/val/test split with the zero-leakage invariant "
+    "certified in-row - the corpus-to-keep-set selection DAG end to end",
 )

@@ -134,3 +134,16 @@ def test_fisher_dims_match_numpy(spark, sf_dir):
         tot = n * qq - s * s
         expect.append(max(0, n * bsum - s * s) * 1_000_000 // tot if tot > 0 else 0)
     assert list(out["fisher_ppm"]) == expect
+
+
+def test_select_compose_invariants(spark, sf_dir):
+    """The composed keep set: exactly TOPN docs survive (the boilerplate
+    gate keeps >= TOPN docs at every fixture SF), the split is leakage-
+    free by construction, and every kept doc passed the boilerplate gate."""
+    from console_datagen_spark.plans.text_analysis import _SC_TOPN
+
+    out = all_queries()["pipeline_select_compose"].spark(spark, sf_dir).toPandas()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert (out["n_leaky_groups"] == 0).all()
+    assert out["n_docs"].sum() == _SC_TOPN
+    assert (out["n_groups"] <= out["n_docs"]).all()
