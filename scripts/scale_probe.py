@@ -88,6 +88,7 @@ REGISTRY_QUERIES = [
     "text_boilerplate_segments",
     "pipeline_dsir_select",
     "sim_power_direction",
+    "pipeline_select_compose",
 ]
 
 # containment probe df cap: the boilerplate family's shingles have
