@@ -417,3 +417,40 @@ sql_query(
     "model conserves total purchase cents), touchless purchases -> "
     "'direct'",
 )
+
+
+# Full first-order Markov transition matrix over per-user event streams
+# (the generative companion of seq_adjacent_pattern's fixed 3-pattern):
+# every (src -> dst) adjacent-event pair with its count and row-normalized
+# permille probability — the behavior-model fit a synthetic-data generator
+# or a next-event baseline trains on. One LEAD window per user (state is
+# partition-bounded by per-user history), one pair groupBy; the matrix is
+# |event_types|^2 rows no matter the corpus size.
+sql_query(
+    "seq_markov_transitions",
+    "WITH nx AS (SELECT user_id, event_type AS src, "
+    "            LEAD(event_type) OVER (PARTITION BY user_id "
+    "            ORDER BY event_id) AS dst FROM events), "
+    "p AS (SELECT src, dst, COUNT(*) AS n FROM nx "
+    "      WHERE dst IS NOT NULL GROUP BY src, dst), "
+    "t AS (SELECT src, SUM(n) AS tot FROM p GROUP BY src) "
+    "SELECT p.src, p.dst, CAST(p.n AS BIGINT) AS n, "
+    "CAST(p.n * 1000 DIV t.tot AS BIGINT) AS p_permille "
+    "FROM p JOIN t ON p.src = t.src ORDER BY p.src, p.dst",
+    oracle=(
+        "WITH nx AS (SELECT user_id, event_type AS src, "
+        "            LEAD(event_type) OVER (PARTITION BY user_id "
+        "            ORDER BY event_id) AS dst FROM events), "
+        "p AS (SELECT src, dst, COUNT(*) AS n FROM nx "
+        "      WHERE dst IS NOT NULL GROUP BY src, dst), "
+        "t AS (SELECT src, SUM(n) AS tot FROM p GROUP BY src) "
+        "SELECT p.src, p.dst, CAST(p.n AS BIGINT) AS n, "
+        "CAST(p.n * 1000 // t.tot AS BIGINT) AS p_permille "
+        "FROM p JOIN t ON p.src = t.src ORDER BY p.src, p.dst"
+    ),
+    tables=EV,
+    tags=("sequence", "markov", "window"),
+    doc="first-order Markov transition matrix per user-stream adjacency: "
+    "(src, dst, count, row-normalized permille) - constant-width output, "
+    "one window + one groupBy",
+)

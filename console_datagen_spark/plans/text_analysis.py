@@ -1329,3 +1329,39 @@ df_query(
     "group-aware train/val/test split with the zero-leakage invariant "
     "certified in-row - the corpus-to-keep-set selection DAG end to end",
 )
+
+
+# Vocabulary coverage curve (the tokenizer-sizing gauge text_zipf_check's
+# constancy test doesn't give): how much corpus token mass the top-k
+# vocabulary ranks cover, plus the rank where cumulative coverage crosses
+# 90% — the number a vocab-size / OOV-budget decision actually reads.
+# The ranking window runs over the VOCABULARY (bounded by distinct
+# tokens), never the corpus, so the sort stays dictionary-scale at 100 TB.
+def _vocab_coverage_sql(unnest: str, idiv: str) -> str:
+    return (
+        "WITH tf AS (SELECT w, COUNT(*) AS f FROM "
+        f"  (SELECT {unnest} AS w FROM documents) x GROUP BY w), "
+        "ranked AS (SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) "
+        "           AS r FROM tf), "
+        "tot AS (SELECT SUM(f) AS total, COUNT(*) AS vocab FROM tf), "
+        "cum AS (SELECT r, SUM(f) OVER (ORDER BY r) AS cf FROM ranked) "
+        "SELECT CAST(t.vocab AS BIGINT) AS vocab_size, "
+        "CAST(t.total AS BIGINT) AS total_tokens, "
+        "CAST(MIN(CASE WHEN c.cf * 1000 >= 900 * t.total THEN c.r END) "
+        "     AS BIGINT) AS p90_rank, "
+        f"CAST(MAX(CASE WHEN c.r = 10 THEN c.cf * 1000 {idiv} t.total END) "
+        "     AS BIGINT) AS head10_permille "
+        "FROM cum c CROSS JOIN tot t GROUP BY t.vocab, t.total"
+    )
+
+
+sql_query(
+    "vocab_coverage_curve",
+    _vocab_coverage_sql("explode(split(text, ' '))", "DIV"),
+    oracle=_vocab_coverage_sql("unnest(string_split(text, ' '))", "//"),
+    tables=DOCS,
+    tags=("text", "vocab", "quality"),
+    doc="vocabulary coverage: total tokens, vocab size, rank covering 90% "
+    "of token mass, and top-10-rank coverage permille - the tokenizer "
+    "vocab-sizing gauge over a dictionary-bounded window",
+)
