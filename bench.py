@@ -120,13 +120,28 @@ HEADLINE = [
 SPECIAL = {"gen_records_1m", "ivfpq_index_probe", "layout_pruned_read"}
 
 GEN_BENCH_N = 1_000_000
-RUNS = 2  # per-query min-of-N: isolates real regressions from ambient load
-# r6 flagged sim_matryoshka_recall +58% on an unrelated ~5-line diff;
-# min-of-3 at the same pinned position separates GC/session noise from a
-# real regression (VERDICT r6 #3). r7 showed the same signature on
-# rag_hybrid_rrf (+40%, plans/rag.py untouched) — same treatment
-# (VERDICT r7 #3).
-EXTRA_RUNS = {"sim_matryoshka_recall": 3, "rag_hybrid_rrf": 3}
+# Per-query min-of-N. r6–r8 each flagged a different untouched query
+# regressing 40–58% purely from ambient load (sim_matryoshka_recall r6,
+# rag_hybrid_rrf r7, then a +20% BLANKET drift across 24 untouched
+# queries in r8); min-of-2 could not separate noise from regressions, so
+# r9 makes min-of-3 the global methodology (VERDICT r8 #2) instead of
+# per-query EXTRA_RUNS whack-a-mole.
+RUNS = 3
+
+# Ambient-load sentinel: a registry-independent fixed workload (pure
+# whole-stage-codegen range sum — no IO, no shuffle, no Python) that no
+# round's diff can ever touch. Round-over-round comparisons divide query
+# drift by sentinel drift: if the sentinel moved too, the box was loaded
+# and the drift is ambient, not a plan regression (VERDICT r8 #2).
+SENTINEL_N = 400_000_000
+
+
+def _run_sentinel(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(SENTINEL_N).selectExpr(
+        "sum(id * 3 + pmod(id, 7)) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
 
 # the production ANN read path: the cluster-partitioned PQ-code index is
 # built ONCE outside the timer (a real deployment has it prebuilt by the
@@ -217,34 +232,43 @@ def main() -> None:
     _prepare_ivfpq_index(spark)
     _prepare_curve_store(spark)
 
+    # sentinel measured at the same pinned position every round (right
+    # after the preps, before any headline query)
+    sentinel = round(min(_run_sentinel(spark) for _ in range(RUNS)), 3)
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     for name in HEADLINE:
-        runs = EXTRA_RUNS.get(name, RUNS)
         timings[name] = round(
-            min(_run_once(spark, registry, name) for _ in range(runs)), 3
+            min(_run_once(spark, registry, name) for _ in range(RUNS)), 3
         )
         if name == "gen_records_1m":
             # reference baseline: 630 msg/s aggregate (BASELINE.md)
             extras["gen_records_per_sec"] = round(GEN_BENCH_N / timings[name])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else SF_DIR,
-                "runs": RUNS,
-                # queries pinned to a higher min-of-N than the default
-                # RUNS, so JSON consumers see the real methodology
-                "extra_runs": EXTRA_RUNS,
-                **extras,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else SF_DIR,
+        "runs": RUNS,
+        # fixed codegen-only workload, min-of-RUNS: normalizes
+        # round-over-round drift (ambient load moves this too; a plan
+        # regression does not)
+        "sentinel_sec": sentinel,
+        **extras,
+    }
+    print(json.dumps(payload))
+    # self-contained committed copy: the driver's capture window has
+    # truncated the head of this line before (VERDICT r8 #4)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
     spark.stop()
 
 

@@ -408,7 +408,34 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 df_query(
     "mm_features",
     _mm_features,
-    oracle=None,  # Pandas-UDF decode: rows-only check by design
+    oracle=(
+        # Full SQL replay of the FLOAT feature path (r8 verdict #5,
+        # upgrading this query from rows-only): md5-chain bytes -> 4
+        # chunks of 64 -> mean/255 computed with the SAME two double
+        # divisions the numpy kernel does ((s/64)/255 — s <= 16320 is
+        # exact in float64, /64 is a pow-2 shift, so exactly one IEEE
+        # rounding in both engines), rendered to 9 decimals. DuckDB's
+        # printf and Spark's format_number both correctly round the
+        # binary double to 9 decimal digits, so the strings agree; the
+        # integer-permille twin (mm_features_checked) remains the
+        # formatter-independent certification.
+        "WITH m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 512) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 15) AS t(i) "
+        "  GROUP BY doc_id), "
+        "bytes AS (SELECT doc_id, i, "
+        "  ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT AS b "
+        "  FROM m, (SELECT unnest(generate_series(0, 255)) AS i) t), "
+        "chunks AS (SELECT doc_id, i // 64 AS c, SUM(b) AS s "
+        "  FROM bytes GROUP BY doc_id, i // 64) "
+        "SELECT doc_id, 'image' AS media_type, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt, "
+        "CAST(256 AS INT) AS n_bytes, "
+        "string_agg(printf('%.9f', (CAST(s AS DOUBLE) / 64) / 255), "
+        "           ',' ORDER BY c) AS feature_csv "
+        "FROM chunks GROUP BY doc_id ORDER BY doc_id"
+    ),
     tables=("documents",),
     tags=("multimodal",),
     doc="multimodal decode+feature-extract via mapInPandas (stubbed codec)",

@@ -1509,33 +1509,45 @@ df_query(
 # the embedding outliers (mislabeled, off-distribution, or encoder-garbage
 # rows) that contrastive pipelines prune, and high-density points flag
 # over-represented regions that diversity sampling thins. The estimator is
-# the standard probe-panel shape — a FIXED-size panel of probes scored
-# against the corpus (deployments use a constant panel, so the broadcast
-# side never grows with the corpus; the full kNN graph at threshold lives
-# in dedup_embedding's sign-LSH path). Only integer counts/ids are
-# emitted; cosines order and threshold but are never hashed.
+# the standard probe-panel shape — a genuinely CONSTANT panel of _DEN_K
+# probes (vec_id < _DEN_K; r8 advice — the earlier vec_id % 10 panel grew
+# linearly with the corpus) scored against the corpus, so the broadcast
+# side is O(K) no matter the corpus size and the scan is O(n*K), not
+# O(n^2/10); the full kNN graph at threshold lives in dedup_embedding's
+# sign-LSH path. Only integer counts/ids are emitted; cosines order and
+# threshold but are never hashed.
 
-_DEN_MOD = 10  # probe panel: vec_id % 10 == 0
+_DEN_K = 32  # constant probe panel size: vec_id < _DEN_K
 _DEN_COS = 0.25  # radius for the density count (fixture cos max ~0.49)
 _DEN_LOW = 10  # n_close below this => low-density outlier flag
+
+
+_den_cache = CacheSlot()
 
 
 def _knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    _den_cache.release()
     emb = register_views(spark, sf_dir, EMB)["embeddings"]
     n = S.with_norm(emb)
-    p = n.where(F.col("vec_id") % _DEN_MOD == 0).select(
+    p = n.where(F.col("vec_id") < _DEN_K).select(
         F.col("vec_id").alias("probe_id"),
         F.col("v").alias("pv"),
         F.col("nrm").alias("pn"),
     )
     from ..functions.vector import dot
 
-    scored = n.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id")).select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("nrm"))).alias("cos"),
+    # the panel-vs-corpus scan feeds BOTH the radius-count agg and the
+    # nn1 window; hold it so the O(n*K) cosine pass runs once (r8 advice)
+    scored = _den_cache.hold(
+        n.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id")).select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
     )
     agg = scored.groupBy("probe_id").agg(
         F.sum(F.when(F.col("cos") >= _DEN_COS, 1).otherwise(0))
@@ -1568,7 +1580,7 @@ df_query(
     oracle=(
         f"WITH {_DUCK_NORM}, "
         f"p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n "
-        f"      WHERE vec_id % {_DEN_MOD} = 0), "
+        f"      WHERE vec_id < {_DEN_K}), "
         "s AS (SELECT probe_id, c.vec_id AS neighbor_id, "
         "      list_inner_product(pv, c.v) / (pn * c.nrm) AS cos "
         "      FROM n c, p WHERE c.vec_id <> probe_id), "
@@ -1837,8 +1849,17 @@ sql_query(
 # size, so the reduce side is constant-width at 100 TB. All sums are
 # BIGINT-exact; the only non-integer steps are per-group floor DIVs
 # (deterministic both engines; the floored numerator is clamped at 0).
-# BIGINT bound: n*qq <= 127^2 * dims * n^2 — safe to ~1e8 rows per job,
-# same envelope class as sim_power_direction's second step.
+# BIGINT bound (corrected per r8 advice): the binding term is
+# n*qq <= 127^2 * n^2 per dim, under 2^63 for n <~ 2.4e7 rows per job —
+# NOT the previously claimed ~1e8. The ppm step is shift-normalized
+# (both operands floor-DIV'd by the same sh = max(1, t DIV 1e12) before
+# the 1e6 multiply) so it is never the first term to overflow:
+# b DIV sh < 2e12, hence (b DIV sh)*1e6 < 2e18 < 2^63. When t <= 1e12
+# (every test scale) sh = 1 and the ppm is bit-exact to floor(b*1e6/t);
+# beyond that both engines run the identical integer shift, diverging
+# from the unshifted value by <= 2 ppm but never from each other. Past
+# 2.4e7 rows/dim, shard the job or demean per class first — documented,
+# not silently wrapped.
 
 def _fisher_dims_sql(dialect: str) -> str:
     if dialect == "spark":
@@ -1878,10 +1899,14 @@ def _fisher_dims_sql(dialect: str) -> str:
             "        FROM g GROUP BY d), "
         )
     return head + (
-        "f AS (SELECT d, CASE WHEN n * qq - s * s > 0 "
-        f"      THEN GREATEST(CAST(0 AS BIGINT), n * bsum - s * s) * 1000000 "
-        f"           {idiv} (n * qq - s * s) ELSE 0 END AS fisher_ppm "
-        "      FROM agg) "
+        "f0 AS (SELECT d, GREATEST(CAST(0 AS BIGINT), n * bsum - s * s) AS b, "
+        "       n * qq - s * s AS t FROM agg), "
+        f"f1 AS (SELECT d, b, t, GREATEST(CAST(1 AS BIGINT), "
+        f"       t {idiv} 1000000000000) AS sh FROM f0), "
+        "f AS (SELECT d, CASE WHEN t > 0 "
+        f"      THEN ((b {idiv} sh) * 1000000) "
+        f"           {idiv} GREATEST(CAST(1 AS BIGINT), t {idiv} sh) "
+        "      ELSE 0 END AS fisher_ppm FROM f1) "
         "SELECT d AS dim, CAST(fisher_ppm AS BIGINT) AS fisher_ppm, "
         "CAST(ROW_NUMBER() OVER (ORDER BY fisher_ppm DESC, d) AS INT) AS rnk "
         "FROM f ORDER BY dim"

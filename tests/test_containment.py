@@ -67,6 +67,9 @@ def test_candidate_volume_is_df_bounded(spark, quote_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the registered oracle must block on the SAME df band the plan does
+    spec = all_queries()["dedup_containment"]
+    assert f"BETWEEN 2 AND {_CONT_MAX_DF}" in spec.oracle
 
 
 def test_group_split_has_zero_leakage(spark, duck, sf_dir):
