@@ -31,12 +31,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 _LAST_ROUNDS: int | None = None
+_LAST_ROUND_STATS: list[dict] = []
 
 
 def last_lss_rounds() -> int | None:
     """Rounds the most recent dup_components_lss call needed to converge
     — the scale probe's O(log n) evidence (scripts/scale_probe.py)."""
     return _LAST_ROUNDS
+
+
+def last_lss_round_stats() -> list[dict]:
+    """Per-round telemetry of the most recent call: wall seconds and edge
+    count per round — the scale probe's per-round cost evidence (the r8
+    endpoint-fit exponent hid an accelerating per-leg curve)."""
+    return list(_LAST_ROUND_STATS)
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -99,14 +107,26 @@ def dup_components_lss(
     n_edges = edges.count()
     converged = False
     global _LAST_ROUNDS
+    _LAST_ROUND_STATS.clear()
+    import time as _time
+
     for _round in range(max_iter):
         _LAST_ROUNDS = _round + 1
+        _t0 = _time.perf_counter()
         new_edges = _ckpt(_canon(_small_star(_canon(_large_star(edges)))))
         # both frames are distinct sets, so equal counts + one empty
         # one-sided anti probe ⇒ set equality (counts over checkpointed
         # partitions are near-free; at corpus scale the probe is the
         # same O(|E|) cost as one half-round)
         n_new = new_edges.count()
+        _LAST_ROUND_STATS.append(
+            {
+                "round": _round + 1,
+                "sec": round(_time.perf_counter() - _t0, 3),
+                "n_edges": n_new,
+                "n_parts": new_edges.rdd.getNumPartitions(),
+            }
+        )
         if n_new == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
             converged = True
             edges = new_edges

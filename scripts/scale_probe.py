@@ -33,10 +33,19 @@ the hot-bucket cap exists for — then measures, per scale:
   (the VERDICT r7 #5 elevated-bucket-count evidence).
 
 Writes ONE JSON document to BENCH_scale.json at the repo root:
-{"scales": {...}, "exponents": {...}, "layout_10k": {...},
- "gates": {...}, "ok": bool}.
+{"scales": {...}, "exponents": {...} (endpoint + per-leg), "layout":
+ {"<n_buckets>": {...}, ...}, "uncapped_control": {...},
+ "worst_material_time_legs": {...}, "gates": {...}, "ok": bool}.
 
-Runtime: ~4-8 min at the default scales. Smoke mode (pytest hook):
+r9 additions (r8 verdict #1/#3/#4): a 30x leg, per-leg exponents with
+time gates (an endpoint fit hid dedup_components_lss's accelerating
+3x->10x leg — root-caused to its UNCAPPED upstream, the control, not
+the LSS kernel, whose per-round stats are now recorded), peak-memory
+REST telemetry per scale, rows-read exponents for the IVFPQ probes,
+and a second layout probe at 10^5 buckets gating write-cost
+sub-linearity in bucket count.
+
+Runtime: ~10-18 min at the default scales. Smoke mode (pytest hook):
 SPARK_GRAFT_PROBE_SMOKE=1 shrinks base sizes 10x and runs scales [1, 2]
 so CI can execute the full code path in seconds.
 """
@@ -58,7 +67,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 SMOKE = os.environ.get("SPARK_GRAFT_PROBE_SMOKE") == "1"
 BASE_DOCS = 500 if SMOKE else 5_000  # sf0.1 documents row count
 BASE_EMB = 200 if SMOKE else 2_000  # sf0.1 embeddings row count
-SCALES = [1, 2] if SMOKE else [1, 3, 10]
+SCALES = [1, 2] if SMOKE else [1, 3, 10, 30]
+# The uncapped-upstream control (dedup_components_lss composes the
+# UNCAPPED pair pipeline on purpose — it certifies kernel equivalence
+# with dedup_components on identical input) is quadratic BY DESIGN
+# (cand_uncapped exponent ~1.95), so running it past 10x only re-measures
+# the control's known curve at prohibitive cost. Its production twin
+# (dedup_keepers_capped) runs at every scale.
+CONTROL_MAX_SCALE = 2 if SMOKE else 10
+UNCAPPED_CONTROL = {"dedup_components_lss"}
 PROBE_DIR = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/scale_probe")
 OUT_PATH = os.environ.get(
     "SPARK_GRAFT_PROBE_OUT",
@@ -196,9 +213,43 @@ def _rest_stage_totals(spark: SparkSession) -> dict[str, int]:
             "shuffleReadBytes",
             "memoryBytesSpilled",
             "diskBytesSpilled",
+            "inputBytes",
+            "inputRecords",
         ):
             tot[k] = tot.get(k, 0) + int(s.get(k) or 0)
     return tot
+
+
+def _rest_peak_memory_mb(spark: SparkSession) -> dict[str, int]:
+    """Peak executor memory from the REST API (r8 verdict #3: record
+    memory alongside spill so the next leg's breaking point is visible).
+    local mode has one executor row ('driver')."""
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return {}
+    try:
+        apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+        app_id = apps[0]["id"]
+        execs = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/executors"
+            )
+        )
+    except Exception:  # noqa: BLE001 — telemetry is best-effort
+        return {}
+    out = {"peak_jvm_heap_mb": 0, "peak_execution_mb": 0, "peak_storage_mb": 0}
+    for e in execs:
+        pm = e.get("peakMemoryMetrics") or {}
+        out["peak_jvm_heap_mb"] += int(pm.get("JVMHeapMemory", 0)) >> 20
+        out["peak_execution_mb"] += (
+            int(pm.get("OnHeapExecutionMemory", 0))
+            + int(pm.get("OffHeapExecutionMemory", 0))
+        ) >> 20
+        out["peak_storage_mb"] += (
+            int(pm.get("OnHeapStorageMemory", 0))
+            + int(pm.get("OffHeapStorageMemory", 0))
+        ) >> 20
+    return out
 
 
 def _heap_used_mb(spark: SparkSession) -> int:
@@ -227,6 +278,7 @@ def probe_scale(spark: SparkSession, sf_dir: str, scale: int) -> dict:
     from console_datagen_spark.operators import dedup as D
     from console_datagen_spark.operators.components_lss import (
         dup_components_lss,
+        last_lss_round_stats,
         last_lss_rounds,
     )
     from console_datagen_spark.operators.ivf_index import (
@@ -279,10 +331,15 @@ def probe_scale(spark: SparkSession, sf_dir: str, scale: int) -> dict:
         return n_pairs, labels.count(), last_lss_rounds()
 
     t, sh, (n_pairs, n_labeled, rounds) = m.run(_verified_components)
+    round_stats = last_lss_round_stats()
     out["verify_components"] = {
         "n_pairs": n_pairs,
         "n_labeled": n_labeled,
         "lss_rounds": rounds,
+        # per-round kernel telemetry (r8 verdict #1): the LSS kernel's
+        # own cost per round, separated from the upstream pair pipeline
+        "lss_round_stats": round_stats,
+        "lss_kernel_sec": round(sum(r["sec"] for r in round_stats), 3),
         "sec": t,
         **sh,
     }
@@ -308,6 +365,15 @@ def probe_scale(spark: SparkSession, sf_dir: str, scale: int) -> dict:
     registry = all_queries()
     out["registry"] = {}
     for name in REGISTRY_QUERIES:
+        if name in UNCAPPED_CONTROL and scale > CONTROL_MAX_SCALE:
+            print(
+                f"#   skipping {name} at x{scale}: uncapped-upstream "
+                f"control, measured to x{CONTROL_MAX_SCALE} only "
+                "(see uncapped_control in the output)",
+                flush=True,
+            )
+            out["registry"][name] = {"skipped": "uncapped_control"}
+            continue
         t, sh, _ = m.run(
             lambda name=name: registry[name]
             .spark(spark, sf_dir)
@@ -340,6 +406,7 @@ def probe_scale(spark: SparkSession, sf_dir: str, scale: int) -> dict:
 
     out["heap_used_mb"] = _heap_used_mb(spark)
     out["driver_maxrss_mb"] = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    out["peak_memory"] = _rest_peak_memory_mb(spark)
     return out
 
 
@@ -407,6 +474,41 @@ def _growth_exp(lo: float, hi: float, s_lo: int, s_hi: int) -> float | None:
     return round(math.log(hi / lo) / math.log(s_hi / s_lo), 3)
 
 
+def _leg_exps(vals: dict[int, float | None]) -> dict:
+    """Endpoint exponent PLUS every adjacent-leg exponent (r8 verdict #1:
+    an endpoint fit hides an accelerating curve — dedup_components_lss
+    read 0.93 endpoint while its 3x->10x leg ran at ~1.26)."""
+    scales = sorted(s for s in vals if vals[s] is not None)
+    if len(scales) < 2:
+        return {"endpoint": None, "legs": {}}
+    legs = {
+        f"{a}->{b}": _growth_exp(vals[a], vals[b], a, b)
+        for a, b in zip(scales, scales[1:])
+    }
+    return {
+        "endpoint": _growth_exp(
+            vals[scales[0]], vals[scales[-1]], scales[0], scales[-1]
+        ),
+        "legs": legs,
+    }
+
+
+def _worst_material_leg(
+    vals: dict[int, float | None], exps: dict, floor_sec: float = 2.0
+) -> float | None:
+    """Max per-leg TIME exponent over legs whose endpoint is material
+    (hi >= floor_sec): sub-2s measurements are scheduling noise and their
+    ratios gate nothing real."""
+    worst = None
+    scales = sorted(s for s in vals if vals[s] is not None)
+    for a, b in zip(scales, scales[1:]):
+        e = exps["legs"].get(f"{a}->{b}")
+        if e is None or vals[b] < floor_sec:
+            continue
+        worst = e if worst is None else max(worst, e)
+    return worst
+
+
 def main() -> int:
     from console_datagen_spark.session import get_spark
 
@@ -441,44 +543,67 @@ def main() -> int:
         print(f"--- scale x{s}: {BASE_DOCS * s} docs ---", flush=True)
         results["scales"][str(s)] = probe_scale(spark, sf_dir, s)
 
-    lo, hi = str(SCALES[0]), str(SCALES[-1])
-    r_lo, r_hi = results["scales"][lo], results["scales"][hi]
-    exps = {
-        "cand_uncapped": _growth_exp(
-            r_lo["cand_uncapped"]["n"], r_hi["cand_uncapped"]["n"],
-            SCALES[0], SCALES[-1],
-        ),
-        "cand_capped": _growth_exp(
-            r_lo["cand_capped"]["n"], r_hi["cand_capped"]["n"],
-            SCALES[0], SCALES[-1],
-        ),
-        "verified_pairs": _growth_exp(
-            r_lo["verify_components"]["n_pairs"],
-            r_hi["verify_components"]["n_pairs"],
-            SCALES[0], SCALES[-1],
-        ),
-        "cont_candidates": _growth_exp(
-            r_lo["cont_candidates"]["n"], r_hi["cont_candidates"]["n"],
-            SCALES[0], SCALES[-1],
-        ),
-    }
+    def series(getter) -> dict[int, float | None]:
+        out: dict[int, float | None] = {}
+        for s in SCALES:
+            try:
+                out[s] = getter(results["scales"][str(s)])
+            except (KeyError, TypeError):
+                out[s] = None
+        return out
+
+    exps: dict = {}
+    for key, getter in (
+        ("cand_uncapped", lambda r: r["cand_uncapped"]["n"]),
+        ("cand_capped", lambda r: r["cand_capped"]["n"]),
+        ("verified_pairs", lambda r: r["verify_components"]["n_pairs"]),
+        ("cont_candidates", lambda r: r["cont_candidates"]["n"]),
+    ):
+        exps[key] = _leg_exps(series(getter))
+    time_series: dict[str, dict[int, float | None]] = {}
     for name in REGISTRY_QUERIES:
-        exps[f"time_{name}"] = _growth_exp(
-            r_lo["registry"][name]["sec"], r_hi["registry"][name]["sec"],
-            SCALES[0], SCALES[-1],
-        )
+        time_series[name] = series(lambda r, n=name: r["registry"][n].get("sec"))
+        exps[f"time_{name}"] = _leg_exps(time_series[name])
+    time_series["verify_components"] = series(
+        lambda r: r["verify_components"]["sec"]
+    )
+    exps["time_verify_components"] = _leg_exps(time_series["verify_components"])
     for k in ("ivfpq_probe", "ivfpq_probe_sqrt_nlist"):
-        exps[f"time_{k}"] = _growth_exp(
-            r_lo[k]["sec"], r_hi[k]["sec"], SCALES[0], SCALES[-1]
+        time_series[k] = series(lambda r, kk=k: r[kk]["sec"])
+        exps[f"time_{k}"] = _leg_exps(time_series[k])
+        # rows-read growth for the probe (count-based, noise-free): the
+        # sqrt-nlist law should keep scanned records ~O(sqrt(n)) per probe
+        exps[f"rows_{k}"] = _leg_exps(
+            series(lambda r, kk=k: r[kk].get("inputRecords"))
         )
+    lss_kernel = series(lambda r: r["verify_components"]["lss_kernel_sec"])
+    exps["time_lss_kernel"] = _leg_exps(lss_kernel)
     results["exponents"] = exps
 
-    results["layout_10k"] = probe_layout(
-        spark, n_buckets=200 if SMOKE else 10_000
-    )
+    # the uncapped-control story, committed next to the numbers (r8 #1):
+    # dedup_components_lss recurses on the UNCAPPED pair pipeline on
+    # purpose (kernel-equivalence twin of dedup_components on identical
+    # input), so its wall time tracks cand_uncapped (~1.95), not the
+    # kernel: the per-round lss_round_stats at every scale show the
+    # kernel itself flat-per-round with bounded rounds, and the
+    # production composition (dedup_keepers_capped) carries the capped
+    # time gate at every scale including the top leg.
+    results["uncapped_control"] = {
+        "queries": sorted(UNCAPPED_CONTROL),
+        "max_scale": CONTROL_MAX_SCALE,
+        "kernel_time_by_scale": {str(k): v for k, v in lss_kernel.items()},
+    }
 
+    layout_buckets = [200, 1_000] if SMOKE else [10_000, 100_000]
+    results["layout"] = {}
+    for b in layout_buckets:
+        print(f"--- layout probe: {b} buckets ---", flush=True)
+        results["layout"][str(b)] = probe_layout(spark, n_buckets=b)
+
+    top = results["scales"][str(SCALES[-1])]
+    r_lo = results["scales"][str(SCALES[0])]
     spill = sum(
-        results["scales"][hi][sec].get("diskBytesSpilled", 0)
+        top[sec].get("diskBytesSpilled", 0)
         for sec in (
             "cand_uncapped",
             "cand_capped",
@@ -487,27 +612,64 @@ def main() -> int:
             "cont_pairs",
         )
     ) + sum(
-        v.get("diskBytesSpilled", 0)
-        for v in results["scales"][hi]["registry"].values()
+        v.get("diskBytesSpilled", 0) for v in top["registry"].values()
+    )
+
+    def _legs_ok(key: str, cap: float) -> bool:
+        vals = [v for v in exps[key]["legs"].values() if v is not None]
+        return bool(vals) and max(vals) < cap
+
+    production = [n for n in REGISTRY_QUERIES if n not in UNCAPPED_CONTROL]
+    worst_time_legs = {
+        n: _worst_material_leg(time_series[n], exps[f"time_{n}"])
+        for n in production + ["verify_components"]
+    }
+    results["worst_material_time_legs"] = worst_time_legs
+    lay_lo, lay_hi = (
+        results["layout"][str(layout_buckets[0])],
+        results["layout"][str(layout_buckets[1])],
     )
     gates = {
-        # the production (capped) candidate path must be sub-quadratic
-        "capped_subquadratic": (exps["cand_capped"] or 99) < 1.5,
+        # the production (capped) candidate path must be sub-quadratic on
+        # EVERY leg, not just the endpoint fit (r8 verdict #1)
+        "capped_subquadratic": (exps["cand_capped"]["endpoint"] or 99) < 1.5
+        and _legs_ok("cand_capped", 1.6),
         # rare-shingle blocking must keep containment candidates
         # sub-quadratic despite the linearly-growing boilerplate family
-        "containment_subquadratic": (exps["cont_candidates"] or 99) < 1.5,
+        "containment_subquadratic": (
+            exps["cont_candidates"]["endpoint"] or 99
+        ) < 1.5
+        and _legs_ok("cont_candidates", 1.6),
         # the cap must actually be doing work vs the raw path
-        "cap_bites": (exps["cand_uncapped"] or 0)
-        > (exps["cand_capped"] or 99) - 0.001,
+        "cap_bites": (exps["cand_uncapped"]["endpoint"] or 0)
+        > (exps["cand_capped"]["endpoint"] or 99) - 0.001,
         # component rounds bounded: converged, and didn't grow linearly
         "lss_rounds_bounded": (
-            r_hi["verify_components"]["lss_rounds"] is not None
-            and r_hi["verify_components"]["lss_rounds"]
+            top["verify_components"]["lss_rounds"] is not None
+            and top["verify_components"]["lss_rounds"]
             <= (r_lo["verify_components"]["lss_rounds"] or 0) + 4
         ),
+        # the LSS KERNEL's own time (per-round telemetry summed) must not
+        # accelerate: worst material leg < 1.35 (the r8 time-gate ask)
+        "lss_kernel_time_bounded": (
+            _worst_material_leg(lss_kernel, exps["time_lss_kernel"]) or 0
+        ) < 1.35,
+        # every production-path query: worst >=2s per-leg time exponent
+        # bounded — an accelerating curve now fails the probe instead of
+        # hiding inside an endpoint fit
+        "production_time_legs_bounded": all(
+            (w or 0) < 1.35 for w in worst_time_legs.values()
+        ),
         "no_disk_spill_at_top_scale": spill == 0,
-        "layout_dpp_fires": results["layout_10k"]["dpp_in_plan"],
-        "layout_parity": results["layout_10k"]["parity"],
+        "layout_dpp_fires": lay_lo["dpp_in_plan"] and lay_hi["dpp_in_plan"],
+        "layout_parity": lay_lo["parity"] and lay_hi["parity"],
+        # 10x more buckets must cost < 10x the write (r8 verdict #3):
+        # the range-batched writer + footer manifest keep per-bucket cost
+        # falling as bucket count rises
+        "layout_write_sublinear_in_buckets": (
+            lay_hi["write_sec"] / max(lay_lo["write_sec"], 1e-9)
+            < layout_buckets[1] / layout_buckets[0]
+        ),
     }
     results["gates"] = gates
     results["ok"] = all(gates.values())
