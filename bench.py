@@ -111,6 +111,9 @@ HEADLINE = [
     # the selection DAG composed end to end (boilerplate gate -> DSIR
     # keep -> leakage-free split) — the tier's pipeline_end_to_end analog
     "pipeline_select_compose",
+    # r9: the Gopher repetition gate — three doc-local aggregations off
+    # one tokenize pass, the crawl-spam filter ahead of dedup
+    "text_repetition_filters",
     "ivfpq_index_probe",  # probe of the PERSISTED codes-only index (below)
     "layout_pruned_read",  # manifest-pruned scan of the PERSISTED curve store
 ]

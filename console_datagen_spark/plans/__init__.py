@@ -32,15 +32,9 @@ from . import features  # noqa: F401
 from . import supervision  # noqa: F401
 from .registry import QuerySpec, all_queries, get_query, promote  # noqa: F401
 
-# Re-cert rotation (r8+): with every oracle-checkable query driver-green
-# at least once (r1-r7 union = 204/204), the window's job is keeping that
-# evidence FRESH. The order is computed, not hand-built: each query is
-# keyed by the last round whose CORRECTNESS_r*.json artifact certified it
-# and the stalest-certified queries rotate to the front (never-green
-# queries, e.g. ones added this round, key as round 0 and lead outright).
-# Oracle-less rows-only queries sort last — a prefix-window harness
-# treats them as failures (r5 lesson). tests/test_rotation.py asserts
-# both invariants against the artifacts, so the schedule can't drift.
+# Re-cert rotation: stalest driver certification first (never-green keys
+# as round 0 and leads); oracle-less rows-only queries sort past the
+# window. Invariants enforced by tests/test_rotation.py.
 
 
 def _recert_order() -> list[str]:

@@ -1365,3 +1365,248 @@ sql_query(
     "of token mass, and top-10-rank coverage permille - the tokenizer "
     "vocab-sizing gauge over a dictionary-bounded window",
 )
+
+
+# ---- Gopher-style repetition filters (Rae et al. 2021) ----------------------
+
+# The classic repetition quality suite for crawl curation: documents
+# dominated by repeated n-grams or token runs are SEO spam / template
+# residue and get filtered before training. Per doc: coverage of the
+# single most frequent 2-gram, coverage of all duplicated 3-grams, and
+# the longest consecutive same-token run (islands via pos - row_number,
+# the standard gaps-and-islands shape). All coverage is integer floor
+# permille capped at 1000 (overlapping n-grams can over-count by
+# construction — Gopher's character-fraction metric has the same
+# property, so the cap is the documented semantic, identical in both
+# engines). The tokenized (doc_id, l, n) frame is held in a CacheSlot
+# so the three consumers (2-gram counts, 3-gram counts, position
+# islands) read ONE materialized tokenize pass instead of scanning the
+# text column three times (the physical-plan audit caught 4 scans in the
+# pure-CTE form — Spark inlines WITH); every downstream groupBy key is
+# (doc_id, ...), so the shuffles are corpus-linear and skew-free at
+# 100 TB, and at cache-overflow scale the slot spills or recomputes a
+# column-pruned scan — either stays linear.
+
+_REP_TOP2_MAX = 200  # most-frequent-2-gram coverage cap (permille)
+_REP_DUP3_MAX = 300  # duplicated-3-gram coverage cap (permille)
+_REP_RUN_MAX = 4  # longest same-token run cap
+_rep_cache = CacheSlot()
+
+
+def _repetition_sql(dialect: str, from_view: bool = False) -> str:
+    if dialect == "spark":
+        base = (
+            "base AS (SELECT doc_id, l, n FROM rep_base), "
+            if from_view
+            else (
+                "toks AS (SELECT doc_id, split(text, ' ') AS l FROM documents), "
+                "base AS (SELECT doc_id, l, size(l) AS n FROM toks "
+                "         WHERE size(l) >= 3), "
+            )
+        )
+        toks = base + (
+            "g2 AS (SELECT doc_id, n, explode(transform(sequence(1, size(l) - 1), "
+            "       i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))) AS g "
+            "       FROM base), "
+            "g3 AS (SELECT doc_id, n, explode(transform(sequence(1, size(l) - 2), "
+            "       i -> concat(element_at(l, i), ' ', element_at(l, i + 1), ' ', "
+            "                   element_at(l, i + 2)))) AS g "
+            "       FROM base), "
+            "tok AS (SELECT doc_id, pos, t FROM base "
+            "        LATERAL VIEW posexplode(l) x AS pos, t), "
+        )
+        idiv = "DIV"
+    else:
+        toks = (
+            "toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "         FROM documents), "
+            "base AS (SELECT doc_id, l, len(l) AS n FROM toks "
+            "         WHERE len(l) >= 3), "
+            "g2 AS (SELECT doc_id, n, l[i] || ' ' || l[i + 1] AS g "
+            "       FROM base, unnest(generate_series(1, len(l) - 1)) AS x(i)), "
+            "g3 AS (SELECT doc_id, n, "
+            "       l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g "
+            "       FROM base, unnest(generate_series(1, len(l) - 2)) AS x(i)), "
+            "tok AS (SELECT doc_id, i AS pos, l[i] AS t "
+            "        FROM base, unnest(generate_series(1, len(l))) AS x(i)), "
+        )
+        idiv = "//"
+    return (
+        f"WITH {toks}"
+        "c2 AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g2 "
+        "       GROUP BY doc_id, n, g), "
+        f"t2 AS (SELECT doc_id, CAST(LEAST(1000, MAX(c) * 2000 {idiv} n) "
+        "        AS BIGINT) AS top2gram_permille "
+        "        FROM c2 GROUP BY doc_id, n), "
+        "c3 AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g3 "
+        "       GROUP BY doc_id, n, g), "
+        "d3 AS (SELECT doc_id, CAST(LEAST(1000, COALESCE(SUM(CASE WHEN c >= 2 "
+        f"        THEN c * 3 END), 0) * 1000 {idiv} n) AS BIGINT) "
+        "        AS dup3gram_permille "
+        "        FROM c3 GROUP BY doc_id, n), "
+        "isl AS (SELECT doc_id, t, pos - ROW_NUMBER() OVER ("
+        "        PARTITION BY doc_id, t ORDER BY pos) AS grp FROM tok), "
+        "runs AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_token_run "
+        "         FROM (SELECT doc_id, t, grp, COUNT(*) AS c FROM isl "
+        "               GROUP BY doc_id, t, grp) r GROUP BY doc_id) "
+        "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens, "
+        "t2.top2gram_permille, d3.dup3gram_permille, runs.max_token_run, "
+        f"CAST(CASE WHEN t2.top2gram_permille <= {_REP_TOP2_MAX} "
+        f"     AND d3.dup3gram_permille <= {_REP_DUP3_MAX} "
+        f"     AND runs.max_token_run <= {_REP_RUN_MAX} "
+        "     THEN 1 ELSE 0 END AS INT) AS repetition_ok "
+        "FROM (SELECT doc_id, n FROM base) b "
+        "JOIN t2 ON b.doc_id = t2.doc_id "
+        "JOIN d3 ON b.doc_id = d3.doc_id "
+        "JOIN runs ON b.doc_id = runs.doc_id "
+        "ORDER BY b.doc_id"
+    )
+
+
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _rep_cache.release()
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    base = _rep_cache.hold(
+        docs.selectExpr("doc_id", "split(text, ' ') AS l")
+        .where(F.size("l") >= 3)
+        .selectExpr("doc_id", "l", "size(l) AS n")
+    )
+    base.createOrReplaceTempView("rep_base")
+    return spark.sql(_repetition_sql("spark", from_view=True))
+
+
+df_query(
+    "text_repetition_filters",
+    _repetition,
+    oracle=_repetition_sql("duck"),
+    tables=DOCS,
+    tags=("text", "quality", "repetition"),
+    doc="Gopher-style repetition filters (Rae et al. 2021): top-2-gram "
+    "coverage, duplicated-3-gram coverage (floor permille, capped) and "
+    "longest same-token run per doc, with the composite keep flag — the "
+    "crawl-spam gate that precedes dedup in a curation pipeline",
+)
+
+
+# ---- PII detection + redaction ----------------------------------------------
+
+# Standard pre-training privacy pass: find and mask email-shaped and
+# ipv4-shaped spans. The fixture text is word salad with no PII, so the
+# query PLANTS two deterministic spans per row from the doc's own tokens
+# (first-token@second-token.com and a doc_id-derived IPv4) and then
+# redacts — the regex engines (Java vs RE2) are exercised on every row
+# and certified by the redacted text hash, not just on a lucky fixture.
+# Patterns stick to character classes + quantifiers (no lookaround, no
+# shorthand-class divergence), the portable regex subset. regexp_replace
+# replaces ALL matches in Spark by default; DuckDB needs the explicit
+# 'g' flag — that dialect split is the certified behaviour here.
+
+_PII_EMAIL = "[a-z0-9]+@[a-z0-9]+[.]com"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def _pii_sql(dialect: str) -> str:
+    if dialect == "spark":
+        planted = (
+            "concat(element_at(split(text, ' '), 1), '@', "
+            "element_at(split(text, ' '), 2), '.com contact ', "
+            "CAST(pmod(doc_id, 256) AS STRING), '.0.', "
+            "CAST(pmod(doc_id * 7, 256) AS STRING), '.1 ', text)"
+        )
+
+        def redact(expr: str, pat: str, repl: str) -> str:
+            return f"regexp_replace({expr}, '{pat}', '{repl}')"
+
+        def n_matches(expr: str, pat: str) -> str:
+            return f"size(regexp_extract_all({expr}, '{pat}', 0))"
+
+    else:
+        planted = (
+            "concat(string_split(text, ' ')[1], '@', "
+            "string_split(text, ' ')[2], '.com contact ', "
+            "CAST(doc_id % 256 AS VARCHAR), '.0.', "
+            "CAST((doc_id * 7) % 256 AS VARCHAR), '.1 ', text)"
+        )
+
+        def redact(expr: str, pat: str, repl: str) -> str:
+            return f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+
+        def n_matches(expr: str, pat: str) -> str:
+            return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+    both = redact(redact("raw", _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>")
+    return (
+        f"WITH p AS (SELECT doc_id, {planted} AS raw FROM documents) "
+        "SELECT doc_id, "
+        f"CAST({n_matches('raw', _PII_EMAIL)} AS BIGINT) AS n_emails, "
+        f"CAST({n_matches('raw', _PII_IPV4)} AS BIGINT) AS n_ips, "
+        f"md5({both}) AS redacted_md5 "
+        "FROM p ORDER BY doc_id"
+    )
+
+
+sql_query(
+    "text_pii_redact",
+    _pii_sql("spark"),
+    oracle=_pii_sql("duck"),
+    tables=DOCS,
+    tags=("text", "pii", "quality"),
+    doc="PII detection + redaction: email/ipv4 span counts and the "
+    "md5 of the fully redacted text (spans planted deterministically "
+    "per row so the regex path is exercised on every document) — the "
+    "pre-training privacy pass, portable-regex subset",
+)
+
+
+# ---- per-source frequency caps (RefinedWeb-style) ----------------------------
+
+# Crawl corpora are dominated by a few mega-sources; capping docs kept
+# per source bounds any single origin's influence on the training mix.
+# Keep set = the _SRC_CAP lowest seeded-hash-ranked docs per source —
+# deterministic, reproducible, and one window over a corpus-linear
+# shuffle keyed by source (the per-source rank never materializes more
+# than the group). Output is the per-source audit: kept/dropped counts
+# certify the cap; the keep list itself is the rank <= cap predicate.
+
+_SRC_CAP = 200
+
+
+def _source_caps_sql(dialect: str) -> str:
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substr(md5(concat('srccap1:', "
+            "CAST(doc_id AS STRING))),1,15),16,10) AS BIGINT)"
+        )
+        idiv = "DIV"
+    else:
+        h = (
+            "('0x' || substr(md5('srccap1:' || "
+            "CAST(doc_id AS VARCHAR)),1,15))::BIGINT"
+        )
+        idiv = "//"
+    return (
+        "WITH ranked AS (SELECT source, doc_id, "
+        f"  ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) "
+        "  AS rnk FROM documents) "
+        "SELECT source, COUNT(*) AS n_docs, "
+        f"CAST(SUM(CASE WHEN rnk <= {_SRC_CAP} THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_kept, "
+        f"CAST(SUM(CASE WHEN rnk > {_SRC_CAP} THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS n_dropped, "
+        f"CAST(LEAST(COUNT(*), {_SRC_CAP}) * 1000 {idiv} COUNT(*) AS BIGINT) "
+        "  AS keep_permille "
+        "FROM ranked GROUP BY source ORDER BY source"
+    )
+
+
+sql_query(
+    "sample_source_caps",
+    _source_caps_sql("spark"),
+    oracle=_source_caps_sql("duck"),
+    tables=DOCS,
+    tags=("sampling", "curation", "quality"),
+    doc=f"per-source frequency cap (RefinedWeb-style): keep the "
+    f"{_SRC_CAP} lowest seeded-hash-ranked docs per source; per-source "
+    "kept/dropped audit certifies the cap — bounds any single origin's "
+    "share of the training mix",
+)

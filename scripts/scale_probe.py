@@ -579,6 +579,20 @@ def main() -> int:
     lss_kernel = series(lambda r: r["verify_components"]["lss_kernel_sec"])
     exps["time_lss_kernel"] = _leg_exps(lss_kernel)
     results["exponents"] = exps
+    results["notes"] = {
+        "rows_ivfpq_*": (
+            "inputRecords spans the WHOLE measurement including the "
+            "query-vector source scan (queries are drawn from the full "
+            "embeddings read), which is linear in corpus size by "
+            "construction — the probe-side work signal is the TIME "
+            "exponent (sqrt-nlist variant ~flat), not this rows total"
+        ),
+        "peak_memory": (
+            "REST peakMemoryMetrics is a lifetime-cumulative peak, "
+            "recorded after each scale: the top-scale row is the run's "
+            "true peak; earlier rows are peaks-so-far"
+        ),
+    }
 
     # the uncapped-control story, committed next to the numbers (r8 #1):
     # dedup_components_lss recurses on the UNCAPPED pair pipeline on

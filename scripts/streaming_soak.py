@@ -25,9 +25,17 @@ SOAK.json next to the bench artifacts:
    Gates: late-round median <= 1.5x early-round median, and the corpus
    holds fewer rows than were fed (cross-round dups were dropped).
 
-Runtime: ~SOAK_SECS + ~INGEST_ROUNDS x ~1.5 s (defaults ~8 min, ~1.5k
-micro-batches). Smoke mode (SPARK_GRAFT_SOAK_SMOKE=1) runs seconds for
-CI.
+3. (r8 verdict #6) a RATE SEARCH runs first: short stepped-rate probes
+   (5k -> 200k rows/s) measure sustained processedRowsPerSecond vs the
+   offered rate; the knee = the highest rate the stateful operator keeps
+   up with (sustained >= 0.9x offered, no growing backlog). The main CDC
+   soak then runs AT that measured rate instead of a token 2k rows/s —
+   SOAK.json records both the per-rate ladder and the plateau behaviour
+   at the knee.
+
+Runtime: ~rate ladder (~4 min) + SOAK_SECS + ~INGEST_ROUNDS x ~1.5 s
+(defaults ~15 min). Smoke mode (SPARK_GRAFT_SOAK_SMOKE=1) runs seconds
+for CI.
 """
 
 from __future__ import annotations
@@ -49,7 +57,13 @@ INGEST_ROUNDS = int(
 )
 DOCS_PER_ROUND = 40 if SMOKE else 200
 TTL_MS = 5_000 if SMOKE else 30_000
+# fallback rate if the ladder finds nothing sustainable (never expected)
 ROWS_PER_SEC = 500 if SMOKE else 2_000
+# stepped-rate ladder for the knee search (r8 verdict #6): the generator
+# feeds ~478k rec/s, so the ceiling that matters is the stateful
+# operator's, not the source's
+RATE_LADDER = [500, 2_000] if SMOKE else [5_000, 20_000, 50_000, 100_000, 200_000]
+RATE_PROBE_SECS = 8 if SMOKE else 45
 KEY_CHURN = 100  # a new user_id every KEY_CHURN events -> unbounded keys
 OUT_PATH = os.environ.get(
     "SPARK_GRAFT_SOAK_OUT",
@@ -59,12 +73,10 @@ OUT_PATH = os.environ.get(
 WORK_DIR = os.environ.get("SPARK_GRAFT_SOAK_DIR", "/tmp/streaming_soak")
 
 
-def soak_cdc_ttl(spark) -> dict:
-    from console_datagen_spark.streaming.cdc import latest_wins_stateful
-
-    src = (
+def _cdc_source(spark, rows_per_sec: int):
+    return (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", str(ROWS_PER_SEC))
+        .option("rowsPerSecond", str(rows_per_sec))
         .load()
         .select(
             F.expr(f"value DIV {KEY_CHURN}").alias("user_id"),
@@ -76,6 +88,72 @@ def soak_cdc_ttl(spark) -> dict:
             (F.pmod("value", F.lit(1000)) / 10.0).alias("value"),
         )
     )
+
+
+def find_max_rate(spark) -> dict:
+    """Stepped-rate ladder: run the stateful CDC operator briefly at each
+    offered rate and measure the SUSTAINED processedRowsPerSecond (last
+    2/3 of samples). A rate is sustainable when sustained >= 0.9x offered
+    — beyond the knee the state operator falls behind and batches queue.
+    Returns the ladder and the highest sustainable rate."""
+    import shutil
+
+    from console_datagen_spark.streaming.cdc import latest_wins_stateful
+
+    ladder = []
+    best = None
+    for rate in RATE_LADDER:
+        ckpt = f"{WORK_DIR}/rate_probe_ckpt_{rate}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = (
+            latest_wins_stateful(_cdc_source(spark, rate), ttl_ms=TTL_MS)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        samples: list[float] = []
+        t_end = time.time() + RATE_PROBE_SECS
+        last_batch = -1
+        try:
+            while time.time() < t_end:
+                time.sleep(0.5)
+                p = q.lastProgress
+                if not p or p["batchId"] == last_batch:
+                    continue
+                last_batch = p["batchId"]
+                samples.append(p.get("processedRowsPerSecond") or 0.0)
+        finally:
+            q.stop()
+        # drop startup noise (first batches report 0 or warm-up rates)
+        settled = [s for s in samples if s > 0]
+        tail = settled[len(settled) // 3 :]
+        sustained = round(statistics.mean(tail), 1) if tail else 0.0
+        ok = sustained >= 0.9 * rate
+        ladder.append(
+            {"offered": rate, "sustained": sustained, "sustainable": ok}
+        )
+        print(
+            f"# rate probe {rate}: sustained={sustained} "
+            f"({'OK' if ok else 'KNEE'})",
+            flush=True,
+        )
+        if ok:
+            best = rate
+        else:
+            break  # past the knee; higher rates only queue more
+    return {
+        "ladder": ladder,
+        "max_sustainable_rate": best or ROWS_PER_SEC,
+        "probe_secs_per_rate": RATE_PROBE_SECS,
+    }
+
+
+def soak_cdc_ttl(spark, rows_per_sec: int = ROWS_PER_SEC) -> dict:
+    from console_datagen_spark.streaming.cdc import latest_wins_stateful
+
+    src = _cdc_source(spark, rows_per_sec)
     q = (
         latest_wins_stateful(src, ttl_ms=TTL_MS)
         .writeStream.format("noop")
@@ -117,9 +195,9 @@ def soak_cdc_ttl(spark) -> dict:
         "secs": SOAK_SECS,
         "micro_batches": (samples[-1]["batch_id"] + 1) if samples else 0,
         "ttl_ms": TTL_MS,
-        "rows_per_sec_target": ROWS_PER_SEC,
-        "new_keys_per_sec": ROWS_PER_SEC / KEY_CHURN,
-        "expected_plateau_keys": ROWS_PER_SEC / KEY_CHURN * TTL_MS / 1000,
+        "rows_per_sec_target": rows_per_sec,
+        "new_keys_per_sec": rows_per_sec / KEY_CHURN,
+        "expected_plateau_keys": rows_per_sec / KEY_CHURN * TTL_MS / 1000,
         "state_rows_max_mid_third": max_mid,
         "state_rows_max_last_third": max_last,
         "throughput_mid_third": round(tp_mid, 1),
@@ -275,12 +353,20 @@ def main() -> int:
             )
         },
     )
+    rate_search = find_max_rate(spark)
+    soak_rate = rate_search["max_sustainable_rate"]
+    print(f"# soaking at the measured knee: {soak_rate} rows/s", flush=True)
     results = {
         "smoke": SMOKE,
-        "cdc_ttl": soak_cdc_ttl(spark),
+        "rate_search": rate_search,
+        "cdc_ttl": soak_cdc_ttl(spark, rows_per_sec=soak_rate),
         "dedup_ingest": soak_dedup_ingest(spark),
     }
     gates = {
+        # the ladder must certify a rate well above the r8 token 2k/s —
+        # at least the first non-trivial rung (the knee itself is
+        # recorded data, not a pass/fail)
+        "rate_knee_found": soak_rate >= RATE_LADDER[0],
         **{f"cdc_{k}": v for k, v in results["cdc_ttl"]["gates"].items()},
         **{f"ingest_{k}": v for k, v in results["dedup_ingest"]["gates"].items()},
     }
