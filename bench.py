@@ -136,13 +136,16 @@ RUNS = 3
 # round's diff can ever touch. Round-over-round comparisons divide query
 # drift by sentinel drift: if the sentinel moved too, the box was loaded
 # and the drift is ambient, not a plan regression (VERDICT r8 #2).
-SENTINEL_N = 400_000_000
+# sized for a ~1.5 s measurement: a 0.16 s sentinel was itself inside
+# scheduling noise, defeating the normalization
+SENTINEL_N = 4_000_000_000
 
 
 def _run_sentinel(spark) -> float:
     t0 = time.perf_counter()
+    # modulus keeps the running sum ~2e15 << 2^63 at any SENTINEL_N
     spark.range(SENTINEL_N).selectExpr(
-        "sum(id * 3 + pmod(id, 7)) AS s"
+        "sum(pmod(id * 3 + 1, 1000000)) AS s"
     ).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
@@ -228,7 +231,17 @@ def _run_once(spark, registry, name: str) -> float:
 
 
 def main() -> None:
-    spark = get_spark(app_name="console-datagen-spark-bench")
+    # Spark's local-mode default driver heap is 1g; the r9 headline list
+    # (80 queries x min-of-3 in ONE session) OOMed it mid-run — size the
+    # lone JVM like the scale probe does rather than shrinking the bench
+    spark = get_spark(
+        app_name="console-datagen-spark-bench",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_BENCH_DRIVER_MEM", "8g"
+            )
+        },
+    )
     registry = all_queries()
     # warm the JVM + parquet footers with one tiny action
     registry["q1_scan_count"].spark(spark, SF_DIR).count()
@@ -239,12 +252,18 @@ def main() -> None:
     # after the preps, before any headline query)
     sentinel = round(min(_run_sentinel(spark) for _ in range(RUNS)), 3)
 
+    from console_datagen_spark.caching import release_all_cache_slots
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(
             min(_run_once(spark, registry, name) for _ in range(RUNS)), 3
         )
+        # drop every pipeline's held cache before the next query: each
+        # run rebuilds its own cache inside the timer anyway, and ~80
+        # queries' worth of resident frames is what OOMed the session
+        release_all_cache_slots()
         if name == "gen_records_1m":
             # reference baseline: 630 msg/s aggregate (BASELINE.md)
             extras["gen_records_per_sec"] = round(GEN_BENCH_N / timings[name])
@@ -261,6 +280,7 @@ def main() -> None:
         # round-over-round drift (ambient load moves this too; a plan
         # regression does not)
         "sentinel_sec": sentinel,
+        "sentinel_n": SENTINEL_N,
         **extras,
     }
     print(json.dumps(payload))

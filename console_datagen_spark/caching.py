@@ -11,12 +11,28 @@ pipeline instead of accumulating forever.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
+
+_ALL_SLOTS: "weakref.WeakSet[CacheSlot]" = weakref.WeakSet()
+
+
+def release_all_cache_slots() -> None:
+    """Unpersist every live CacheSlot's frames. Long mixed-query sessions
+    (the bench runs ~80 queries x3) otherwise keep ONE cached frame per
+    cache-using pipeline resident to the end of the session — enough to
+    OOM Spark's default 1g local driver heap once the query list grew
+    (r9 bench). Each query still pays its own cold cache-build inside its
+    timer, so releasing between queries does not distort measurements."""
+    for slot in list(_ALL_SLOTS):
+        slot.release()
 
 
 class CacheSlot:
     def __init__(self) -> None:
         self._frames: list[DataFrame] = []
+        _ALL_SLOTS.add(self)
 
     def hold(self, df: DataFrame, materialize: bool = True) -> DataFrame:
         """Persist ``df`` and track it for release.

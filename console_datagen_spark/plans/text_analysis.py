@@ -1610,3 +1610,63 @@ sql_query(
     "kept/dropped audit certifies the cap — bounds any single origin's "
     "share of the training mix",
 )
+
+
+# ---- character-class stats + collision entropy proxy -------------------------
+
+# Char-level quality signals: class ratios (alpha/digit/space permille)
+# and a diversity score. Shannon entropy needs ln() — libm results are
+# not bit-identical across engines, so it cannot be hash-certified;
+# Renyi-2 COLLISION probability (sum p_i^2, the chance two random char
+# draws collide) carries the same low-diversity signal as pure integer
+# arithmetic: collision_ppm = sum(k^2) * 1e6 DIV n^2. ONE char explode
+# feeds every metric (class counts come from the same per-char frequency
+# frame via range predicates); all groupBy keys are doc-local, so the
+# shuffle is corpus-linear. Bound: k <= n <= ~1e4 chars/doc keeps
+# sum(k^2)*1e6 <= 1e14 — no overflow anywhere near real doc sizes.
+
+
+def _char_stats_sql(dialect: str) -> str:
+    if dialect == "spark":
+        ch = (
+            "ch AS (SELECT doc_id, length(text) AS n, "
+            "       explode(transform(sequence(1, length(text)), "
+            "       i -> substring(text, i, 1))) AS c "
+            "       FROM documents WHERE length(text) > 0), "
+        )
+        idiv = "DIV"
+    else:
+        ch = (
+            "ch AS (SELECT doc_id, length(text) AS n, substr(text, i, 1) AS c "
+            "       FROM documents, "
+            "       unnest(generate_series(1, length(text))) AS x(i) "
+            "       WHERE length(text) > 0), "
+        )
+        idiv = "//"
+    return (
+        f"WITH {ch}"
+        "cc AS (SELECT doc_id, n, c, COUNT(*) AS k FROM ch "
+        "       GROUP BY doc_id, n, c) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_chars, "
+        f"CAST(COALESCE(SUM(CASE WHEN c >= 'a' AND c <= 'z' THEN k END), 0) "
+        f"     * 1000 {idiv} n AS BIGINT) AS alpha_permille, "
+        f"CAST(COALESCE(SUM(CASE WHEN c >= '0' AND c <= '9' THEN k END), 0) "
+        f"     * 1000 {idiv} n AS BIGINT) AS digit_permille, "
+        f"CAST(COALESCE(SUM(CASE WHEN c = ' ' THEN k END), 0) "
+        f"     * 1000 {idiv} n AS BIGINT) AS space_permille, "
+        f"CAST(SUM(k * k) * 1000000 {idiv} (n * n) AS BIGINT) AS collision_ppm "
+        "FROM cc GROUP BY doc_id, n ORDER BY doc_id"
+    )
+
+
+sql_query(
+    "text_char_stats",
+    _char_stats_sql("spark"),
+    oracle=_char_stats_sql("duck"),
+    tables=DOCS,
+    tags=("text", "quality", "entropy"),
+    doc="char-class ratios (alpha/digit/space permille) + Renyi-2 "
+    "collision probability in ppm — the integer-exact entropy proxy for "
+    "low-diversity/garbage detection (libm-free, hash-certifiable), one "
+    "char explode with doc-local aggregation",
+)
