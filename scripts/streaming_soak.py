@@ -61,8 +61,15 @@ TTL_MS = 5_000 if SMOKE else 30_000
 ROWS_PER_SEC = 500 if SMOKE else 2_000
 # stepped-rate ladder for the knee search (r8 verdict #6): the generator
 # feeds ~478k rec/s, so the ceiling that matters is the stateful
-# operator's, not the source's
-RATE_LADDER = [500, 2_000] if SMOKE else [5_000, 20_000, 50_000, 100_000, 200_000]
+# operator's, not the source's. Measured on local[32]: every rung through
+# 800k sustains (746k at 93% of offered); at 1.6M and 3.2M offered the
+# operator saturates at ~880-900k processed rows/s — the knee. The
+# ladder ends one rung past it so a full run terminates AT the knee.
+RATE_LADDER = (
+    [500, 2_000]
+    if SMOKE
+    else [5_000, 20_000, 50_000, 100_000, 200_000, 400_000, 800_000, 1_600_000]
+)
 RATE_PROBE_SECS = 8 if SMOKE else 45
 KEY_CHURN = 100  # a new user_id every KEY_CHURN events -> unbounded keys
 OUT_PATH = os.environ.get(
@@ -340,6 +347,32 @@ def main() -> int:
     import shutil
 
     from console_datagen_spark.session import get_spark
+
+    if os.environ.get("SPARK_GRAFT_SOAK_LADDER_ONLY") == "1":
+        # re-run just the knee search (e.g. after extending RATE_LADDER)
+        # and merge the new ladder into the existing SOAK.json
+        spark = get_spark(
+            app_name="console-datagen-spark-soak-ladder",
+            extra_conf={"spark.driver.memory": "8g"},
+        )
+        rate_search = find_max_rate(spark)
+        try:
+            with open(OUT_PATH) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            results = {"smoke": SMOKE, "gates": {}, "ok": False}
+        results["rate_search"] = rate_search
+        results["gates"]["rate_knee_found"] = (
+            rate_search["max_sustainable_rate"] >= RATE_LADDER[0]
+        )
+        results["ok"] = all(results["gates"].values())
+        with open(OUT_PATH, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+        print(json.dumps({"rate_search": rate_search, "out": OUT_PATH},
+                         indent=1), flush=True)
+        spark.stop()
+        return 0
 
     shutil.rmtree(WORK_DIR, ignore_errors=True)
     spark = get_spark(
