@@ -100,3 +100,36 @@ def test_growth_exponent_math():
     assert sp._growth_exp(100, 1000, 1, 10) == 1.0
     assert sp._growth_exp(100, 10_000, 1, 10) == 2.0
     assert sp._growth_exp(0, 10, 1, 10) is None
+
+
+def test_leg_exponents_catch_accelerating_curve():
+    """The r8 lesson in miniature: an endpoint fit can read sub-linear
+    while the last leg accelerates — per-leg exponents must expose it."""
+    sp = _import("scale_probe")
+    # endpoint 1x->10x looks like 0.93 while the 3->10 leg runs ~1.26
+    vals = {1: 5.9, 3: 11.0, 10: 50.3}
+    e = sp._leg_exps(vals)
+    assert e["endpoint"] < 1.0
+    assert e["legs"]["3->10"] > 1.2
+    worst = sp._worst_material_leg(vals, e, floor_sec=2.0)
+    assert worst is not None and worst > 1.2
+
+
+def test_worst_material_leg_ignores_noise_floor():
+    sp = _import("scale_probe")
+    # both legs double per step but everything is sub-2s: noise, no gate
+    vals = {1: 0.1, 3: 0.4, 10: 1.9}
+    e = sp._leg_exps(vals)
+    assert sp._worst_material_leg(vals, e, floor_sec=2.0) is None
+
+
+def test_leg_exponents_tolerate_missing_scales():
+    """The uncapped control is skipped past CONTROL_MAX_SCALE: its series
+    has None at the top scale and the exponent math must not blow up."""
+    sp = _import("scale_probe")
+    vals = {1: 5.0, 3: 11.0, 10: 50.0, 30: None}
+    e = sp._leg_exps(vals)
+    assert set(e["legs"]) == {"1->3", "3->10"}
+    assert e["endpoint"] is not None
+    single = sp._leg_exps({1: 5.0, 3: None, 10: None, 30: None})
+    assert single == {"endpoint": None, "legs": {}}
