@@ -97,24 +97,56 @@ def _cdc_source(spark, rows_per_sec: int):
     )
 
 
-def find_max_rate(spark) -> dict:
-    """Stepped-rate ladder: run the stateful CDC operator briefly at each
+# JVM comparison ladder: same keyed-state shape (window+key count with a
+# watermark) but entirely JVM-side — no Arrow transfer, no Python state
+# kernel. The gap between this ceiling and the Python operator's is the
+# measured cost of Python state at scale: the deployment guidance is
+# "keep hot-path state JVM-side when the semantics allow it".
+JVM_RATE_LADDER = (
+    [2_000] if SMOKE else [200_000, 800_000, 3_200_000, 12_800_000, 25_600_000]
+)
+
+
+def _jvm_stateful(src):
+    return (
+        src.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "5 seconds"), "user_id")
+        .count()
+    )
+
+
+def find_max_rate(spark, op: str = "python") -> dict:
+    """Stepped-rate ladder: run a stateful operator briefly at each
     offered rate and measure the SUSTAINED processedRowsPerSecond (last
     2/3 of samples). A rate is sustainable when sustained >= 0.9x offered
     — beyond the knee the state operator falls behind and batches queue.
+    ``op="python"`` drives the applyInPandasWithState CDC kernel;
+    ``op="jvm"`` drives a watermarked window+key count (pure JVM state).
     Returns the ladder and the highest sustainable rate."""
     import shutil
 
     from console_datagen_spark.streaming.cdc import latest_wins_stateful
 
+    rates = RATE_LADDER if op == "python" else JVM_RATE_LADDER
     ladder = []
     best = None
-    for rate in RATE_LADDER:
-        ckpt = f"{WORK_DIR}/rate_probe_ckpt_{rate}"
+    for rate in rates:
+        ckpt = f"{WORK_DIR}/rate_probe_ckpt_{op}_{rate}"
         shutil.rmtree(ckpt, ignore_errors=True)
+        if op == "python":
+            plan = latest_wins_stateful(_cdc_source(spark, rate), ttl_ms=TTL_MS)
+        else:
+            plan = _jvm_stateful(
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", str(rate))
+                .load()
+                .select(
+                    F.col("timestamp").alias("ts"),
+                    F.expr(f"value DIV {KEY_CHURN}").alias("user_id"),
+                )
+            )
         q = (
-            latest_wins_stateful(_cdc_source(spark, rate), ttl_ms=TTL_MS)
-            .writeStream.format("noop")
+            plan.writeStream.format("noop")
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .trigger(processingTime="250 milliseconds")
@@ -142,7 +174,7 @@ def find_max_rate(spark) -> dict:
             {"offered": rate, "sustained": sustained, "sustainable": ok}
         )
         print(
-            f"# rate probe {rate}: sustained={sustained} "
+            f"# rate probe [{op}] {rate}: sustained={sustained} "
             f"({'OK' if ok else 'KNEE'})",
             flush=True,
         )
@@ -152,7 +184,8 @@ def find_max_rate(spark) -> dict:
             break  # past the knee; higher rates only queue more
     return {
         "ladder": ladder,
-        "max_sustainable_rate": best or ROWS_PER_SEC,
+        "op": op,
+        "max_sustainable_rate": best or (ROWS_PER_SEC if op == "python" else 0),
         "probe_secs_per_rate": RATE_PROBE_SECS,
     }
 
@@ -356,12 +389,14 @@ def main() -> int:
             extra_conf={"spark.driver.memory": "8g"},
         )
         rate_search = find_max_rate(spark)
+        rate_search_jvm = find_max_rate(spark, op="jvm")
         try:
             with open(OUT_PATH) as f:
                 results = json.load(f)
         except (OSError, ValueError):
             results = {"smoke": SMOKE, "gates": {}, "ok": False}
         results["rate_search"] = rate_search
+        results["rate_search_jvm"] = rate_search_jvm
         results["gates"]["rate_knee_found"] = (
             rate_search["max_sustainable_rate"] >= RATE_LADDER[0]
         )
@@ -369,8 +404,9 @@ def main() -> int:
         with open(OUT_PATH, "w") as f:
             json.dump(results, f, indent=1)
             f.write("\n")
-        print(json.dumps({"rate_search": rate_search, "out": OUT_PATH},
-                         indent=1), flush=True)
+        print(json.dumps({"rate_search": rate_search,
+                          "rate_search_jvm": rate_search_jvm,
+                          "out": OUT_PATH}, indent=1), flush=True)
         spark.stop()
         return 0
 
@@ -387,11 +423,13 @@ def main() -> int:
         },
     )
     rate_search = find_max_rate(spark)
+    rate_search_jvm = find_max_rate(spark, op="jvm")
     soak_rate = rate_search["max_sustainable_rate"]
     print(f"# soaking at the measured knee: {soak_rate} rows/s", flush=True)
     results = {
         "smoke": SMOKE,
         "rate_search": rate_search,
+        "rate_search_jvm": rate_search_jvm,
         "cdc_ttl": soak_cdc_ttl(spark, rows_per_sec=soak_rate),
         "dedup_ingest": soak_dedup_ingest(spark),
     }
