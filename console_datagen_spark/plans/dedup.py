@@ -1439,3 +1439,89 @@ df_query(
     "cluster size and quality spread - the keep-the-best-copy curation "
     "policy as a certified decision record",
 )
+
+
+# ---- dup-cluster size distribution (dedup telemetry) ------------------------
+
+# The operational question before running a dedup pass at 100 TB: how big
+# are the near-dup clusters, how many docs does dedup remove, and is
+# there a mega-cluster (template family) that needs the hot-bucket cap?
+# One groupBy over the component labels + a power-of-two CASE ladder
+# (integer comparisons — no libm log2, whose boundary rounding differs
+# across engines); singleton count comes from two 1-row aggregate frames
+# cross-joined (the repo's documented 1-row broadcast allowance).
+# n_removable per bucket = docs - clusters = exactly the rows a
+# keep-min-id policy drops.
+
+_HIST_EDGES = (2, 4, 8, 16, 32)
+
+
+def _size_bucket_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} <= {e} THEN {e}" for e in _HIST_EDGES
+    )
+    return f"CASE {whens} ELSE {_HIST_EDGES[-1] * 2} END"
+
+
+def _cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    comp = D.dup_components(_minhash_pairs(spark, sf_dir))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    hist = (
+        sizes.groupBy(F.expr(_size_bucket_case("sz")).cast("int").alias("size_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            (F.sum("sz") - F.count("*")).cast("long").alias("n_removable"),
+        )
+    )
+    single = (
+        docs.agg(F.count("*").alias("nt"))
+        .crossJoin(comp.agg(F.count("*").alias("np")))
+        .select(
+            F.lit(1).cast("int").alias("size_bucket"),
+            (F.col("nt") - F.col("np")).cast("long").alias("n_clusters"),
+            (F.col("nt") - F.col("np")).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_removable"),
+        )
+    )
+    return hist.unionByName(single).orderBy("size_bucket")
+
+
+df_query(
+    "dedup_cluster_histogram",
+    _cluster_histogram,
+    oracle=(
+        f"WITH RECURSIVE {_DUCK_PAIRS}, "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(id, r) AS ("
+        "  SELECT src, src FROM edges "
+        "  UNION "
+        "  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), "
+        "comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach "
+        "         GROUP BY id), "
+        "csizes AS (SELECT component, COUNT(*) AS sz FROM comp "
+        "           GROUP BY component), "
+        f"hist AS (SELECT CAST({_size_bucket_case('sz')} AS INT) "
+        "          AS size_bucket, "
+        "          CAST(COUNT(*) AS BIGINT) AS n_clusters, "
+        "          CAST(SUM(sz) AS BIGINT) AS n_docs, "
+        "          CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable "
+        "          FROM csizes GROUP BY 1), "
+        "single AS (SELECT CAST(1 AS INT) AS size_bucket, "
+        "  CAST((SELECT COUNT(*) FROM documents) "
+        "       - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_clusters, "
+        "  CAST((SELECT COUNT(*) FROM documents) "
+        "       - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_docs, "
+        "  CAST(0 AS BIGINT) AS n_removable) "
+        "SELECT * FROM hist UNION ALL SELECT * FROM single "
+        "ORDER BY size_bucket"
+    ),
+    tables=DOCS,
+    tags=("dedup", "components", "telemetry"),
+    doc="dup-cluster size distribution: power-of-two histogram of "
+    "near-dup component sizes (n_clusters / n_docs / n_removable per "
+    "bucket, singletons as bucket 1) — the pre-dedup sizing report that "
+    "decides whether the hot-bucket cap is needed",
+)
