@@ -100,6 +100,7 @@ HEADLINE = [
     # r8 batch 2: diversity coreset + CCNet perplexity-tier sampling
     "sample_kcenter",
     "pipeline_ccnet_buckets",
+    "pipeline_ccnet_histq",  # the sort-free tier-split scale path
     # r8 batch 3: the Arrow/mapInPandas path gets a tracked number too
     "mm_audio_energy",
     # r8 batch 4: the selection tier — template strip, DSIR keep set, and

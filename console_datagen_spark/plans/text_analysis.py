@@ -853,7 +853,9 @@ from ..functions.hashing import (  # noqa: E402
 )
 
 
-def _ccnet_sql(dialect: str) -> str:
+def _ccnet_score_ctes(dialect: str) -> tuple[str, str, str]:
+    """(idiv, seeded keep-bucket expr, CTE text ending at ``sc``) — the
+    shared bigram-MLE scoring pipeline both CCNet variants rank on."""
     if dialect == "spark":
         idiv = "DIV"
         tid = token_id_sql_spark
@@ -882,8 +884,8 @@ def _ccnet_sql(dialect: str) -> str:
             "      unnest(generate_series(1, len(l) - 1)) AS i FROM toks) x"
         )
     bid = tid("concat(w1, ' ', w2)")
-    return (
-        f"WITH toks AS ({toks}), "
+    ctes = (
+        f"toks AS ({toks}), "
         f"bg AS ({bg}), "
         f"bgo AS (SELECT doc_id, {bid} AS bid, "
         f"        {tid('w1')} AS wid FROM bg), "
@@ -892,7 +894,15 @@ def _ccnet_sql(dialect: str) -> str:
         "sc AS (SELECT doc_id, "
         f"       SUM(c2 * 1000 {idiv} c1) {idiv} COUNT(*) AS lm_permille "
         "       FROM bgo JOIN bc USING (bid) JOIN uni USING (wid) "
-        "       GROUP BY doc_id), "
+        "       GROUP BY doc_id)"
+    )
+    return idiv, bucket, ctes
+
+
+def _ccnet_sql(dialect: str) -> str:
+    idiv, bucket, ctes = _ccnet_score_ctes(dialect)
+    return (
+        f"WITH {ctes}, "
         "bkt AS (SELECT doc_id, lm_permille, "
         "        NTILE(3) OVER (ORDER BY lm_permille DESC, doc_id) AS t "
         "        FROM sc), "
@@ -919,6 +929,64 @@ sql_query(
     "permille score, NTILE over deterministic order) with per-tier "
     "seeded keep rates 1000/500/100 permille - the classic LM-filtered "
     "corpus mix, sampling decision included in the certified output",
+)
+
+
+# The 100 TB spelling of the same tier split: pipeline_ccnet_buckets'
+# NTILE needs one global row sort — the lone stage that doesn't scale.
+# The score domain is BOUNDED INTEGERS (permille, <= ~1001 distinct
+# values), so exact terciles come from a histogram instead: one
+# corpus-linear groupBy(score) -> a <=1001-row cumulative frame -> value
+# boundaries t1/t2 at the 1/3 and 2/3 cdf points. No row sort, no
+# sketch, still hash-exact in both engines. Tier assignment is by VALUE
+# (score <= t1 tail, <= t2 middle, else head), so tie mass can skew tier
+# sizes off n/3 — the production-honest semantic (CCNet itself buckets
+# by perplexity value); boundaries are emitted in the certified output.
+
+
+def _ccnet_histq_sql(dialect: str) -> str:
+    idiv, bucket, ctes = _ccnet_score_ctes(dialect)
+    return (
+        f"WITH {ctes}, "
+        "hist AS (SELECT lm_permille AS s, COUNT(*) AS c FROM sc "
+        "         GROUP BY lm_permille), "
+        # the window orders the <=1001-row histogram, never corpus rows;
+        # boundaries fold to ONE 1-row frame so the big side references
+        # it exactly once via a broadcastable cross join (scalar
+        # subqueries would inline the whole scoring pipeline per use)
+        "cdf AS (SELECT s, c, SUM(c) OVER (ORDER BY s) AS cum FROM hist), "
+        "tot AS (SELECT SUM(c) AS n FROM hist), "
+        "b AS (SELECT MIN(CASE WHEN cum * 3 >= n THEN s END) AS t1, "
+        "             MIN(CASE WHEN cum * 3 >= 2 * n THEN s END) AS t2 "
+        "      FROM cdf CROSS JOIN tot), "
+        "named AS (SELECT doc_id, lm_permille, t1, t2, "
+        "          CASE WHEN lm_permille <= t1 THEN 'tail' "
+        "               WHEN lm_permille <= t2 THEN 'middle' "
+        "               ELSE 'head' END AS bucket, "
+        "          CASE WHEN lm_permille <= t1 THEN 100 "
+        "               WHEN lm_permille <= t2 THEN 500 "
+        "               ELSE 1000 END AS rate, "
+        f"          {bucket} AS hb FROM sc CROSS JOIN b) "
+        "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN hb < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+        f"CAST(SUM(lm_permille) {idiv} COUNT(*) AS BIGINT) AS avg_lm_permille, "
+        "CAST(MIN(t1) AS BIGINT) AS t1_permille, "
+        "CAST(MIN(t2) AS BIGINT) AS t2_permille "
+        "FROM named GROUP BY bucket ORDER BY bucket"
+    )
+
+
+sql_query(
+    "pipeline_ccnet_histq",
+    _ccnet_histq_sql("spark"),
+    oracle=_ccnet_histq_sql("duck"),
+    tables=DOCS,
+    tags=("pipeline", "sampling", "lm", "scale"),
+    doc="CCNet tier split, sort-free scale path: exact tercile "
+    "boundaries from a bounded-integer score HISTOGRAM (one linear "
+    "groupBy + a <=1001-row cumulative frame) instead of a global NTILE "
+    "sort; value-based tier assignment with boundaries in the certified "
+    "output — same keep rates, no global sort anywhere in the plan",
 )
 
 
