@@ -113,6 +113,10 @@ def _pack_codes(
     return packed.join(assigned, "vec_id")
 
 
+CENTROIDS_DIR = "_centroids"
+CODEBOOK_DIR = "_codebook"
+
+
 def build_ivfpq_index(
     embeddings: DataFrame,
     path: str,
@@ -123,7 +127,15 @@ def build_ivfpq_index(
     PQ codes — 8 small ints per vector instead of 64 floats, so the index
     is ~21x smaller than the raw corpus and a probe reads only the probed
     clusters' partitions of a tiny file. Layout:
-    (vec_id, codes array<int>) partitioned by ``cluster``.
+    (vec_id, codes array<int>) partitioned by ``cluster``, plus two
+    sidecars (underscore-hidden from data scans, the _manifest
+    convention): ``_centroids`` (cid, cv, cn — the coarse quantizer) and
+    ``_codebook`` (code, j, cv — the PQ subquantizers). Persisting the
+    quantizers is what makes the index self-contained: a probe reads
+    ONLY probed code partitions + the tiny sidecars + its own query
+    vectors — before r9 every probe re-derived both quantizers from a
+    full corpus scan, which is why the scale probe's rows-read exponent
+    tracked corpus size.
 
     ``centroid_source``: pins BOTH the coarse centroids and the PQ
     codebook to a fixed frame — pass the full corpus when building from a
@@ -133,6 +145,20 @@ def build_ivfpq_index(
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(path)
+    )
+    from .similarity import pq_codebook
+
+    base = centroid_source if centroid_source is not None else embeddings
+    cent = with_norm(base).where(
+        F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/{CENTROIDS_DIR}")
+    pq_codebook(base).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{CODEBOOK_DIR}"
     )
 
 
@@ -168,15 +194,29 @@ def probe_ivfpq_index(
     """ADC top-k from the persisted PQ index, reading only the probed
     clusters' partitions (PartitionFilters in the scan). Distances come
     from the broadcast query-to-code tables; corpus vectors are never
-    read — the probe touches the 4-byte codes only."""
+    read. With the index's quantizer sidecars (any index built since r9)
+    the probe's total input is O(probed codes + nlist + queries): the
+    coarse centroids and the PQ codebook come from the sidecar parquets
+    and ``embeddings`` is touched only for the vec_id < max_query_id
+    query rows (pushed-down range filter). Indexes persisted before the
+    sidecars existed fall back to deriving both from ``embeddings``."""
+    from pyspark.errors import AnalysisException
+
     from .similarity import _adc_topk, coarse_probes, pq_dtable
+
+    try:
+        # missing sidecar paths raise here (schema resolution is eager)
+        centroids = spark.read.parquet(f"{path}/{CENTROIDS_DIR}")
+        codebook = spark.read.parquet(f"{path}/{CODEBOOK_DIR}")
+    except AnalysisException:
+        centroids, codebook = None, None
 
     # k-row collect (queries x nprobe, the same O(small) class as IVF
     # centroids); the collected rows seed BOTH the static IN-list that
     # prunes the parquet scan at plan time (PartitionFilters) AND the
     # broadcast probe frame, so the centroid-scoring job runs once
     probe_rows = coarse_probes(
-        embeddings, max_query_id, centroid_mod, nprobe
+        embeddings, max_query_id, centroid_mod, nprobe, centroids=centroids
     ).collect()
     probes = spark.createDataFrame(probe_rows, "query_id LONG, cluster LONG")
     probe_clusters = sorted({r.cluster for r in probe_rows})
@@ -189,7 +229,7 @@ def probe_ivfpq_index(
         long_codes.join(F.broadcast(probes), "cluster")
         .where(F.col("vec_id") != F.col("query_id"))
         .join(
-            F.broadcast(pq_dtable(embeddings, max_query_id)),
+            F.broadcast(pq_dtable(embeddings, max_query_id, codebook=codebook)),
             ["query_id", "j", "code"],
         )
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))

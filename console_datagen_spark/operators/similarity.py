@@ -697,14 +697,24 @@ def coarse_probes(
     max_query_id: int = 20,
     centroid_mod: int = 25,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, cluster): each query's nprobe nearest IVF centroids by
-    float cosine (deterministic — identical fold order both engines)."""
+    float cosine (deterministic — identical fold order both engines).
+
+    ``centroids``: a prebuilt (cid, cv, cn) frame — pass the index's
+    persisted centroid sidecar so the probe never derives centroids from
+    a corpus scan; when None they are derived from ``embeddings`` (the
+    certified in-memory spelling)."""
     n = with_norm(embeddings)
-    cent = n.where(F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
+    cent = (
+        centroids
+        if centroids is not None
+        else n.where(F.pmod(F.col("vec_id"), F.lit(centroid_mod)) == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
     )
     qbase = n.where(F.col("vec_id") < max_query_id).select(
         F.col("vec_id").alias("query_id"),

@@ -581,11 +581,13 @@ def main() -> int:
     results["exponents"] = exps
     results["notes"] = {
         "rows_ivfpq_*": (
-            "inputRecords spans the WHOLE measurement including the "
-            "query-vector source scan (queries are drawn from the full "
-            "embeddings read), which is linear in corpus size by "
-            "construction — the probe-side work signal is the TIME "
-            "exponent (sqrt-nlist variant ~flat), not this rows total"
+            "inputRecords spans the whole measurement; with the r9 "
+            "quantizer sidecars (centroids + PQ codebook persisted in "
+            "the index) the probe no longer re-derives quantizers from "
+            "a corpus scan, so the remaining growth is the centroid "
+            "sidecar (nlist ~ n/mod fixed-mod, ~sqrt(n) for the sqrt "
+            "variant) + probed code partitions — the sqrt variant's "
+            "rows-read exponent is gated < 0.8"
         ),
         "peak_memory": (
             "REST peakMemoryMetrics is a lifetime-cumulative peak, "
@@ -674,6 +676,14 @@ def main() -> int:
         "production_time_legs_bounded": all(
             (w or 0) < 1.35 for w in worst_time_legs.values()
         ),
+        # probe-side READ volume for the sqrt-nlist IVFPQ probe must grow
+        # ~sqrt(n): codes from probed clusters (~sqrt(n) cluster size) +
+        # the centroid sidecar (~sqrt(n) rows) — possible only since the
+        # index persists its quantizers (r9); a corpus-scan regression in
+        # the probe path would push this back to ~1.0
+        "ivfpq_sqrt_rows_read_bounded": (
+            exps["rows_ivfpq_probe_sqrt_nlist"]["endpoint"] or 99
+        ) < 0.8,
         "no_disk_spill_at_top_scale": spill == 0,
         "layout_dpp_fires": lay_lo["dpp_in_plan"] and lay_hi["dpp_in_plan"],
         "layout_parity": lay_lo["parity"] and lay_hi["parity"],
