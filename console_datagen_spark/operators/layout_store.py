@@ -171,8 +171,11 @@ def _footer_stats_manifest(spark, path: str, schema, dims: list[str]) -> DataFra
             for p in pdf["path"]:
                 md = pq.ParquetFile(p).metadata
                 names = [md.schema.column(i).name for i in range(md.num_columns)]
+                # LAST match: a store rooted at a path that itself
+                # contains 'bucket=' must not key the envelope to the
+                # root's number (same hazard _manifest's os.walk guards)
                 rec = {
-                    "bucket": int(re.search(r"bucket=(-?\d+)", p).group(1)),
+                    "bucket": int(re.findall(r"bucket=(-?\d+)", p)[-1]),
                     "n_rows": md.num_rows,
                 }
                 for d in dims:

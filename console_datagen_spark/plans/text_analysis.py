@@ -1603,8 +1603,17 @@ def _pii_sql(dialect: str) -> str:
             return f"len(regexp_extract_all({expr}, '{pat}'))"
 
     both = redact(redact("raw", _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>")
+    # <2-token docs would diverge: Spark's element_at yields NULL making
+    # concat() NULL while DuckDB's concat ignores NULLs — filter them in
+    # BOTH dialects (the repetition-filter n>=3 pattern)
+    n_tok = (
+        "size(split(text, ' '))"
+        if dialect == "spark"
+        else "len(string_split(text, ' '))"
+    )
     return (
-        f"WITH p AS (SELECT doc_id, {planted} AS raw FROM documents) "
+        f"WITH p AS (SELECT doc_id, {planted} AS raw FROM documents "
+        f"WHERE {n_tok} >= 2) "
         "SELECT doc_id, "
         f"CAST({n_matches('raw', _PII_EMAIL)} AS BIGINT) AS n_emails, "
         f"CAST({n_matches('raw', _PII_IPV4)} AS BIGINT) AS n_ips, "

@@ -607,7 +607,12 @@ def main() -> int:
     results["uncapped_control"] = {
         "queries": sorted(UNCAPPED_CONTROL),
         "max_scale": CONTROL_MAX_SCALE,
-        "kernel_time_by_scale": {str(k): v for k, v in lss_kernel.items()},
+        # measured on the verify_components run (CAPPED pairs feeding
+        # the LSS kernel) — named accordingly so it is not mistaken for
+        # the uncapped control's own kernel telemetry
+        "capped_kernel_time_by_scale": {
+            str(k): v for k, v in lss_kernel.items()
+        },
     }
 
     layout_buckets = [200, 1_000] if SMOKE else [10_000, 100_000]

@@ -152,7 +152,7 @@ def find_max_rate(spark, op: str = "python") -> dict:
             .trigger(processingTime="250 milliseconds")
             .start()
         )
-        samples: list[float] = []
+        samples: list[tuple[float, float]] = []
         t_end = time.time() + RATE_PROBE_SECS
         last_batch = -1
         try:
@@ -162,16 +162,33 @@ def find_max_rate(spark, op: str = "python") -> dict:
                 if not p or p["batchId"] == last_batch:
                     continue
                 last_batch = p["batchId"]
-                samples.append(p.get("processedRowsPerSecond") or 0.0)
+                samples.append(
+                    (
+                        p.get("processedRowsPerSecond") or 0.0,
+                        p.get("inputRowsPerSecond") or 0.0,
+                    )
+                )
         finally:
             q.stop()
         # drop startup noise (first batches report 0 or warm-up rates)
-        settled = [s for s in samples if s > 0]
+        settled = [s for s in samples if s[0] > 0]
         tail = settled[len(settled) // 3 :]
-        sustained = round(statistics.mean(tail), 1) if tail else 0.0
-        ok = sustained >= 0.9 * rate
+        sustained = round(statistics.mean(s[0] for s in tail), 1) if tail else 0.0
+        input_rate = round(statistics.mean(s[1] for s in tail), 1) if tail else 0.0
+        # sustainable = keeps up with the offered rate AND is not quietly
+        # queueing: a rung lagging input by a steady few % grows backlog
+        # without bound, so the tail must also drain at >= its own input
+        # rate (2% tolerance for sampling jitter)
+        no_backlog = bool(tail) and sustained >= 0.98 * input_rate
+        ok = sustained >= 0.9 * rate and no_backlog
         ladder.append(
-            {"offered": rate, "sustained": sustained, "sustainable": ok}
+            {
+                "offered": rate,
+                "sustained": sustained,
+                "input_rate": input_rate,
+                "no_backlog": no_backlog,
+                "sustainable": ok,
+            }
         )
         print(
             f"# rate probe [{op}] {rate}: sustained={sustained} "
