@@ -14,6 +14,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from console_datagen_spark.plans import all_queries
 from console_datagen_spark.session import get_spark
 
@@ -115,6 +117,10 @@ HEADLINE = [
     # r9: the Gopher repetition gate — three doc-local aggregations off
     # one tokenize pass, the crawl-spam filter ahead of dedup
     "text_repetition_filters",
+    # r10: the production components composition — LSS kernel over the
+    # hot-bucket-capped candidates (the registry-visible spelling that
+    # scales past the uncapped control's 10x ceiling)
+    "dedup_components_capped",
     "ivfpq_index_probe",  # probe of the PERSISTED codes-only index (below)
     "layout_pruned_read",  # manifest-pruned scan of the PERSISTED curve store
 ]
@@ -148,6 +154,31 @@ def _run_sentinel(spark) -> float:
     spark.range(SENTINEL_N).selectExpr(
         "sum(pmod(id * 3 + 1, 1000000)) AS s"
     ).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+# Second sentinel with the profile the codegen one can't see (VERDICT r9
+# #1: a +24% blanket drift passed a <3% codegen sentinel): a fixed
+# shuffle (memory/exchange-side ambient load) + an Arrow-batched Python
+# kernel (Python-worker/GC-side load). Together the two sentinels make a
+# driver-vs-committed disagreement attributable from the artifacts
+# alone: codegen flat + shuffle moved => memory/GC-side ambient load.
+SENTINEL_SHUFFLE_N = 24_000_000
+
+
+def _run_sentinel_shuffle(spark) -> float:
+    import pandas as pd
+
+    def _kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"k": pdf["id"] % 4096, "v": pdf["id"] * 3 + 1})
+
+    t0 = time.perf_counter()
+    spark.range(SENTINEL_SHUFFLE_N).mapInPandas(
+        _kernel, schema="k long, v long"
+    ).groupBy("k").agg(F.sum("v").alias("s")).write.format("noop").mode(
+        "overwrite"
+    ).save()
     return time.perf_counter() - t0
 
 # the production ANN read path: the cluster-partitioned PQ-code index is
@@ -249,18 +280,25 @@ def main() -> None:
     _prepare_ivfpq_index(spark)
     _prepare_curve_store(spark)
 
-    # sentinel measured at the same pinned position every round (right
+    # sentinels measured at the same pinned position every round (right
     # after the preps, before any headline query)
-    sentinel = round(min(_run_sentinel(spark) for _ in range(RUNS)), 3)
+    def _spread(samples: list[float]) -> list[float]:
+        s = sorted(samples)
+        return [round(s[0], 3), round(s[len(s) // 2], 3), round(s[-1], 3)]
+
+    sentinel_runs = [_run_sentinel(spark) for _ in range(RUNS)]
+    sentinel = round(min(sentinel_runs), 3)
+    sentinel_shuffle_runs = [_run_sentinel_shuffle(spark) for _ in range(RUNS)]
 
     from console_datagen_spark.caching import release_all_cache_slots
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(
-            min(_run_once(spark, registry, name) for _ in range(RUNS)), 3
-        )
+        samples = [_run_once(spark, registry, name) for _ in range(RUNS)]
+        timings[name] = round(min(samples), 3)
+        spreads[name] = _spread(samples)
         # drop every pipeline's held cache before the next query: each
         # run rebuilds its own cache inside the timer anyway, and ~80
         # queries' worth of resident frames is what OOMed the session
@@ -282,6 +320,17 @@ def main() -> None:
         # regression does not)
         "sentinel_sec": sentinel,
         "sentinel_n": SENTINEL_N,
+        # second sentinel: fixed shuffle + Arrow-Python kernel — catches
+        # the memory/GC/shuffle-side ambient load the codegen sentinel is
+        # blind to (VERDICT r9 #1)
+        "sentinel_shuffle_sec": round(min(sentinel_shuffle_runs), 3),
+        "sentinel_shuffle_n": SENTINEL_SHUFFLE_N,
+        "sentinel_spread": _spread(sentinel_runs),
+        "sentinel_shuffle_spread": _spread(sentinel_shuffle_runs),
+        # per-query [min, median, max] over the RUNS samples: spread >>
+        # min-drift identifies ambient noise per query, inside ONE
+        # artifact, with no cross-artifact narrative needed
+        "query_spread": spreads,
         **extras,
     }
     print(json.dumps(payload))

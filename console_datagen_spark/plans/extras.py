@@ -442,6 +442,51 @@ df_query(
 )
 
 
+def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    media = M.synth_bitmap_media(docs, width=8, height=8, fmt="ppm")
+    resized = M.resize_images(media, 4, 4)
+    return M.channel_sums(resized).orderBy("doc_id")
+
+
+df_query(
+    "mm_resize_checked",
+    _mm_resize,
+    oracle=(
+        # Full SQL replay of decode -> nearest-neighbor resize ->
+        # re-encode: 8x8 RGB pixels are the md5-chain bytes (192 = 12
+        # blocks); nearest 8->4 keeps even rows/cols exactly (src = dst*8
+        # DIV 4 = 2*dst), so each channel sum of the RESIZED image is the
+        # sum of source bytes at even (row, col). n_bytes = 59 is the
+        # resized P6 payload: 11-byte header 'P6\\n4 4\\n255\\n' + 48
+        # raster bytes — certifying the re-encode framing too.
+        "WITH m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 384) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 11) AS t(i) "
+        "  GROUP BY doc_id), "
+        "bytes AS (SELECT doc_id, i, "
+        "  ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT AS b "
+        "  FROM m, (SELECT unnest(generate_series(0, 191)) AS i) t), "
+        "kept AS (SELECT doc_id, i % 3 AS c, b FROM bytes "
+        "  WHERE ((i // 3) % 8) % 2 = 0 AND ((i // 3) // 8) % 2 = 0) "
+        "SELECT doc_id, CAST(59 AS INT) AS n_bytes, "
+        # CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas degrades to
+        # float64 ("3882.0" vs "3882" under the driver's string canon)
+        "CAST(SUM(CASE WHEN c = 0 THEN b END) AS BIGINT) AS r_sum, "
+        "CAST(SUM(CASE WHEN c = 1 THEN b END) AS BIGINT) AS g_sum, "
+        "CAST(SUM(CASE WHEN c = 2 THEN b END) AS BIGINT) AS b_sum "
+        "FROM kept GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "pandas_udf"),
+    doc="REAL image resize path (pure-numpy PPM codec, no codec library "
+    "needed for uncompressed rasters): synth 8x8 P6 -> decode -> "
+    "nearest-neighbor 4x4 -> re-encode -> channel sums, certified by a "
+    "full SQL replay of the even-(row,col) pixel selection",
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     media = M.synth_media(docs, "video", n_bytes=256)

@@ -36,7 +36,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register_views
-from .dedup import _DUCK_PAIRS, _minhash_pairs
+from .dedup import (
+    _DUCK_PAIRS,
+    _DUCK_PAIRS_CAPPED,
+    _minhash_pairs,
+    _minhash_pairs_capped,
+)
 from .registry import df_query, sql_query
 
 DOCS = ("documents",)
@@ -247,6 +252,47 @@ df_query(
     doc="large-star/small-star connected components (Kiveris et al. "
     "2014): O(log n) rounds vs label propagation's O(diameter); same "
     "labels, same recursive-CTE oracle as dedup_components",
+)
+
+
+# The PRODUCTION components composition (r9 verdict #4): the LSS kernel
+# over the hot-bucket-CAPPED candidate pipeline. dedup_components_lss
+# deliberately composes the uncapped pairs (kernel-equivalence control
+# vs dedup_components on identical input, quadratic upstream by design);
+# this twin is the spelling a 100 TB corpus actually runs — sub-quadratic
+# capped candidates feeding the O(log n)-round kernel — and it carries
+# the scale probe's per-leg time gate past the control's 10x ceiling.
+def _components_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components_lss import dup_components_lss
+
+    pairs = _minhash_pairs_capped(spark, sf_dir)
+    return dup_components_lss(pairs)
+
+
+df_query(
+    "dedup_components_capped",
+    _components_capped,
+    oracle=(
+        # min reachable id over the CAPPED edge set — the same recursive
+        # CTE as dedup_components, with candidates only from buckets of
+        # 2..cap members (the oracle replays the hot-bucket drop exactly)
+        f"WITH RECURSIVE {_DUCK_PAIRS_CAPPED}, "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(id, r) AS ("
+        "  SELECT src, src FROM edges "
+        "  UNION "
+        "  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) "
+        "SELECT id AS doc_id, MIN(r) AS component FROM reach "
+        "GROUP BY id ORDER BY doc_id"
+    ),
+    tables=DOCS,
+    tags=("dedup", "components", "iterative", "scale"),
+    doc="production components: large-star/small-star kernel over the "
+    "hot-bucket-capped LSH candidates (sub-quadratic end to end) — the "
+    "composition a crawl-scale dedup actually deploys; same "
+    "min-reachable-id contract, certified by the capped recursive-CTE "
+    "oracle",
 )
 
 

@@ -145,6 +145,94 @@ def latest_wins_stateful(records: DataFrame, ttl_ms: int = CDC_TTL_MS) -> DataFr
     )
 
 
+# ---- JVM-native TTL spelling (the hot-path default) ------------------------
+#
+# r9's soak measured the cost of Python state on local[32]: the
+# applyInPandasWithState kernel saturates ~800 k rows/s while an
+# equivalent JVM keyed aggregation sustains >= 25.6 M rows/s — a >= 33x
+# gap that is pure Arrow-transfer + Python-kernel overhead (SOAK.json,
+# r9). Latest-wins + idle-key TTL does not need a Python kernel: in
+# EVENT time, "key idle longer than TTL" is exactly an event-time
+# SESSION WINDOW with gap = TTL. Spark's session-window aggregation is
+# fully JVM-side (incremental merge in the state store, watermark-driven
+# eviction), so the default CDC spelling below keeps the hot path on the
+# JVM and leaves `latest_wins_stateful` as the fallback for the one
+# semantic JVM ops cannot express: PROCESSING-time TTL with live
+# per-batch update rows (wall-clock staleness when events carry no
+# usable timestamp — the reference's own staleness tier,
+# CounterProgressCheck.java:80-90, is wall-clock).
+#
+# Contract (append mode): each emitted row is one closed idle period —
+# the final latest-wins snapshot of a key's version history at the
+# moment it had been silent for >= ttl in event time (evicted=true by
+# construction). Open sessions are the survivors: exactly the keys the
+# Python spelling would still hold in state. A later record after an
+# idle gap starts a fresh session => fresh n_versions, matching the
+# Python spelling's "state was freed, not resumed".
+
+
+def latest_wins_ttl_jvm(
+    records: DataFrame,
+    ttl_ms: int = CDC_TTL_MS,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Latest-wins CDC with TTL eviction, entirely JVM-side.
+
+    Event-time twin of ``latest_wins_stateful``: session window with
+    gap = ``ttl_ms`` over ``ts_col``; run in APPEND output mode, where
+    every emitted row is an eviction record (idle >= TTL at the
+    watermark) and state holds only open sessions. ~33x the Python
+    spelling's throughput on local[32] (SOAK.json).
+    """
+    gap = f"{ttl_ms} milliseconds"
+    return (
+        records.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(ts_col, gap), "user_id")
+        .agg(
+            F.max("event_id").alias("last_event_id"),
+            F.max_by("event_type", "event_id").alias("last_type"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.count("*").cast("bigint").alias("n_versions"),
+        )
+        .select(
+            "user_id",
+            "last_event_id",
+            "last_type",
+            "last_value",
+            "n_versions",
+            F.lit(True).alias("evicted"),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+        )
+    )
+
+
+def cdc_compact(
+    records: DataFrame,
+    ttl_ms: int = CDC_TTL_MS,
+    time_mode: str = "event",
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """The streaming tier's CDC entry point. Default = the JVM spelling.
+
+    ``time_mode="event"`` (default): ``latest_wins_ttl_jvm`` — session
+    windows, JVM state, >= 5 M rows/s sustained (SOAK.json jvm_cdc
+    ladder). ``time_mode="processing"``: ``latest_wins_stateful`` —
+    wall-clock TTL + live update rows, the semantics JVM aggregation
+    cannot express, at the measured ~800 k rows/s Python-state ceiling.
+    """
+    if time_mode == "event":
+        return latest_wins_ttl_jvm(
+            records, ttl_ms=ttl_ms, ts_col=ts_col,
+            watermark_delay=watermark_delay,
+        )
+    if time_mode == "processing":
+        return latest_wins_stateful(records, ttl_ms=ttl_ms)
+    raise ValueError(f"time_mode must be 'event' or 'processing': {time_mode!r}")
+
+
 # ---- transformWithState timer spelling ------------------------------------
 #
 # The successor API expresses the same TTL eviction with explicit timers:

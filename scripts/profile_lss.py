@@ -12,9 +12,13 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root: console_datagen_spark
+sys.path.insert(0, _HERE)  # scripts/: makes scale_probe importable even
+# when this file is loaded as a module (python auto-prepends the script
+# dir only under `python scripts/profile_lss.py`)
 
-import scale_probe as SP  # noqa: E402  (scripts/ on path via __main__ dir)
+import scale_probe as SP  # noqa: E402
 
 
 def main() -> int:

@@ -26,7 +26,12 @@ the hot-bucket cap exists for — then measures, per scale:
 - IVFPQ persisted-index build + fixed-20-query probe: per-query probe
   work must not scale with corpus size beyond the probed clusters;
 - shuffle write/read bytes + spill per measurement (Spark REST API) —
-  gate: zero disk spill at 10x on local[32];
+  gate (r10): SPILL-TOLERANT at the top scale — the 100x leg runs with
+  the working set past the fixed 16g heap on purpose, so production
+  disk spill must be zero or bounded (<= 2x the leg's shuffle write)
+  with every production per-leg time exponent still < 1.35; per-leg
+  spill/peak-heap recorded in memory_by_scale, breakers named in
+  broken_under_spill;
 - a 10^4-bucket curve store written once, then pruned_read in
   broadcast-manifest mode — gate: the plan shows dynamic partition
   pruning on the partition column and pruned == full-scan-filter counts
@@ -67,7 +72,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 SMOKE = os.environ.get("SPARK_GRAFT_PROBE_SMOKE") == "1"
 BASE_DOCS = 500 if SMOKE else 5_000  # sf0.1 documents row count
 BASE_EMB = 200 if SMOKE else 2_000  # sf0.1 embeddings row count
-SCALES = [1, 2] if SMOKE else [1, 3, 10, 30]
+# r10 (VERDICT r9 #2): a 100x top leg under the SAME fixed 16g heap —
+# 30x peaked at ~14.2 GiB of 16, so 100x deliberately runs where the
+# working set exceeds RAM and execution memory must spill. The gate
+# regime changes accordingly: "healthy" is no longer "fits in RAM"
+# (no_disk_spill) but SPILL-TOLERANT — bounded spill relative to shuffle
+# volume, with every production per-leg time exponent still < 1.35.
+SCALES = [1, 2] if SMOKE else [1, 3, 10, 30, 100]
 # The uncapped-upstream control (dedup_components_lss composes the
 # UNCAPPED pair pipeline on purpose — it certifies kernel equivalence
 # with dedup_components on identical input) is quadratic BY DESIGN
@@ -76,6 +87,13 @@ SCALES = [1, 2] if SMOKE else [1, 3, 10, 30]
 # (dedup_keepers_capped) runs at every scale.
 CONTROL_MAX_SCALE = 2 if SMOKE else 10
 UNCAPPED_CONTROL = {"dedup_components_lss"}
+# The cand_uncapped SECTION (the raw-pair-count control demonstrating
+# the ~2.0 exponent the cap removes) runs further than the registry
+# control — its exponent evidence needs >= 3 legs — but not to the top:
+# at 100x the quadratic self-join is ~11x its 30x cost and would
+# dominate the leg's wall-clock for a curve already measured at every
+# leg through 30x. Production sections/queries run at ALL scales.
+UNCAPPED_SECTION_MAX_SCALE = 2 if SMOKE else 30
 PROBE_DIR = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/scale_probe")
 OUT_PATH = os.environ.get(
     "SPARK_GRAFT_PROBE_OUT",
@@ -97,6 +115,10 @@ REGISTRY_QUERIES = [
     "dedup_lsh_capped",
     "dedup_keepers_capped",
     "dedup_components_lss",
+    # r9 verdict #4: the production LSS composition (kernel over CAPPED
+    # candidates) — registry-visible and probed at EVERY scale, so the
+    # kernel's registry query no longer stops at the control's ceiling
+    "dedup_components_capped",
     "dedup_containment",
     "pipeline_pack_sequences",
     "pipeline_end_to_end",
@@ -301,8 +323,11 @@ def probe_scale(spark: SparkSession, sf_dir: str, scale: int) -> dict:
     # raw path: same checkpointed bands frame as the capped path so the
     # two counts differ ONLY by the cap (lsh_candidate_pairs == pairs
     # from these bands; it has no bands_df injection point)
-    t, sh, n = m.run(lambda: D._pairs_from_bands(bands).count())
-    out["cand_uncapped"] = {"n": n, "sec": t, **sh}
+    if scale <= UNCAPPED_SECTION_MAX_SCALE:
+        t, sh, n = m.run(lambda: D._pairs_from_bands(bands).count())
+        out["cand_uncapped"] = {"n": n, "sec": t, **sh}
+    else:
+        out["cand_uncapped"] = {"skipped": "uncapped_control"}
 
     t, sh, n = m.run(
         lambda: D.lsh_candidate_pairs_capped(
@@ -623,18 +648,47 @@ def main() -> int:
 
     top = results["scales"][str(SCALES[-1])]
     r_lo = results["scales"][str(SCALES[0])]
-    spill = sum(
-        top[sec].get("diskBytesSpilled", 0)
-        for sec in (
-            "cand_uncapped",
-            "cand_capped",
-            "verify_components",
-            "cont_candidates",
-            "cont_pairs",
-        )
-    ) + sum(
-        v.get("diskBytesSpilled", 0) for v in top["registry"].values()
+
+    # per-leg memory/spill story (r9 verdict #2): production sections
+    # (what a deployment runs) separated from the uncapped control, so
+    # the spill-tolerance gate judges the production path only
+    _PROD_SECTIONS = (
+        "cand_capped",
+        "verify_components",
+        "cont_candidates",
+        "cont_pairs",
+        "ivfpq_build",
+        "ivfpq_probe",
+        "ivfpq_build_sqrt_nlist",
+        "ivfpq_probe_sqrt_nlist",
     )
+
+    def _leg_mem(row: dict) -> dict:
+        prod = [row.get(s) or {} for s in _PROD_SECTIONS] + list(
+            row["registry"].values()
+        )
+        ctrl = [row.get("cand_uncapped") or {}]
+
+        def tot(rows: list[dict], key: str) -> int:
+            return sum(int(r.get(key) or 0) for r in rows)
+
+        return {
+            "production_disk_spill_bytes": tot(prod, "diskBytesSpilled"),
+            "production_memory_spill_bytes": tot(prod, "memoryBytesSpilled"),
+            "production_shuffle_write_bytes": tot(prod, "shuffleWriteBytes"),
+            "control_disk_spill_bytes": tot(ctrl, "diskBytesSpilled"),
+            "peak_jvm_heap_mb": (row.get("peak_memory") or {}).get(
+                "peak_jvm_heap_mb"
+            ),
+            "peak_execution_mb": (row.get("peak_memory") or {}).get(
+                "peak_execution_mb"
+            ),
+        }
+
+    results["memory_by_scale"] = {
+        str(s): _leg_mem(results["scales"][str(s)]) for s in SCALES
+    }
+    top_mem = results["memory_by_scale"][str(SCALES[-1])]
 
     def _legs_ok(key: str, cap: float) -> bool:
         vals = [v for v in exps[key]["legs"].values() if v is not None]
@@ -689,7 +743,21 @@ def main() -> int:
         "ivfpq_sqrt_rows_read_bounded": (
             exps["rows_ivfpq_probe_sqrt_nlist"]["endpoint"] or 99
         ) < 0.8,
-        "no_disk_spill_at_top_scale": spill == 0,
+        # r10 redefinition (r9 verdict #2): the top leg deliberately runs
+        # where the working set exceeds the fixed 16g heap, so the gate
+        # is SPILL-TOLERANT, not spill-free — production disk spill must
+        # be zero OR bounded by the leg's own shuffle volume (<= 2x)
+        # while every production time leg stays under 1.35 (asserted by
+        # production_time_legs_bounded; re-stated here so this gate is
+        # self-contained)
+        "spill_tolerant_at_top_scale": (
+            top_mem["production_disk_spill_bytes"] == 0
+            or (
+                top_mem["production_disk_spill_bytes"]
+                <= 2 * top_mem["production_shuffle_write_bytes"]
+                and all((w or 0) < 1.35 for w in worst_time_legs.values())
+            )
+        ),
         "layout_dpp_fires": lay_lo["dpp_in_plan"] and lay_hi["dpp_in_plan"],
         "layout_parity": lay_lo["parity"] and lay_hi["parity"],
         # 10x more buckets must cost < 10x the write (r8 verdict #3):
@@ -700,6 +768,11 @@ def main() -> int:
             < layout_buckets[1] / layout_buckets[0]
         ),
     }
+    # name any operator whose exponent breaks under the spill regime so
+    # the artifact carries the culprit, not just a failed boolean
+    results["broken_under_spill"] = sorted(
+        n for n, w in worst_time_legs.items() if (w or 0) >= 1.35
+    )
     results["gates"] = gates
     results["ok"] = all(gates.values())
     with open(OUT_PATH, "w") as f:

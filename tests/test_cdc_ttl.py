@@ -163,3 +163,174 @@ def test_tws_timer_eviction(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+# ---- JVM-native default (event-time session-window spelling) ---------------
+
+SCHEMA_TS = (
+    "user_id LONG, event_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP"
+)
+
+
+def _ts_rows(spark, rows):
+    """rows = (user_id, event_id, event_type, value, seconds-offset)."""
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    return spark.createDataFrame(
+        [
+            (u, e, t, v, base + datetime.timedelta(seconds=s))
+            for (u, e, t, v, s) in rows
+        ],
+        SCHEMA_TS,
+    )
+
+
+def test_jvm_ttl_eviction_parity(spark, tmp_path):
+    """The JVM default (cdc_compact -> latest_wins_ttl_jvm) enforces the
+    same TTL contract as the Python spelling, in event time: a key idle
+    >= TTL emits once with its final latest-wins snapshot and its state
+    is freed (a later arrival starts a fresh n_versions history), and
+    keys not yet idle survive in state.  Event time makes the test
+    deterministic AND fast — no wall-clock TTL waits."""
+    from console_datagen_spark.streaming.cdc import cdc_compact, latest_wins
+
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    ttl_ms = 10_000  # 10 s event-time TTL
+
+    a = [
+        (1, 10, "view", 1.5, 0),
+        (2, 20, "view", 7.0, 1),
+        (1, 11, "click", 2.5, 2),
+        (1, 12, "purchase", 9.0, 5),
+    ]
+    # 20 - 5 = 15 s > TTL: user 1's first session closed, fresh history
+    b = [(1, 13, "view", 3.0, 20), (99, 990, "view", 0.0, 100)]
+    _ts_rows(spark, a).coalesce(1).write.mode("append").parquet(str(src))
+    _ts_rows(spark, b).coalesce(1).write.mode("append").parquet(str(src))
+
+    emitted = []
+
+    def grab(batch_df, batch_id):
+        emitted.extend(batch_df.collect())
+
+    q = (
+        cdc_compact(
+            spark.readStream.schema(SCHEMA_TS).parquet(str(src)),
+            ttl_ms=ttl_ms,
+        )
+        .writeStream.foreachBatch(grab)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.last_event_id, r.last_type, r.last_value, r.n_versions)
+        for r in emitted
+    }
+    # same eviction contract the Python test asserts: final snapshot,
+    # exactly once per idle period, fresh history after the gap
+    assert got == {
+        (1, 12, "purchase", 9.0, 3),  # first session: full history
+        (2, 20, "view", 7.0, 1),  # idled out with its only version
+        (1, 13, "view", 3.0, 1),  # state was freed, not resumed
+    }
+    assert all(r.evicted for r in emitted)
+    # survivor: the sentinel key's session end (100s + TTL) is past the
+    # watermark (100s), so it stays in state — never emitted
+    assert not any(r.user_id == 99 for r in emitted)
+
+    # close the survivor with a later sentinel; its snapshot must equal
+    # the batch latest_wins aggregation over its full history (the same
+    # survivor-parity assertion the Python test makes)
+    _ts_rows(spark, [(98, 980, "view", 0.0, 200)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    emitted.clear()
+    q2 = (
+        cdc_compact(
+            spark.readStream.schema(SCHEMA_TS).parquet(str(src)),
+            ttl_ms=ttl_ms,
+        )
+        .writeStream.foreachBatch(grab)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    closed = [r for r in emitted if r.user_id == 99]
+    assert len(closed) == 1
+    want = {
+        r.user_id: r for r in latest_wins(_ts_rows(spark, b)).collect()
+    }[99]
+    assert (
+        closed[0].last_event_id,
+        closed[0].last_type,
+        closed[0].last_value,
+        closed[0].n_versions,
+    ) == (want.last_event_id, want.last_type, want.last_value, want.n_versions)
+
+
+def test_jvm_ttl_matches_batch_sessionization(spark):
+    """Dual-derivation parity: the streaming session-window plan's closed
+    sessions equal a batch gaps-and-islands sessionization (lag + cumsum)
+    of the same records — the JVM spelling certified against independent
+    SQL, not hand-picked expectations."""
+    import random
+
+    from console_datagen_spark.streaming.cdc import latest_wins_ttl_jvm
+
+    rng = random.Random(7)
+    rows, t = [], 0
+    for i in range(400):
+        t += rng.choice([1, 2, 3, 30])  # 30 s gaps split sessions
+        rows.append(
+            (
+                rng.randrange(6),
+                i,
+                rng.choice(["view", "click", "purchase"]),
+                round(rng.random() * 10, 1),
+                t,
+            )
+        )
+    df = _ts_rows(spark, rows)
+    df.createOrReplaceTempView("cdc_rows")
+    ttl_ms = 10_000
+
+    expected = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            WITH marked AS (
+              SELECT *, CASE WHEN ts > lag(ts) OVER w + INTERVAL 10 SECONDS
+                             OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+              FROM cdc_rows
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, SUM(new_session) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+              FROM marked
+            )
+            SELECT user_id, max(event_id) AS last_event_id,
+                   max_by(event_type, event_id) AS last_type,
+                   max_by(value, event_id) AS last_value,
+                   CAST(count(*) AS BIGINT) AS n_versions
+            FROM sess GROUP BY user_id, sid
+            """
+        ).collect()
+    }
+
+    # batch-execute the streaming plan shape: session_window works on
+    # batch frames too, so the same latest_wins_ttl_jvm definition runs
+    # both ways (one logical definition, two execution modes — the
+    # module's design rule)
+    got = {
+        (r.user_id, r.last_event_id, r.last_type, r.last_value, r.n_versions)
+        for r in latest_wins_ttl_jvm(df, ttl_ms=ttl_ms).collect()
+    }
+    assert got == expected

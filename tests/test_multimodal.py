@@ -72,9 +72,66 @@ def test_frame_sampling(media):
     assert bytes(f0.frame) == M._md5_chain_bytes(f0.doc_id, 256)[:32]
 
 
-def test_resize_is_explicitly_stubbed(media):
-    with pytest.raises(NotImplementedError, match="codec"):
-        M.resize_images(media, 64, 64)
+def test_resize_compressed_formats_raise(media):
+    # synth_media fmts are png/jpeg — compressed, genuinely codec-bound
+    with pytest.raises(Exception, match="codec"):
+        M.resize_images(media, 64, 64).collect()
+
+
+def test_codec_roundtrips():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    assert np.array_equal(M._decode_ppm(M._encode_ppm(img)), img)
+    assert np.array_equal(M._decode_bmp(M._encode_bmp(img)), img)
+    # odd width exercises BMP's 4-byte row padding
+    odd = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(M._decode_bmp(M._encode_bmp(odd)), odd)
+    # raster whose first byte is whitespace must not confuse the
+    # header parse (the bytes.split hazard)
+    ws = np.full((2, 2, 3), 32, dtype=np.uint8)
+    assert np.array_equal(M._decode_ppm(M._encode_ppm(ws)), ws)
+
+
+def test_resize_nearest_exact_map():
+    img = np.arange(8 * 8 * 3, dtype=np.int64).reshape(8, 8, 3) % 256
+    img = img.astype(np.uint8)
+    assert np.array_equal(M._resize_nearest(img, 4, 4), img[::2, ::2])
+    # upscale repeats: src = (dst * 8) // 16
+    up = M._resize_nearest(img, 16, 16)
+    assert up.shape == (16, 16, 3)
+    assert np.array_equal(up[::2, ::2], img)
+
+
+def test_resize_images_end_to_end(spark, sf_dir):
+    docs = register_views(spark, sf_dir, ("documents",))["documents"].limit(20)
+    for fmt in ("ppm", "bmp"):
+        media_df = M.synth_bitmap_media(docs, width=8, height=8, fmt=fmt)
+        rows = M.resize_images(media_df, 4, 4).orderBy("doc_id").collect()
+        assert len(rows) == 20
+        for r in rows:
+            src = np.frombuffer(
+                M._md5_chain_bytes(r.doc_id, 8 * 8 * 3), dtype=np.uint8
+            ).reshape(8, 8, 3)
+            decode = M._CODECS[fmt][0]
+            assert np.array_equal(decode(bytes(r.content)), src[::2, ::2]), (
+                fmt,
+                r.doc_id,
+            )
+
+
+def test_resize_bmp_ppm_pixel_parity(spark, sf_dir):
+    """Same source pixels through either container format => identical
+    resized pixels AND identical channel_sums output."""
+    docs = register_views(spark, sf_dir, ("documents",))["documents"].limit(20)
+    out = {}
+    for fmt in ("ppm", "bmp"):
+        media_df = M.synth_bitmap_media(docs, width=8, height=8, fmt=fmt)
+        sums = M.channel_sums(M.resize_images(media_df, 4, 4))
+        out[fmt] = {
+            r.doc_id: (r.r_sum, r.g_sum, r.b_sum) for r in sums.collect()
+        }
+    ppm, bmp = out["ppm"], out["bmp"]
+    assert ppm == bmp
 
 
 def test_media_fingerprint_dedup_key(media):
