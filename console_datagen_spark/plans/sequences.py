@@ -118,6 +118,55 @@ sql_query(
 )
 
 
+# Batch twin of the streaming tier's DEFAULT CDC path (r9 verdict #1):
+# the REGISTERED query calls streaming/cdc.latest_wins_ttl_jvm itself —
+# the same session_window + max_by plan the production stream runs (in
+# batch, withWatermark is a no-op) — so the JVM default's semantics are
+# hash-certified against a gaps-and-islands oracle, not just
+# parity-tested against the Python spelling. Spark closes a session when
+# the inter-event gap is >= ttl (windows are half-open [ts, ts+gap)),
+# hence the >= in the oracle's new-session flag.
+def _cdc_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.cdc import latest_wins_ttl_jvm
+
+    ev = register_views(spark, sf_dir, EV)["events"]
+    return latest_wins_ttl_jvm(ev, ttl_ms=86_400_000).orderBy(
+        "user_id", "session_start"
+    )
+
+
+df_query(
+    "cdc_sessionized_compact",
+    _cdc_sessionized,
+    oracle=(
+        "WITH flagged AS ("
+        "  SELECT user_id, ts, event_id, event_type, value, "
+        "    CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '24 hours' "
+        "         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sessions AS ("
+        "  SELECT *, SUM(ns) OVER (PARTITION BY user_id "
+        "    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+        "  FROM flagged) "
+        "SELECT user_id, MAX(event_id) AS last_event_id, "
+        "  arg_max(event_type, event_id) AS last_type, "
+        "  arg_max(value, event_id) AS last_value, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_versions, "
+        "  TRUE AS evicted, "
+        "  MIN(ts) AS session_start, "
+        "  MAX(ts) + INTERVAL '24 hours' AS session_end "
+        "FROM sessions GROUP BY user_id, sid "
+        "ORDER BY user_id, session_start"
+    ),
+    tables=EV,
+    tags=("cdc", "session", "streaming", "upsert"),
+    doc="the streaming JVM CDC default's exact plan (session_window + "
+    "max_by latest-wins with TTL-gap eviction) run in batch, certified "
+    "by a gaps-and-islands oracle — every emitted row is one closed "
+    "idle period's final snapshot",
+)
+
+
 def _salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = register_views(spark, sf_dir, EV)["events"]
     # Phase 1: partial agg on (key, salt) — caps any single reducer's

