@@ -123,9 +123,10 @@ sql_query(
 # the same session_window + max_by plan the production stream runs (in
 # batch, withWatermark is a no-op) — so the JVM default's semantics are
 # hash-certified against a gaps-and-islands oracle, not just
-# parity-tested against the Python spelling. Spark closes a session when
-# the inter-event gap is >= ttl (windows are half-open [ts, ts+gap)),
-# hence the >= in the oracle's new-session flag.
+# parity-tested against the Python spelling. Boundary semantics pinned
+# empirically: two events EXACTLY gap apart merge (Spark treats the
+# session interval as closed for merging), so a new session starts only
+# when the inter-event gap is STRICTLY > ttl — hence > in the oracle.
 def _cdc_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.cdc import latest_wins_ttl_jvm
 
@@ -141,7 +142,7 @@ df_query(
     oracle=(
         "WITH flagged AS ("
         "  SELECT user_id, ts, event_id, event_type, value, "
-        "    CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '24 hours' "
+        "    CASE WHEN ts - LAG(ts) OVER w > INTERVAL '24 hours' "
         "         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns "
         "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
         "sessions AS ("

@@ -164,7 +164,7 @@ def latest_wins_stateful(records: DataFrame, ttl_ms: int = CDC_TTL_MS) -> DataFr
 #
 # Contract (append mode): each emitted row is one closed idle period —
 # the final latest-wins snapshot of a key's version history at the
-# moment it had been silent for >= ttl in event time (evicted=true by
+# moment it had been silent for > ttl in event time (exactly-ttl gaps merge; boundary pinned in tests) (evicted=true by
 # construction). Open sessions are the survivors: exactly the keys the
 # Python spelling would still hold in state. A later record after an
 # idle gap starts a fresh session => fresh n_versions, matching the
@@ -181,7 +181,7 @@ def latest_wins_ttl_jvm(
 
     Event-time twin of ``latest_wins_stateful``: session window with
     gap = ``ttl_ms`` over ``ts_col``; run in APPEND output mode, where
-    every emitted row is an eviction record (idle >= TTL at the
+    every emitted row is an eviction record (idle > TTL at the
     watermark) and state holds only open sessions. ~33x the Python
     spelling's throughput on local[32] (SOAK.json).
     """
