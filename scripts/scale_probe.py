@@ -555,18 +555,27 @@ def main() -> int:
             ),
         },
     )
-    results: dict = {"base_docs": BASE_DOCS, "base_emb": BASE_EMB,
-                     "smoke": SMOKE, "scales": {}}
-    # discarded warm-up pass at the smallest scale: JVM/codegen/parquet-
-    # footer warm-up otherwise lands entirely on the x1 measurements and
-    # drags every time exponent negative
-    warm_dir = materialize(spark, SCALES[0])
-    print("--- warm-up pass (discarded) ---", flush=True)
-    probe_scale(spark, warm_dir, SCALES[0])
-    for s in SCALES:
-        sf_dir = materialize(spark, s)
-        print(f"--- scale x{s}: {BASE_DOCS * s} docs ---", flush=True)
-        results["scales"][str(s)] = probe_scale(spark, sf_dir, s)
+    # RECOMPUTE mode: reload the committed measurements and re-derive
+    # exponents/memory/gates only (e.g. after a gate-definition or
+    # section-classification change) — no Spark jobs re-run, the raw
+    # per-scale measurements are untouched.
+    RECOMPUTE = os.environ.get("SPARK_GRAFT_PROBE_RECOMPUTE") == "1"
+    if RECOMPUTE:
+        with open(OUT_PATH) as f:
+            results = json.load(f)
+    else:
+        results = {"base_docs": BASE_DOCS, "base_emb": BASE_EMB,
+                   "smoke": SMOKE, "scales": {}}
+        # discarded warm-up pass at the smallest scale: JVM/codegen/
+        # parquet-footer warm-up otherwise lands entirely on the x1
+        # measurements and drags every time exponent negative
+        warm_dir = materialize(spark, SCALES[0])
+        print("--- warm-up pass (discarded) ---", flush=True)
+        probe_scale(spark, warm_dir, SCALES[0])
+        for s in SCALES:
+            sf_dir = materialize(spark, s)
+            print(f"--- scale x{s}: {BASE_DOCS * s} docs ---", flush=True)
+            results["scales"][str(s)] = probe_scale(spark, sf_dir, s)
 
     def series(getter) -> dict[int, float | None]:
         out: dict[int, float | None] = {}
@@ -641,33 +650,42 @@ def main() -> int:
     }
 
     layout_buckets = [200, 1_000] if SMOKE else [10_000, 100_000]
-    results["layout"] = {}
-    for b in layout_buckets:
-        print(f"--- layout probe: {b} buckets ---", flush=True)
-        results["layout"][str(b)] = probe_layout(spark, n_buckets=b)
+    if not RECOMPUTE:
+        results["layout"] = {}
+        for b in layout_buckets:
+            print(f"--- layout probe: {b} buckets ---", flush=True)
+            results["layout"][str(b)] = probe_layout(spark, n_buckets=b)
 
     top = results["scales"][str(SCALES[-1])]
     r_lo = results["scales"][str(SCALES[0])]
 
     # per-leg memory/spill story (r9 verdict #2): production sections
-    # (what a deployment runs) separated from the uncapped control, so
-    # the spill-tolerance gate judges the production path only
+    # (what a deployment runs) separated from the CONTROLS, so the
+    # spill-tolerance gate judges the production path only. Controls are
+    # the deliberately-wrong-law contrasts measured to show what the
+    # production configuration avoids: cand_uncapped (quadratic LSH,
+    # vs the cap) and the FIXED-mod IVFPQ build/probe (nlist ~ n/25, so
+    # the build's k-means work grows ~n^2/25 — measured only so
+    # BENCH_scale shows the sqrt-nlist law's flatter curve; a deployment
+    # tunes nlist ~ sqrt(n), the classic IVF balance point, which IS in
+    # production below). At 100x the fixed-mod build alone spilled
+    # 24 GB/988 s vs the sqrt build's 3.4 GB/72 s — the contrast working
+    # as designed, not a production pathology.
     _PROD_SECTIONS = (
         "cand_capped",
         "verify_components",
         "cont_candidates",
         "cont_pairs",
-        "ivfpq_build",
-        "ivfpq_probe",
         "ivfpq_build_sqrt_nlist",
         "ivfpq_probe_sqrt_nlist",
     )
+    _CONTROL_SECTIONS = ("cand_uncapped", "ivfpq_build", "ivfpq_probe")
 
     def _leg_mem(row: dict) -> dict:
         prod = [row.get(s) or {} for s in _PROD_SECTIONS] + list(
             row["registry"].values()
         )
-        ctrl = [row.get("cand_uncapped") or {}]
+        ctrl = [row.get(s) or {} for s in _CONTROL_SECTIONS]
 
         def tot(rows: list[dict], key: str) -> int:
             return sum(int(r.get(key) or 0) for r in rows)
