@@ -215,6 +215,124 @@ def _footer_stats_manifest(spark, path: str, schema, dims: list[str]) -> DataFra
     )
 
 
+def write_curve_layout_direct(
+    df: DataFrame,
+    path: str,
+    curve: Column,
+    dims: list[str],
+    n_buckets: int = 32,
+    curve_bits: int = 32,
+) -> None:
+    """Direct-writer variant of ``write_curve_layout`` for the
+    MANY-TINY-BUCKETS regime (10^5-10^6+ buckets, a few KB each).
+
+    Spark's dynamic-partition writer pays a per-file constant that
+    dominates when files are tiny: parquet writer open/close plus the
+    committer's temp-file + rename per bucket — measured ~51 ms of
+    task-thread time per file at 10^5 buckets (160 s data write for 2 M
+    rows). This writer replaces that generic path with what a
+    purpose-built store writer (Delta/Iceberg-style) does: each task
+    writes its buckets' parquet files DIRECTLY to their final
+    ``bucket=N/`` directories via pyarrow (no temp, no rename, no
+    job-commit walk) and emits the per-bucket manifest row from the same
+    in-hand data — write + manifest in ONE pass, no footer re-read.
+    Measured (local[32], BENCH_scale layout_direct): 10^5 buckets / 2 M
+    rows in 17.4 s (vs 166 s for the generic writer) and 10^6 buckets /
+    4 M rows in 121 s — vs ~40 min projected for the generic writer,
+    whose 10^4->10^5 curve was already only barely sublinear. Task retry
+    is idempotent (deterministic file names + contents); on a cluster
+    the path must be a shared POSIX filesystem, or swap the pq.write_table
+    call for one with an fsspec filesystem for object storage.
+
+    Read the 10^6-bucket store with ``pruned_read(...,
+    paths_from_manifest=True)``: the full-listing modes make the driver
+    walk every bucket directory (wedged >20 min at 10^6 in measurement);
+    the manifest-planned scan lists only survivors (8.4 s incl. the
+    manifest read, 3.8k of 10^6 dirs).
+
+    Memory shape: each task buffers its partition in pandas to group by
+    bucket, so this mode is for metadata-bound stores where a task's
+    bucket range is small (tiny buckets by definition). For the
+    DATA-bound regime (few buckets, GBs each) keep ``write_curve_layout``:
+    the built-in writer streams with one open file and can spill.
+
+    The written files carry normal parquet footer stats, so
+    ``_footer_stats_manifest`` remains usable as an independent
+    verification pass; ``pruned_read`` works unchanged (hive-style
+    ``bucket=N`` partition discovery, data files do not contain the
+    partition column)."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    domain = 1 << curve_bits
+    width = -(-domain // n_buckets)
+    clustered = (
+        df.withColumn("_curve", curve.cast("long"))
+        .withColumn("bucket", F.expr(f"_curve DIV CAST({width} AS BIGINT)"))
+        .drop("_curve")
+    )
+    n_tasks = max(spark.sparkContext.defaultParallelism, 1)
+    batch = max(1, -(-n_buckets // n_tasks))
+    clustered = clustered.repartition(
+        n_tasks, F.expr(f"bucket DIV CAST({batch} AS BIGINT)")
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    schema = clustered.schema
+    dim_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    manifest_schema = "bucket bigint, n_rows bigint, " + ", ".join(
+        f"min_{d} {dim_types[d]}, max_{d} {dim_types[d]}" for d in dims
+    )
+
+    def kernel(batches):
+        import os
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        # ONE pandas->Arrow conversion per task, then zero-copy slices
+        # per bucket: a per-group from_pandas costs ~10 ms even for a
+        # 20-row frame and dominated the first cut of this writer.
+        pdf = pdf.sort_values("bucket", kind="stable", ignore_index=True)
+        buckets = pdf["bucket"].to_numpy()
+        table = pa.Table.from_pandas(
+            pdf.drop(columns=["bucket"]), preserve_index=False
+        )
+        uniq, starts = np.unique(buckets, return_index=True)
+        ends = np.append(starts[1:], len(buckets))
+        # vectorized per-bucket envelopes (one groupby, not B aggs)
+        env = pdf.groupby("bucket", sort=True)[list(dims)].agg(["min", "max"])
+        rows = []
+        for b, s, e in zip(uniq, starts, ends):
+            d = f"{path}/bucket={int(b)}"
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(table.slice(s, e - s), f"{d}/part-00000.parquet")
+            rec = {"bucket": int(b), "n_rows": int(e - s)}
+            for dim in dims:
+                rec[f"min_{dim}"] = env.loc[b, (dim, "min")]
+                rec[f"max_{dim}"] = env.loc[b, (dim, "max")]
+            rows.append(rec)
+        yield pd.DataFrame(rows)
+
+    manifest = clustered.mapInPandas(kernel, schema=manifest_schema)
+    # repartition(1), NOT coalesce(1): coalesce collapses the UPSTREAM
+    # kernel to a single task (the whole store written on one thread —
+    # measured 172 s vs 13 s at 10^5 buckets); repartition inserts a
+    # shuffle so the kernel keeps full parallelism and only the tiny
+    # manifest rows funnel into the single writer task.
+    manifest.repartition(1).write.mode("overwrite").parquet(
+        f"{path}/{MANIFEST_DIR}"
+    )
+
+
 def _survivor_filter(ranges: dict[str, tuple[int, int]]) -> Column:
     """Envelope test: NOT (max < lo OR min > hi) per dimension; a
     surviving bucket MAY hold matches, a pruned one CANNOT (no false
@@ -243,6 +361,7 @@ def pruned_read(
     path: str,
     ranges: dict[str, tuple[int, int]],
     broadcast_manifest: bool = False,
+    paths_from_manifest: bool = False,
 ) -> DataFrame:
     """Read only manifest-surviving buckets, then apply the exact
     predicate.
@@ -251,8 +370,40 @@ def pruned_read(
     so the ``bucket IN (...)`` filter prunes partition directories at
     plan time. ``broadcast_manifest=True`` instead broadcast-left-semi
     joins the survivors to the scan on the partition column — dynamic
-    partition pruning skips the same directories with zero driver-side
-    materialization, the right mode at 10^6+ buckets."""
+    partition pruning skips the pruned directories at runtime with zero
+    driver-side materialization.
+
+    BOTH of those still make Spark's file index LIST the whole store
+    (partition discovery walks every ``bucket=N`` directory before any
+    pruning applies) — measured as the wall at 10^6 buckets, where the
+    single-threaded driver listing of ~10^6 directories wedges for tens
+    of minutes. ``paths_from_manifest=True`` is the 10^6+ mode: the scan
+    is CONSTRUCTED from the manifest's surviving bucket list (explicit
+    ``bucket=N`` paths + ``basePath``), so the driver lists only the
+    surviving directories — O(survivors), not O(buckets). This is
+    exactly how a table format reads at scale: Iceberg/Delta never list
+    the store, they plan files straight from manifest metadata."""
+    if paths_from_manifest:
+        cands = candidate_buckets(spark, path, ranges)
+        if not cands:
+            # zero survivors: plan a limit(0) over ONE manifest-known
+            # bucket (never list the store); a store with no buckets at
+            # all has nothing to list anyway
+            m = spark.read.parquet(f"{path}/{MANIFEST_DIR}").select("bucket")
+            first = m.limit(1).collect()
+            if not first:
+                return spark.read.parquet(path).limit(0)
+            cands, limit0 = [first[0].bucket], True
+        else:
+            limit0 = False
+        df = spark.read.option("basePath", path).parquet(
+            *[f"{path}/bucket={b}" for b in cands]
+        )
+        if limit0:
+            df = df.limit(0)
+        for d, (lo, hi) in ranges.items():
+            df = df.where(F.col(d).between(lo, hi))
+        return df
     df = spark.read.parquet(path)
     if broadcast_manifest:
         surv = (

@@ -534,6 +534,56 @@ def _worst_material_leg(
     return worst
 
 
+def probe_layout_direct(
+    spark: SparkSession, n_buckets: int, n_rows: int
+) -> dict:
+    """The 10^6-bucket regime: write_curve_layout_direct (per-task
+    pyarrow files + in-pass manifest — the generic dynamic-partition
+    writer pays ~50 ms/file at this file size) and the
+    paths_from_manifest read (scan planned from manifest metadata;
+    the full-listing modes wedge the driver listing ~10^6 dirs).
+    Parity vs the full-scan filter is asserted by
+    tests/test_layout_store.py at small scale and by probe_layout's
+    store at 10^5; at 10^6 the full scan is exactly the wedge this mode
+    exists to avoid, so the probe records counts + survivor volume."""
+    from console_datagen_spark.operators.layout_store import (
+        candidate_buckets,
+        pruned_read,
+        write_curve_layout_direct,
+    )
+    from console_datagen_spark.plans.layout import _morton_sql
+
+    base = spark.range(n_rows).selectExpr(
+        "id",
+        "CAST(pmod(hash('x', id), 65536) AS BIGINT) AS ok16",
+        "CAST(pmod(hash('y', id), 65536) AS BIGINT) AS pk16",
+    )
+    path = f"{PROBE_DIR}/curve_store_direct_{n_buckets}"
+    t0 = time.perf_counter()
+    write_curve_layout_direct(
+        base,
+        path,
+        curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+        dims=["ok16", "pk16"],
+        n_buckets=n_buckets,
+    )
+    write_sec = round(time.perf_counter() - t0, 3)
+    ranges = {"ok16": (4096, 8191), "pk16": (4096, 8191)}
+    t0 = time.perf_counter()
+    pruned = pruned_read(spark, path, ranges, paths_from_manifest=True)
+    n_pruned = pruned.count()
+    probe_sec = round(time.perf_counter() - t0, 3)
+    surv = len(candidate_buckets(spark, path, ranges))
+    return {
+        "n_buckets": n_buckets,
+        "n_rows": n_rows,
+        "write_sec": write_sec,
+        "probe_sec": probe_sec,
+        "pruned_rows": n_pruned,
+        "surviving_buckets": surv,
+    }
+
+
 def main() -> int:
     from console_datagen_spark.session import get_spark
 
@@ -555,6 +605,45 @@ def main() -> int:
             ),
         },
     )
+    # LAYOUT_DIRECT_ONLY: measure just the direct-writer layout tier
+    # (10^5 + 10^6 buckets) and merge into the existing artifact —
+    # the full probe is a ~2 h run and the layout tier is independent
+    # of the per-scale dedup/ANN measurements.
+    if os.environ.get("SPARK_GRAFT_PROBE_LAYOUT_DIRECT") == "1":
+        lb = [200, 1_000] if SMOKE else [100_000, 1_000_000]
+        lr = [2_000, 4_000] if SMOKE else [2_000_000, 4_000_000]
+        with open(OUT_PATH) as f:
+            results = json.load(f)
+        results["layout_direct"] = {}
+        for b, r in zip(lb, lr):
+            print(f"--- layout_direct probe: {b} buckets ---", flush=True)
+            results["layout_direct"][str(b)] = probe_layout_direct(
+                spark, n_buckets=b, n_rows=r
+            )
+        lo, hi = (
+            results["layout_direct"][str(lb[0])],
+            results["layout_direct"][str(lb[1])],
+        )
+        # 10x buckets must cost well under 10x the write (the direct
+        # writer's whole point), and the manifest-planned probe of the
+        # 10^6 store must stay interactive (the listing modes wedge)
+        results["gates"]["layout_direct_write_sublinear_in_buckets"] = (
+            hi["write_sec"] / max(lo["write_sec"], 1e-9)
+            < lb[1] / lb[0]
+        )
+        results["gates"]["layout_direct_1e6_probe_interactive"] = (
+            hi["probe_sec"] < 60
+        )
+        results["ok"] = all(results["gates"].values())
+        with open(OUT_PATH, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+        print(json.dumps({"layout_direct": results["layout_direct"],
+                          "gates": results["gates"],
+                          "ok": results["ok"]}, indent=1))
+        spark.stop()
+        return 0 if results["ok"] else 1
+
     # RECOMPUTE mode: reload the committed measurements and re-derive
     # exponents/memory/gates only (e.g. after a gate-definition or
     # section-classification change) — no Spark jobs re-run, the raw
@@ -791,6 +880,18 @@ def main() -> int:
     results["broken_under_spill"] = sorted(
         n for n, w in worst_time_legs.items() if (w or 0) >= 1.35
     )
+    # carry the layout_direct gates through full-run/recompute rebuilds
+    # (that tier is measured by the LAYOUT_DIRECT branch and merged in)
+    if "layout_direct" in results:
+        ld = results["layout_direct"]
+        lo_b, hi_b = sorted(ld, key=int)[0], sorted(ld, key=int)[-1]
+        gates["layout_direct_write_sublinear_in_buckets"] = (
+            ld[hi_b]["write_sec"] / max(ld[lo_b]["write_sec"], 1e-9)
+            < int(hi_b) / int(lo_b)
+        )
+        gates["layout_direct_1e6_probe_interactive"] = (
+            ld[hi_b]["probe_sec"] < 60
+        )
     results["gates"] = gates
     results["ok"] = all(gates.values())
     with open(OUT_PATH, "w") as f:

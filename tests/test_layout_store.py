@@ -179,3 +179,95 @@ def test_write_curve_layout_empty_input(spark, tmp_path):
     # the manifest exists and certifies zero buckets -> every range
     # predicate prunes everything without touching data files
     assert candidate_buckets(spark, path, RANGES) == []
+
+
+def test_direct_writer_parity_with_spark_writer(spark, sf_dir, tmp_path):
+    """write_curve_layout_direct (the many-tiny-buckets pyarrow path)
+    must produce byte-equivalent stores: same data rows, same manifest
+    envelopes, same pruned reads in both modes — and its data files must
+    not contain the partition column (hive-style dirs carry it)."""
+    from console_datagen_spark.operators.layout_store import (
+        write_curve_layout_direct,
+    )
+
+    base = _scaled(spark, sf_dir)
+    p_std = str(tmp_path / "std")
+    p_dir = str(tmp_path / "direct")
+    curve = F.expr(_morton_sql("ok16", "pk16", "spark"))
+    write_curve_layout(base, p_std, curve=curve, dims=["ok16", "pk16"],
+                       n_buckets=64)
+    write_curve_layout_direct(base, p_dir, curve=curve,
+                              dims=["ok16", "pk16"], n_buckets=64)
+
+    m_std = {tuple(r) for r in spark.read.parquet(f"{p_std}/_manifest").collect()}
+    m_dir = {tuple(r) for r in spark.read.parquet(f"{p_dir}/_manifest").collect()}
+    assert m_std == m_dir and len(m_dir) > 0
+
+    d_std = sorted(map(tuple, spark.read.parquet(p_std).collect()))
+    d_dir = sorted(map(tuple, spark.read.parquet(p_dir).collect()))
+    assert d_std == d_dir
+
+    for bm in (False, True):
+        n_std = pruned_read(spark, p_std, RANGES, broadcast_manifest=bm).count()
+        n_dir = pruned_read(spark, p_dir, RANGES, broadcast_manifest=bm).count()
+        assert n_std == n_dir
+
+    # partition column must come from the directory name, not the file
+    import glob
+
+    import pyarrow.parquet as pq
+
+    f = glob.glob(f"{p_dir}/bucket=*/part-00000.parquet")[0]
+    assert "bucket" not in pq.ParquetFile(f).schema_arrow.names
+
+
+def test_direct_writer_footer_manifest_agrees(spark, sf_dir, tmp_path):
+    """The direct writer's in-pass manifest must equal an independent
+    footer-statistics pass over the files it wrote (the two manifest
+    derivations cross-check each other)."""
+    from console_datagen_spark.operators.layout_store import (
+        _footer_stats_manifest,
+        write_curve_layout_direct,
+    )
+
+    base = _scaled(spark, sf_dir)
+    path = str(tmp_path / "direct_fm")
+    write_curve_layout_direct(
+        base, path, curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+        dims=["ok16", "pk16"], n_buckets=64,
+    )
+    written = spark.read.parquet(path)
+    footer = _footer_stats_manifest(spark, path, written.schema,
+                                    ["ok16", "pk16"])
+    m_pass = {tuple(r) for r in spark.read.parquet(f"{path}/_manifest").collect()}
+    m_foot = {tuple(r) for r in footer.collect()}
+    assert m_pass == m_foot
+
+
+def test_paths_from_manifest_mode_parity(spark, sf_dir, tmp_path):
+    """paths_from_manifest=True (the 10^6-bucket read path: scan planned
+    from manifest metadata, only surviving dirs listed) must return
+    exactly the rows of the full-listing modes, with the partition
+    column intact via basePath."""
+    from console_datagen_spark.operators.layout_store import (
+        write_curve_layout_direct,
+    )
+
+    base = _scaled(spark, sf_dir)
+    path = str(tmp_path / "pfm")
+    write_curve_layout_direct(
+        base, path, curve=F.expr(_morton_sql("ok16", "pk16", "spark")),
+        dims=["ok16", "pk16"], n_buckets=64,
+    )
+    got = pruned_read(spark, path, RANGES, paths_from_manifest=True)
+    assert "bucket" in got.columns  # basePath keeps the partition column
+    want = pruned_read(spark, path, RANGES)  # full-listing mode
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # empty survivor set must yield an empty frame, not a crash
+    none = pruned_read(
+        spark, path, {"ok16": (70000, 70001)}, paths_from_manifest=True
+    )
+    assert none.count() == 0
