@@ -43,6 +43,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 MANIFEST_DIR = "_manifest"
+# 0-row parquet carrying the DATA schema (incl. the bucket column):
+# Spark's file listing hides _-prefixed dirs, so a store whose every
+# bucket is empty has no schema source — reads of an empty store would
+# throw UNABLE_TO_INFER_SCHEMA without this marker.
+SCHEMA_DIR = "_schema"
+
+
+def _write_schema_marker(spark: SparkSession, path: str, schema) -> None:
+    spark.createDataFrame([], schema).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/{SCHEMA_DIR}")
 
 
 def write_curve_layout(
@@ -122,6 +133,7 @@ def write_curve_layout(
             ],
         )
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
+    _write_schema_marker(spark, path, clustered.schema)
 
 
 def _footer_stats_manifest(spark, path: str, schema, dims: list[str]) -> DataFrame:
@@ -145,7 +157,7 @@ def _footer_stats_manifest(spark, path: str, schema, dims: list[str]) -> DataFra
         # prune by exact component name, never substring: a parent path
         # that happens to CONTAIN "_manifest" (e.g. a pytest tmp dir
         # named after a test) must not suppress the whole walk
-        dirs[:] = [d for d in dirs if d != MANIFEST_DIR]
+        dirs[:] = [d for d in dirs if d not in (MANIFEST_DIR, SCHEMA_DIR)]
         files.extend(
             os.path.join(root, f) for f in fs if f.endswith(".parquet")
         )
@@ -331,6 +343,7 @@ def write_curve_layout_direct(
     manifest.repartition(1).write.mode("overwrite").parquet(
         f"{path}/{MANIFEST_DIR}"
     )
+    _write_schema_marker(spark, path, schema)
 
 
 def _survivor_filter(ranges: dict[str, tuple[int, int]]) -> Column:
@@ -387,12 +400,17 @@ def pruned_read(
         cands = candidate_buckets(spark, path, ranges)
         if not cands:
             # zero survivors: plan a limit(0) over ONE manifest-known
-            # bucket (never list the store); a store with no buckets at
-            # all has nothing to list anyway
+            # bucket (never list the store). A store with NO buckets at
+            # all has no data file to infer a schema from (Spark hides
+            # the _-prefixed dirs), so the writers leave a 0-row
+            # _schema marker parquet exactly for this case.
             m = spark.read.parquet(f"{path}/{MANIFEST_DIR}").select("bucket")
             first = m.limit(1).collect()
             if not first:
-                return spark.read.parquet(path).limit(0)
+                df = spark.read.parquet(f"{path}/{SCHEMA_DIR}").limit(0)
+                for d, (lo, hi) in ranges.items():
+                    df = df.where(F.col(d).between(lo, hi))
+                return df
             cands, limit0 = [first[0].bucket], True
         else:
             limit0 = False

@@ -584,6 +584,23 @@ def probe_layout_direct(
     }
 
 
+def _layout_direct_gates(ld: dict) -> dict:
+    """The two layout_direct gates, derived in ONE place so the
+    measurement branch and the full-run/recompute carry-through can
+    never drift: 10x more buckets must cost well under 10x the write
+    (the direct writer's whole point), and the manifest-planned probe
+    of the biggest store must stay interactive (the listing modes
+    wedge)."""
+    lo_b, hi_b = sorted(ld, key=int)[0], sorted(ld, key=int)[-1]
+    return {
+        "layout_direct_write_sublinear_in_buckets": (
+            ld[hi_b]["write_sec"] / max(ld[lo_b]["write_sec"], 1e-9)
+            < int(hi_b) / int(lo_b)
+        ),
+        "layout_direct_1e6_probe_interactive": ld[hi_b]["probe_sec"] < 60,
+    }
+
+
 def main() -> int:
     from console_datagen_spark.session import get_spark
 
@@ -612,28 +629,19 @@ def main() -> int:
     if os.environ.get("SPARK_GRAFT_PROBE_LAYOUT_DIRECT") == "1":
         lb = [200, 1_000] if SMOKE else [100_000, 1_000_000]
         lr = [2_000, 4_000] if SMOKE else [2_000_000, 4_000_000]
-        with open(OUT_PATH) as f:
-            results = json.load(f)
+        try:
+            with open(OUT_PATH) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            results = {"smoke": SMOKE, "gates": {}, "ok": False}
+        results.setdefault("gates", {})
         results["layout_direct"] = {}
         for b, r in zip(lb, lr):
             print(f"--- layout_direct probe: {b} buckets ---", flush=True)
             results["layout_direct"][str(b)] = probe_layout_direct(
                 spark, n_buckets=b, n_rows=r
             )
-        lo, hi = (
-            results["layout_direct"][str(lb[0])],
-            results["layout_direct"][str(lb[1])],
-        )
-        # 10x buckets must cost well under 10x the write (the direct
-        # writer's whole point), and the manifest-planned probe of the
-        # 10^6 store must stay interactive (the listing modes wedge)
-        results["gates"]["layout_direct_write_sublinear_in_buckets"] = (
-            hi["write_sec"] / max(lo["write_sec"], 1e-9)
-            < lb[1] / lb[0]
-        )
-        results["gates"]["layout_direct_1e6_probe_interactive"] = (
-            hi["probe_sec"] < 60
-        )
+        results["gates"].update(_layout_direct_gates(results["layout_direct"]))
         results["ok"] = all(results["gates"].values())
         with open(OUT_PATH, "w") as f:
             json.dump(results, f, indent=1)
@@ -883,15 +891,7 @@ def main() -> int:
     # carry the layout_direct gates through full-run/recompute rebuilds
     # (that tier is measured by the LAYOUT_DIRECT branch and merged in)
     if "layout_direct" in results:
-        ld = results["layout_direct"]
-        lo_b, hi_b = sorted(ld, key=int)[0], sorted(ld, key=int)[-1]
-        gates["layout_direct_write_sublinear_in_buckets"] = (
-            ld[hi_b]["write_sec"] / max(ld[lo_b]["write_sec"], 1e-9)
-            < int(hi_b) / int(lo_b)
-        )
-        gates["layout_direct_1e6_probe_interactive"] = (
-            ld[hi_b]["probe_sec"] < 60
-        )
+        gates.update(_layout_direct_gates(results["layout_direct"]))
     results["gates"] = gates
     results["ok"] = all(gates.values())
     with open(OUT_PATH, "w") as f:

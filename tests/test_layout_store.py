@@ -271,3 +271,24 @@ def test_paths_from_manifest_mode_parity(spark, sf_dir, tmp_path):
         spark, path, {"ok16": (70000, 70001)}, paths_from_manifest=True
     )
     assert none.count() == 0
+
+
+def test_direct_writer_empty_store_reads_empty(spark, tmp_path):
+    """A store whose input was empty has no data files (Spark hides the
+    _-prefixed dirs); the _schema marker must make paths_from_manifest
+    return an EMPTY frame with the data schema instead of
+    UNABLE_TO_INFER_SCHEMA."""
+    from console_datagen_spark.operators.layout_store import (
+        write_curve_layout_direct,
+    )
+
+    base = spark.range(0).selectExpr(
+        "id", "id AS ok16", "id AS pk16"
+    )
+    path = str(tmp_path / "empty_direct")
+    write_curve_layout_direct(
+        base, path, curve=F.col("ok16"), dims=["ok16", "pk16"], n_buckets=16
+    )
+    got = pruned_read(spark, path, RANGES, paths_from_manifest=True)
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "ok16", "pk16", "bucket"}
