@@ -315,6 +315,84 @@ def soak_cdc_ttl(spark, rows_per_sec: int = ROWS_PER_SEC) -> dict:
     }
 
 
+JVM_SOAK_RATE = 2_000 if SMOKE else 5_000_000
+
+
+def soak_jvm_cdc_default(spark, rows_per_sec: int = JVM_SOAK_RATE) -> dict:
+    """Soak the DEFAULT CDC path (cdc_compact -> JVM session windows) at
+    its gated 5 M rows/s target for the full soak window: the ladder
+    proves the knee, this proves the state store stays BOUNDED at that
+    rate (open sessions plateau at ~new_keys/s x (key-lifetime + TTL +
+    watermark), closed sessions evicted by the watermark) and throughput
+    holds for minutes, not just a 45 s rung."""
+    import shutil
+
+    from console_datagen_spark.streaming.cdc import latest_wins_ttl_jvm
+
+    ckpt = f"{WORK_DIR}/jvm_cdc_soak_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    src = _cdc_source(spark, rows_per_sec)
+    q = (
+        latest_wins_ttl_jvm(src, ttl_ms=TTL_MS, watermark_delay="2 seconds")
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")  # the ladder's measured trade
+        .start()
+    )
+    samples: list[dict] = []
+    t_end = time.time() + SOAK_SECS
+    last_batch = -1
+    try:
+        while time.time() < t_end:
+            time.sleep(1.0)
+            p = q.lastProgress
+            if not p or p["batchId"] == last_batch:
+                continue
+            last_batch = p["batchId"]
+            ops = p.get("stateOperators") or []
+            samples.append(
+                {
+                    "t": round(time.time() - (t_end - SOAK_SECS), 1),
+                    "batch_id": p["batchId"],
+                    "state_rows": ops[0]["numRowsTotal"] if ops else None,
+                    "rows_per_sec": round(
+                        p.get("processedRowsPerSecond") or 0, 1
+                    ),
+                }
+            )
+    finally:
+        q.stop()
+
+    thirds = max(len(samples) // 3, 1)
+    mid, last = samples[thirds : 2 * thirds], samples[2 * thirds :]
+    max_mid = max((s["state_rows"] or 0) for s in mid) if mid else 0
+    max_last = max((s["state_rows"] or 0) for s in last) if last else 0
+    tp_mid = statistics.mean(s["rows_per_sec"] for s in mid) if mid else 0
+    tp_last = statistics.mean(s["rows_per_sec"] for s in last) if last else 0
+    key_life_s = KEY_CHURN / rows_per_sec
+    return {
+        "secs": SOAK_SECS,
+        "micro_batches": (samples[-1]["batch_id"] + 1) if samples else 0,
+        "ttl_ms": TTL_MS,
+        "rows_per_sec_target": rows_per_sec,
+        "new_keys_per_sec": rows_per_sec / KEY_CHURN,
+        "expected_plateau_sessions": round(
+            rows_per_sec / KEY_CHURN * (key_life_s + TTL_MS / 1000 + 2)
+        ),
+        "state_rows_max_mid_third": max_mid,
+        "state_rows_max_last_third": max_last,
+        "throughput_mid_third": round(tp_mid, 1),
+        "throughput_last_third": round(tp_last, 1),
+        "series": samples if SMOKE else samples[:: max(len(samples) // 120, 1)],
+        "gates": {
+            "state_plateaus": max_last <= max(max_mid * 1.25, 50),
+            "throughput_holds": tp_last >= tp_mid * 0.7,
+            "sustains_target": tp_last >= 0.9 * rows_per_sec,
+        },
+    }
+
+
 def soak_dedup_ingest(spark) -> dict:
     import shutil
 
@@ -444,6 +522,35 @@ def main() -> int:
 
     from console_datagen_spark.session import get_spark
 
+    if os.environ.get("SPARK_GRAFT_SOAK_JVM_SOAK_ONLY") == "1":
+        # run only the default-path (JVM CDC) soak and merge into the
+        # existing artifact — the ladders and Python soak carry over
+        spark = get_spark(
+            app_name="console-datagen-spark-soak-jvm",
+            extra_conf={"spark.driver.memory": "8g"},
+        )
+        try:
+            with open(OUT_PATH) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            results = {"smoke": SMOKE, "gates": {}, "ok": False}
+        results.setdefault("gates", {})
+        results["jvm_cdc_soak"] = soak_jvm_cdc_default(spark)
+        for k, v in results["jvm_cdc_soak"]["gates"].items():
+            results["gates"][f"jvmcdc_{k}"] = v
+        results["ok"] = bool(results["gates"]) and all(
+            results["gates"].values()
+        )
+        with open(OUT_PATH, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+        print(json.dumps({"jvm_cdc_soak_gates":
+                          results["jvm_cdc_soak"]["gates"],
+                          "ok": results["ok"], "out": OUT_PATH}, indent=1),
+              flush=True)
+        spark.stop()
+        return 0 if results["ok"] else 1
+
     if os.environ.get("SPARK_GRAFT_SOAK_LADDER_ONLY") == "1":
         # re-run just the knee search (e.g. after extending RATE_LADDER)
         # and merge the new ladder into the existing SOAK.json
@@ -528,6 +635,7 @@ def main() -> int:
         "rate_search_jvm": rate_search_jvm,
         "rate_search_jvm_cdc": rate_search_jvm_cdc,
         "cdc_ttl": soak_cdc_ttl(spark, rows_per_sec=soak_rate),
+        "jvm_cdc_soak": soak_jvm_cdc_default(spark),
         "dedup_ingest": soak_dedup_ingest(spark),
     }
     gates = {
@@ -543,6 +651,7 @@ def main() -> int:
             >= (JVM_CDC_RATE_LADDER[0] if SMOKE else JVM_CDC_TARGET)
         ),
         **{f"cdc_{k}": v for k, v in results["cdc_ttl"]["gates"].items()},
+        **{f"jvmcdc_{k}": v for k, v in results["jvm_cdc_soak"]["gates"].items()},
         **{f"ingest_{k}": v for k, v in results["dedup_ingest"]["gates"].items()},
     }
     results["gates"] = gates
