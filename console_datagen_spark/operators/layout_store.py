@@ -252,7 +252,11 @@ def write_curve_layout_direct(
     rows in 17.4 s (vs 166 s for the generic writer) and 10^6 buckets /
     4 M rows in 121 s — vs ~40 min projected for the generic writer,
     whose 10^4->10^5 curve was already only barely sublinear. Task retry
-    is idempotent (deterministic file names + contents); on a cluster
+    is idempotent (deterministic file names + contents), and each attempt
+    writes a per-attempt temp file then os.replace()s it into place —
+    atomic on POSIX — so concurrent attempts (speculative execution, a
+    zombie task racing its retry) can never interleave bytes in a final
+    file; on a cluster
     the path must be a shared POSIX filesystem, or swap the pq.write_table
     call for one with an fsspec filesystem for object storage.
 
@@ -322,11 +326,22 @@ def write_curve_layout_direct(
         ends = np.append(starts[1:], len(buckets))
         # vectorized per-bucket envelopes (one groupby, not B aggs)
         env = pdf.groupby("bucket", sort=True)[list(dims)].agg(["min", "max"])
+        # Concurrent attempts (speculation / a zombie task racing its
+        # retry) must never interleave bytes in a final file: write to a
+        # per-attempt temp name, then os.replace (atomic on POSIX) —
+        # the last complete attempt wins with identical deterministic
+        # contents.
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else 0
         rows = []
         for b, s, e in zip(uniq, starts, ends):
             d = f"{path}/bucket={int(b)}"
             os.makedirs(d, exist_ok=True)
-            pq.write_table(table.slice(s, e - s), f"{d}/part-00000.parquet")
+            tmp = f"{d}/.part-00000.parquet.attempt-{attempt}.tmp"
+            pq.write_table(table.slice(s, e - s), tmp)
+            os.replace(tmp, f"{d}/part-00000.parquet")
             rec = {"bucket": int(b), "n_rows": int(e - s)}
             for dim in dims:
                 rec[f"min_{dim}"] = env.loc[b, (dim, "min")]
@@ -407,7 +422,15 @@ def pruned_read(
             m = spark.read.parquet(f"{path}/{MANIFEST_DIR}").select("bucket")
             first = m.limit(1).collect()
             if not first:
-                df = spark.read.parquet(f"{path}/{SCHEMA_DIR}").limit(0)
+                # the marker carries `bucket` as a BIGINT data column,
+                # but the normal branch infers it from the bucket=N dirs
+                # as INT — cast so BOTH branches return one schema and
+                # unions over empty/non-empty stores line up.
+                df = (
+                    spark.read.parquet(f"{path}/{SCHEMA_DIR}")
+                    .withColumn("bucket", F.col("bucket").cast("int"))
+                    .limit(0)
+                )
                 for d, (lo, hi) in ranges.items():
                     df = df.where(F.col(d).between(lo, hi))
                 return df

@@ -175,7 +175,7 @@ def latest_wins_ttl_jvm(
     records: DataFrame,
     ttl_ms: int = CDC_TTL_MS,
     ts_col: str = "ts",
-    watermark_delay: str = "0 seconds",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Latest-wins CDC with TTL eviction, entirely JVM-side.
 
@@ -184,7 +184,31 @@ def latest_wins_ttl_jvm(
     every emitted row is an eviction record (idle > TTL at the
     watermark) and state holds only open sessions. ~33x the Python
     spelling's throughput on local[32] (SOAK.json).
+
+    ``watermark_delay`` is the source's DISORDER BOUND and is REQUIRED
+    for streaming input: any event older than (max event time seen -
+    delay) is silently dropped by the watermark, so a defaulted value
+    would quietly pick a data-loss tolerance on the caller's behalf
+    (the Python spelling has no such loss mode — r10 ADVICE). Pass
+    ``"0 seconds"`` only when the source is per-key ordered (or the
+    producer guarantees monotone event time); otherwise set it to the
+    source's measured disorder (the soak uses ``"2 seconds"``). On a
+    batch frame the watermark is a Catalyst no-op, so ``None`` resolves
+    to ``"0 seconds"`` there.
     """
+    if watermark_delay is None:
+        if records.isStreaming:
+            raise ValueError(
+                "latest_wins_ttl_jvm on a STREAM requires an explicit "
+                "watermark_delay (the source's out-of-order bound): "
+                "events older than max-event-time - delay are dropped, "
+                "so a library default would silently choose your data-"
+                "loss tolerance. Pass '0 seconds' only for per-key "
+                "ordered sources; otherwise the measured disorder "
+                "(e.g. '2 seconds'), or use time_mode='processing' "
+                "for wall-clock TTL with no event-time loss mode."
+            )
+        watermark_delay = "0 seconds"
     gap = f"{ttl_ms} milliseconds"
     return (
         records.withWatermark(ts_col, watermark_delay)
@@ -213,13 +237,16 @@ def cdc_compact(
     ttl_ms: int = CDC_TTL_MS,
     time_mode: str = "event",
     ts_col: str = "ts",
-    watermark_delay: str = "0 seconds",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """The streaming tier's CDC entry point. Default = the JVM spelling.
 
     ``time_mode="event"`` (default): ``latest_wins_ttl_jvm`` — session
     windows, JVM state, >= 5 M rows/s sustained (SOAK.json jvm_cdc
-    ladder). ``time_mode="processing"``: ``latest_wins_stateful`` —
+    ladder). Streaming callers MUST pass ``watermark_delay`` (the
+    source's disorder bound — see ``latest_wins_ttl_jvm``); there is no
+    default because a default would silently pick a data-loss
+    tolerance. ``time_mode="processing"``: ``latest_wins_stateful`` —
     wall-clock TTL + live update rows, the semantics JVM aggregation
     cannot express, at the measured ~800 k rows/s Python-state ceiling.
     """

@@ -218,6 +218,9 @@ def test_jvm_ttl_eviction_parity(spark, tmp_path):
         cdc_compact(
             spark.readStream.schema(SCHEMA_TS).parquet(str(src)),
             ttl_ms=ttl_ms,
+            # this harness writes event time monotonically per file, so
+            # the per-key-ordered disorder bound (0) is correct here
+            watermark_delay="0 seconds",
         )
         .writeStream.foreachBatch(grab)
         .outputMode("append")
@@ -254,6 +257,7 @@ def test_jvm_ttl_eviction_parity(spark, tmp_path):
         cdc_compact(
             spark.readStream.schema(SCHEMA_TS).parquet(str(src)),
             ttl_ms=ttl_ms,
+            watermark_delay="0 seconds",
         )
         .writeStream.foreachBatch(grab)
         .outputMode("append")
@@ -334,3 +338,65 @@ def test_jvm_ttl_matches_batch_sessionization(spark):
         for r in latest_wins_ttl_jvm(df, ttl_ms=ttl_ms).collect()
     }
     assert got == expected
+
+
+def test_jvm_ttl_exact_gap_boundary(spark):
+    """Pin the session-merge boundary the module docstring claims: an
+    inter-event gap EXACTLY equal to the TTL merges into one session
+    (so the batch oracle's strict `>` split matches), while ttl + 1 ms
+    splits into two.  A Spark-version behavior change at the boundary
+    flips this test, not just the randomized parity (r10 ADVICE)."""
+    import datetime
+
+    from console_datagen_spark.streaming.cdc import latest_wins_ttl_jvm
+
+    base = datetime.datetime(2024, 1, 1)
+    ttl_ms = 10_000
+
+    def sessions(gap_ms):
+        df = spark.createDataFrame(
+            [
+                (1, 10, "view", 1.0, base),
+                (1, 11, "click", 2.0, base + datetime.timedelta(milliseconds=gap_ms)),
+            ],
+            SCHEMA_TS,
+        )
+        return sorted(
+            (r.last_event_id, r.n_versions)
+            for r in latest_wins_ttl_jvm(df, ttl_ms=ttl_ms).collect()
+        )
+
+    # exactly-gap: windows [t, t+ttl) and [t+ttl, t+2ttl) are adjacent —
+    # Spark merges them, one session holding both versions
+    assert sessions(ttl_ms) == [(11, 2)]
+    # one past the gap: idle strictly > ttl, two sessions
+    assert sessions(ttl_ms + 1) == [(10, 1), (11, 1)]
+
+
+def test_jvm_ttl_stream_requires_explicit_watermark(spark, tmp_path):
+    """Streaming input without an explicit watermark_delay must raise:
+    a defaulted delay silently chooses a data-loss tolerance (events
+    older than max-event-time - delay are dropped).  Batch input keeps
+    the no-op '0 seconds' default (r10 ADVICE, medium)."""
+    import datetime
+
+    import pytest
+
+    from console_datagen_spark.streaming.cdc import (
+        cdc_compact,
+        latest_wins_ttl_jvm,
+    )
+
+    src = tmp_path / "wm_src"
+    base = datetime.datetime(2024, 1, 1)
+    batch = spark.createDataFrame([(1, 10, "view", 1.0, base)], SCHEMA_TS)
+    batch.write.parquet(str(src))
+
+    stream = spark.readStream.schema(SCHEMA_TS).parquet(str(src))
+    with pytest.raises(ValueError, match="watermark_delay"):
+        latest_wins_ttl_jvm(stream)
+    with pytest.raises(ValueError, match="watermark_delay"):
+        cdc_compact(stream)
+
+    # batch: None resolves to the no-op watermark, plan builds fine
+    assert latest_wins_ttl_jvm(batch).count() == 1

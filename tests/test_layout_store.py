@@ -292,3 +292,6 @@ def test_direct_writer_empty_store_reads_empty(spark, tmp_path):
     got = pruned_read(spark, path, RANGES, paths_from_manifest=True)
     assert got.count() == 0
     assert set(got.columns) == {"id", "ok16", "pk16", "bucket"}
+    # the empty branch must return the SAME dtypes as a non-empty read
+    # (partition-inferred int for bucket), not the marker's bigint
+    assert dict(got.dtypes)["bucket"] == "int"
