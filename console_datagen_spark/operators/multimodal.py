@@ -199,8 +199,10 @@ def audio_energy_windows(
 #     uncompressed): BGR pixel rows, BOTTOM-up, each row padded to a
 #     4-byte boundary.
 # resize_images therefore does REAL decode -> nearest-neighbor resize ->
-# re-encode for fmt in {"ppm", "bmp"}; compressed formats (png/jpeg)
-# still raise — that is a codec-library gap, not an operator gap.
+# re-encode for fmt in {"ppm", "bmp", "png"} (png via the stdlib-zlib
+# codec below — the one compressed format closable without a codec
+# library); jpeg still raises — lossy DCT is a genuine codec-library
+# gap, not an operator gap.
 # Nearest-neighbor uses the exact integer map src = (dst * src_dim) DIV
 # dst_dim (no float rounding), so outputs are hash-identical on any
 # engine — certified end-to-end by mm_resize_checked's SQL oracle.
@@ -278,7 +280,174 @@ def _encode_bmp(arr: np.ndarray) -> bytes:
     return header + data
 
 
-_CODECS = {"ppm": (_decode_ppm, _encode_ppm), "bmp": (_decode_bmp, _encode_bmp)}
+# ---- PNG (stdlib zlib — deterministic, no codec library) ------------------
+#
+# PNG is the one COMPRESSED raster format closable without PIL/opencv:
+# the container ships zlib, and the rest of the format is public byte
+# layout (RFC 2083) — chunk framing with CRC-32, IHDR geometry, IDAT
+# deflate stream, and the 5 scanline filters (None/Sub/Up/Average/
+# Paeth). Scope: 8-bit truecolor RGB (color type 2), non-interlaced —
+# the shape synth_bitmap_media writes and crawl thumbnails typically
+# carry. The DECODER handles all 5 filters (the encoder can cycle
+# through them per row, so the filter paths are genuinely executed and
+# round-trip-tested); the encoder's default is filter 0 per row, the
+# deterministic choice. jpeg remains the honest raise: lossy DCT needs
+# a real codec library.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PaethPredictor over int16/int32 arrays (exact integer math)."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _unfilter_row(
+    ftype: int, line: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reconstruct one scanline in place (line: uint8 filtered bytes)."""
+    if ftype == 0:  # None
+        return line
+    if ftype == 2:  # Up — no intra-row dependency, fully vectorized
+        return (line.astype(np.int32) + prev).astype(np.uint8)
+    # Sub/Average/Paeth recur on the just-reconstructed left pixel, so
+    # the column loop is inherently serial; rows here are small (the
+    # registered queries use 8x8), and a real deployment swaps in PIL.
+    recon = line.astype(np.int32)
+    for x in range(len(line)):
+        a = recon[x - bpp] if x >= bpp else 0
+        b = int(prev[x])
+        if ftype == 1:  # Sub
+            recon[x] = (recon[x] + a) & 0xFF
+        elif ftype == 3:  # Average
+            recon[x] = (recon[x] + (a + b) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            recon[x] = (recon[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return recon.astype(np.uint8)
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """PNG -> uint8[h, w, 3]. 8-bit RGB (color type 2), non-interlaced;
+    all 5 scanline filters supported. CRCs are trusted, not verified
+    (zlib.decompress fails loudly on corrupt IDAT anyway)."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, w, h = 8, [], None, None
+    while pos + 8 <= len(content):
+        ln = int.from_bytes(content[pos : pos + 4], "big")
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # 4 len + 4 type + data + 4 crc
+        if typ == b"IHDR":
+            w, h, bitd, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (bitd, color, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG (need 8-bit RGB non-interlaced): "
+                    f"depth={bitd} color={color} interlace={inter}"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        o = y * (stride + 1)
+        line = np.frombuffer(raw[o + 1 : o + 1 + stride], dtype=np.uint8)
+        out[y] = _unfilter_row(raw[o], line.copy(), prev, bpp=3)
+        prev = out[y].astype(np.int32)
+    return out.reshape(h, w, 3).copy()
+
+
+def _filter_row(
+    ftype: int, line: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Apply one PNG filter to a raw scanline (all inputs uint8)."""
+    cur = line.astype(np.int32)
+    a = np.zeros_like(cur)
+    a[bpp:] = cur[:-bpp]
+    b = prev.astype(np.int32)
+    c = np.zeros_like(b)
+    c[bpp:] = b[:-bpp]
+    if ftype == 0:
+        out = cur
+    elif ftype == 1:
+        out = cur - a
+    elif ftype == 2:
+        out = cur - b
+    elif ftype == 3:
+        out = cur - (a + b) // 2
+    elif ftype == 4:
+        out = cur - _paeth(
+            a.astype(np.uint8), b.astype(np.uint8), c.astype(np.uint8)
+        )
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def _encode_png(arr: np.ndarray, row_filters: str = "none") -> bytes:
+    """uint8[h, w, 3] -> PNG bytes. ``row_filters="none"`` writes filter
+    0 every row (the deterministic default the resize path emits);
+    ``"cycle"`` writes filter y % 5 so every decode filter path is
+    genuinely exercised by the synth -> decode round trip."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+    flat = arr.reshape(h, w * 3).astype(np.uint8)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    parts = []
+    for y in range(h):
+        f = (y % 5) if row_filters == "cycle" else 0
+        parts.append(bytes([f]))
+        parts.append(_filter_row(f, flat[y], prev, bpp=3).tobytes())
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+_CODECS = {
+    "ppm": (_decode_ppm, _encode_ppm),
+    "bmp": (_decode_bmp, _encode_bmp),
+    "png": (_decode_png, _encode_png),
+}
 
 
 def _resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -301,6 +470,29 @@ def synth_bitmap_media(
     if fmt == "ppm":
         header = F.lit(f"P6\n{width} {height}\n255\n".encode())
         content = F.concat(header, F.col("content"))
+    elif fmt == "png":
+        # encode with CYCLING row filters (y % 5) so the downstream
+        # decode genuinely runs Sub/Up/Average/Paeth reconstruction,
+        # not just the trivial filter-0 path
+        def _to_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["content"] = [
+                    _encode_png(
+                        np.frombuffer(bytes(c), dtype=np.uint8).reshape(
+                            height, width, 3
+                        ),
+                        row_filters="cycle",
+                    )
+                    for c in pdf["content"]
+                ]
+                yield pdf
+
+        return (
+            raw.mapInPandas(_to_png, schema=MEDIA_SCHEMA)
+            .withColumn("fmt", F.lit("png"))
+            .withColumn("n_bytes", F.length("content").cast("int"))
+        )
     else:
         # BMP needs row flip + BGR + padding: JVM-side byte surgery is
         # possible but unreadable; build via the same encoder the resize
@@ -340,9 +532,9 @@ RESIZED_SCHEMA = (
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-encode, Arrow-batched.
 
-    REAL for the uncompressed raster formats ("ppm", "bmp") via the pure
-    numpy codecs above; compressed formats raise per payload — the
-    honest boundary is the codec library, not this operator. Exact
+    REAL for "ppm" / "bmp" (pure numpy) and "png" (numpy + stdlib
+    zlib); jpeg raises per payload — the honest boundary is the codec
+    library, not this operator. Exact
     integer index map => byte-identical output everywhere (certified by
     mm_resize_checked's full SQL replay).
     """
@@ -355,7 +547,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 if codec is None:
                     raise NotImplementedError(
                         f"fmt {fmt!r} needs a codec library (PIL/opencv) "
-                        "not present in this environment; ppm/bmp are "
+                        "not present in this environment; ppm/bmp/png are "
                         "supported natively"
                     )
                 decode, encode = codec
@@ -402,6 +594,44 @@ def channel_sums(resized: DataFrame) -> DataFrame:
             )
 
     return resized.mapInPandas(kernel, schema=CHANNEL_SUMS_SCHEMA)
+
+
+PNG_STATS_SCHEMA = (
+    "doc_id BIGINT, ihdr_w INT, ihdr_h INT, r_sum BIGINT, g_sum BIGINT, "
+    "b_sum BIGINT"
+)
+
+
+def png_stats(resized: DataFrame) -> DataFrame:
+    """Decode a PNG payload column and emit IHDR geometry + RGB channel
+    sums in ONE Arrow-batched pass (no join between a header parse and
+    ``channel_sums``). Chaining synth(png, cycling filters) -> resize ->
+    png_stats certifies the zlib inflate, all five filter
+    reconstructions, the integer resize AND the re-encode framing: the
+    IHDR dims come from re-parsing the re-encoded bytes and the sums
+    from re-decoding them."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for c in pdf["content"]:
+                img = _decode_png(bytes(c))
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                sums.append(img.sum(axis=(0, 1), dtype=np.int64))
+            s = np.array(sums).reshape(-1, 3)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ihdr_w": ws,
+                    "ihdr_h": hs,
+                    "r_sum": s[:, 0],
+                    "g_sum": s[:, 1],
+                    "b_sum": s[:, 2],
+                }
+            )
+
+    return resized.mapInPandas(kernel, schema=PNG_STATS_SCHEMA)
 
 
 def media_fingerprint(media: DataFrame) -> DataFrame:

@@ -487,6 +487,51 @@ df_query(
 )
 
 
+def _mm_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    media = M.synth_bitmap_media(docs, width=8, height=8, fmt="png")
+    resized = M.resize_images(media, 4, 4)
+    return M.png_stats(resized).orderBy("doc_id")
+
+
+df_query(
+    "mm_resize_png",
+    _mm_resize_png,
+    oracle=(
+        # Same even-(row,col) pixel replay as mm_resize_checked, but the
+        # payload is a REAL PNG: synth encodes with cycling row filters
+        # (y % 5 — None/Sub/Up/Average/Paeth all exercised), resize
+        # decodes (zlib inflate + filter reconstruction), re-encodes
+        # filter-0, and png_stats re-parses the re-encoded bytes. The
+        # oracle replays only the PIXELS (compressed byte lengths are
+        # zlib-version-bound, so the output carries IHDR geometry, not
+        # payload size): decode(encode(px)) == px makes channel sums of
+        # the 4x4 resize the sums of source bytes at even (row, col).
+        "WITH m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 384) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 11) AS t(i) "
+        "  GROUP BY doc_id), "
+        "bytes AS (SELECT doc_id, i, "
+        "  ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT AS b "
+        "  FROM m, (SELECT unnest(generate_series(0, 191)) AS i) t), "
+        "kept AS (SELECT doc_id, i % 3 AS c, b FROM bytes "
+        "  WHERE ((i // 3) % 8) % 2 = 0 AND ((i // 3) // 8) % 2 = 0) "
+        "SELECT doc_id, CAST(4 AS INT) AS ihdr_w, CAST(4 AS INT) AS ihdr_h, "
+        "CAST(SUM(CASE WHEN c = 0 THEN b END) AS BIGINT) AS r_sum, "
+        "CAST(SUM(CASE WHEN c = 1 THEN b END) AS BIGINT) AS g_sum, "
+        "CAST(SUM(CASE WHEN c = 2 THEN b END) AS BIGINT) AS b_sum "
+        "FROM kept GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "pandas_udf"),
+    doc="REAL compressed-image path (stdlib-zlib PNG codec, all 5 scanline "
+    "filters exercised via cycling-filter synth): synth 8x8 PNG -> decode "
+    "-> nearest-neighbor 4x4 -> re-encode -> re-decode stats, certified "
+    "by a full SQL replay of the even-(row,col) pixel selection",
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     media = M.synth_media(docs, "video", n_bytes=256)

@@ -73,9 +73,14 @@ def test_frame_sampling(media):
 
 
 def test_resize_compressed_formats_raise(media):
-    # synth_media fmts are png/jpeg — compressed, genuinely codec-bound
+    # jpeg is the remaining genuinely codec-bound format; png now has a
+    # native stdlib-zlib codec, so synth_media's RANDOM bytes labeled
+    # 'png' fail the signature check (a real decode error), not the
+    # codec-library gate
     with pytest.raises(Exception, match="codec"):
-        M.resize_images(media, 64, 64).collect()
+        M.resize_images(media.where("fmt = 'jpeg'"), 64, 64).collect()
+    with pytest.raises(Exception, match="PNG"):
+        M.resize_images(media.where("fmt = 'png'"), 64, 64).collect()
 
 
 def test_codec_roundtrips():
@@ -90,6 +95,32 @@ def test_codec_roundtrips():
     # header parse (the bytes.split hazard)
     ws = np.full((2, 2, 3), 32, dtype=np.uint8)
     assert np.array_equal(M._decode_ppm(M._encode_ppm(ws)), ws)
+    # PNG: filter-0 and cycling-filter encodes both round-trip (the
+    # cycle path runs Sub/Up/Average/Paeth reconstruction); gradients
+    # stress the predictors harder than uniform noise
+    grad = (np.arange(8 * 8 * 3, dtype=np.int64) % 256).astype(np.uint8)
+    grad = grad.reshape(8, 8, 3)
+    for arr in (img, odd, ws, grad):
+        for mode in ("none", "cycle"):
+            enc = M._encode_png(arr, row_filters=mode)
+            assert enc[:8] == M._PNG_SIG
+            assert np.array_equal(M._decode_png(enc), arr), mode
+
+
+def test_png_decode_rejects_unsupported():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = M._encode_png(img)
+    with pytest.raises(ValueError, match="not a PNG"):
+        M._decode_png(b"JFIF" + good)
+    # corrupt the IHDR color type (offset 8+4+4+9 = byte 25) -> RGBA
+    bad_color = bytearray(good)
+    bad_color[25] = 6
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        M._decode_png(bytes(bad_color))
+    # truncated IDAT must fail loudly (zlib or size check), not return
+    # a short raster
+    with pytest.raises(Exception):
+        M._decode_png(good[:-20])
 
 
 def test_resize_nearest_exact_map():
@@ -104,7 +135,7 @@ def test_resize_nearest_exact_map():
 
 def test_resize_images_end_to_end(spark, sf_dir):
     docs = register_views(spark, sf_dir, ("documents",))["documents"].limit(20)
-    for fmt in ("ppm", "bmp"):
+    for fmt in ("ppm", "bmp", "png"):
         media_df = M.synth_bitmap_media(docs, width=8, height=8, fmt=fmt)
         rows = M.resize_images(media_df, 4, 4).orderBy("doc_id").collect()
         assert len(rows) == 20
@@ -124,14 +155,21 @@ def test_resize_bmp_ppm_pixel_parity(spark, sf_dir):
     resized pixels AND identical channel_sums output."""
     docs = register_views(spark, sf_dir, ("documents",))["documents"].limit(20)
     out = {}
-    for fmt in ("ppm", "bmp"):
+    for fmt in ("ppm", "bmp", "png"):
         media_df = M.synth_bitmap_media(docs, width=8, height=8, fmt=fmt)
         sums = M.channel_sums(M.resize_images(media_df, 4, 4))
         out[fmt] = {
             r.doc_id: (r.r_sum, r.g_sum, r.b_sum) for r in sums.collect()
         }
-    ppm, bmp = out["ppm"], out["bmp"]
-    assert ppm == bmp
+    assert out["ppm"] == out["bmp"] == out["png"]
+    # png_stats (the single-pass IHDR + sums kernel the registered
+    # query uses) agrees with channel_sums and reports the resize dims
+    media_df = M.synth_bitmap_media(docs, width=8, height=8, fmt="png")
+    stats = M.png_stats(M.resize_images(media_df, 4, 4)).collect()
+    assert {(r.ihdr_w, r.ihdr_h) for r in stats} == {(4, 4)}
+    assert {
+        r.doc_id: (r.r_sum, r.g_sum, r.b_sum) for r in stats
+    } == out["png"]
 
 
 def test_media_fingerprint_dedup_key(media):
