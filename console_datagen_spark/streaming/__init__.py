@@ -7,7 +7,12 @@ from .counters import (  # noqa: F401
     merge_counts,
     partitions_needing_truncation,
 )
-from .cdc import cdc_compact, latest_wins, latest_wins_ttl_jvm  # noqa: F401
+from .cdc import (  # noqa: F401
+    CdcLiveView,
+    cdc_compact,
+    latest_wins,
+    latest_wins_ttl_jvm,
+)
 from .dedup_stream import exact_dedup_stream, fingerprint_dedup_stream  # noqa: F401
 from .enrich import enrich_stream, filter_known_duplicates  # noqa: F401
 from .generator_stream import (  # noqa: F401

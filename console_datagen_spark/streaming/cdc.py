@@ -260,6 +260,265 @@ def cdc_compact(
     raise ValueError(f"time_mode must be 'event' or 'processing': {time_mode!r}")
 
 
+# ---- live open-session read for the JVM path (foreachBatch snapshot) ------
+#
+# latest_wins_ttl_jvm runs in APPEND mode: it emits only CLOSED
+# sessions, so the reference's health read (CounterProgressCheck.java:
+# 37-130 reads the CURRENT counter map) had to fall back to the ~800 k
+# rows/s Python spelling for live keys (r10 verdict #3). CdcLiveView
+# closes that gap on the JVM path: a foreachBatch companion that folds
+# each micro-batch into an O(active keys) snapshot frame using ONLY
+# JVM operators — per-batch session_window aggregation, one outer-join
+# merge against the held snapshot, frontier-based idle eviction — so
+# the 5 M rows/s default also serves the live read. Python appears
+# solely as driver-side orchestration (two bounded 1-row collects per
+# batch: the batch max event time and nothing else); no row crosses
+# the Arrow boundary.
+#
+# Semantics match the session-window spelling exactly (pinned by
+# tests): an event at exactly last_ts + TTL merges into the open
+# session; a key idles out when the frontier (running max event time
+# minus the watermark delay) exceeds last_ts + TTL strictly; a closed
+# key reappearing starts a FRESH n_versions history. Closed sessions
+# are handed to an optional ``on_closed`` callback as a DataFrame per
+# batch (write them to your sink; the default discards them because
+# the append-mode query is the canonical eviction emitter) — never
+# accumulated driver-side.
+#
+# Scale: the snapshot is cached and lineage-truncated via
+# localCheckpoint every batch (an unbounded union-of-batches plan is
+# the classic foreachBatch OOM); its size is bounded by the ACTIVE key
+# count, same as the session-window state store. The merge is a join
+# between two O(keys) frames on the grouping key — at cluster scale
+# both sides hash-partition on user_id and AQE handles skew.
+
+LIVE_SNAPSHOT_COLS = (
+    "user_id",
+    "last_event_id",
+    "last_type",
+    "last_value",
+    "n_versions",
+    "last_ts",
+)
+
+
+class CdcLiveView:
+    """Open-session latest-wins snapshot over a raw change stream.
+
+    Attach with ``.writeStream.foreachBatch(view.update)`` on the SAME
+    source the append-mode ``latest_wins_ttl_jvm`` query reads;
+    ``view.snapshot()`` is then the live state the Python spelling
+    served via update rows — every open session's latest-wins record.
+    """
+
+    def __init__(
+        self,
+        ttl_ms: int = CDC_TTL_MS,
+        ts_col: str = "ts",
+        watermark_delay_ms: int = 0,
+        on_closed=None,
+    ) -> None:
+        self._ttl_ms = ttl_ms
+        self._ts = ts_col
+        self._delay_ms = watermark_delay_ms
+        self._on_closed = on_closed
+        self._snap: DataFrame | None = None
+        self._frontier = None  # running max event time - delay
+
+    # -- per-batch fold (foreachBatch signature) -----------------------------
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        import datetime
+
+        from pyspark.sql.window import Window
+
+        ts, ttl_ms = self._ts, self._ttl_ms
+        gap = f"{ttl_ms} milliseconds"
+        ttl = F.expr(f"INTERVAL {ttl_ms} MILLISECONDS")
+
+        # mirror the stream's watermark contract: events older than the
+        # frontier established by PRIOR batches are late and dropped,
+        # exactly as withWatermark drops them before the session
+        # aggregation — otherwise the view would "helpfully" merge rows
+        # the canonical query lost and the two reads would diverge.
+        if self._frontier is not None:
+            batch_df = batch_df.where(F.col(ts) >= F.lit(self._frontier))
+
+        # bounded driver read: the batch's event-time maximum (one row)
+        mx = batch_df.agg(F.max(ts).alias("m")).collect()[0]["m"]
+        if mx is not None:
+            cand = mx - datetime.timedelta(milliseconds=self._delay_ms)
+            if self._frontier is None or cand > self._frontier:
+                self._frontier = cand
+
+        prev = self._snap
+        if mx is None:  # empty micro-batch: only the frontier could move
+            merged = prev
+        else:
+            # intra-batch sessionization — session_window works on batch
+            # frames, so this IS the streaming spelling's grouping
+            w = Window.partitionBy("user_id")
+            sess = (
+                batch_df.groupBy(F.session_window(ts, gap), "user_id")
+                .agg(
+                    F.max("event_id").alias("last_event_id"),
+                    F.max_by("event_type", "event_id").alias("last_type"),
+                    F.max_by("value", "event_id").alias("last_value"),
+                    F.count("*").cast("bigint").alias("n_versions"),
+                    F.max(ts).alias("last_ts"),
+                )
+                .select(
+                    "user_id",
+                    F.col("session_window.start").alias("s_start"),
+                    "last_event_id",
+                    "last_type",
+                    "last_value",
+                    "n_versions",
+                    "last_ts",
+                )
+                .withColumn("min_s", F.min("s_start").over(w))
+                .withColumn("max_s", F.max("s_start").over(w))
+            )
+            if prev is None:
+                prev = _empty_snapshot(batch_df.sparkSession, batch_df, ts)
+            p = prev.select(
+                F.col("user_id"),
+                *[
+                    F.col(c).alias(f"p_{c}")
+                    for c in LIVE_SNAPSHOT_COLS
+                    if c != "user_id"
+                ],
+            )
+            j = sess.join(p, "user_id", "left")
+            # chain the held open session into the batch's FIRST session
+            # when the gap is within TTL (exactly-gap merges — the
+            # pinned session-window boundary)
+            chained = (
+                (F.col("s_start") == F.col("min_s"))
+                & F.col("p_last_ts").isNotNull()
+                & (F.col("s_start") <= F.col("p_last_ts") + ttl)
+            )
+            take_p = chained & (
+                F.col("p_last_event_id") > F.col("last_event_id")
+            )
+            adj = j.select(
+                "user_id",
+                "s_start",
+                "max_s",
+                F.when(take_p, F.col("p_last_event_id"))
+                .otherwise(F.col("last_event_id"))
+                .alias("last_event_id"),
+                F.when(take_p, F.col("p_last_type"))
+                .otherwise(F.col("last_type"))
+                .alias("last_type"),
+                F.when(take_p, F.col("p_last_value"))
+                .otherwise(F.col("last_value"))
+                .alias("last_value"),
+                (
+                    F.col("n_versions")
+                    + F.when(chained, F.col("p_n_versions")).otherwise(F.lit(0))
+                ).alias("n_versions"),
+                F.greatest("last_ts", F.coalesce("p_last_ts", "last_ts")).alias(
+                    "last_ts"
+                ),
+                chained.alias("chained"),
+            )
+            open_rows = adj.where(F.col("s_start") == F.col("max_s")).select(
+                *LIVE_SNAPSHOT_COLS
+            )
+            closed_batch = adj.where(F.col("s_start") < F.col("max_s")).select(
+                *LIVE_SNAPSHOT_COLS
+            )
+            # held sessions whose key reappeared UNCHAINED: closed alone
+            firsts = j.where(F.col("s_start") == F.col("min_s")).select(
+                "user_id",
+                (
+                    F.col("p_last_ts").isNotNull()
+                    & (F.col("s_start") <= F.col("p_last_ts") + ttl)
+                ).alias("chained"),
+            )
+            p_closed = (
+                prev.join(firsts, "user_id", "inner")
+                .where(~F.col("chained"))
+                .select(*LIVE_SNAPSHOT_COLS)
+            )
+            # held sessions whose key is absent from the batch: carried
+            p_carry = prev.join(
+                sess.select("user_id").distinct(), "user_id", "left_anti"
+            ).select(*LIVE_SNAPSHOT_COLS)
+            merged = open_rows.unionByName(p_carry)
+            self._emit_closed(closed_batch.unionByName(p_closed))
+
+        if merged is None:
+            return
+        # frontier eviction: idle STRICTLY longer than TTL closes a key.
+        # The frontier already includes THIS batch's max event time, so
+        # evictions land one batch EARLIER than the append query emits
+        # them (Spark's watermark lags a batch; availableNow runs a
+        # final flush batch, so end-of-stream membership is identical —
+        # the view is simply fresher mid-stream).
+        if self._frontier is not None:
+            lit_frontier = F.lit(self._frontier)
+            evicted = merged.where(F.col("last_ts") + ttl < lit_frontier)
+            survivors = merged.where(~(F.col("last_ts") + ttl < lit_frontier))
+            self._emit_closed(evicted)
+        else:
+            survivors = merged
+        # persist + truncate lineage, then release the previous snapshot
+        new_snap = survivors.localCheckpoint(eager=True)
+        if self._snap is not None:
+            try:
+                self._snap.unpersist()
+            except Exception:
+                pass
+        self._snap = new_snap
+
+    def _emit_closed(self, closed: DataFrame) -> None:
+        if self._on_closed is not None:
+            self._on_closed(
+                closed.withColumn("evicted", F.lit(True)).select(
+                    "user_id",
+                    "last_event_id",
+                    "last_type",
+                    "last_value",
+                    "n_versions",
+                    "evicted",
+                    "last_ts",
+                )
+            )
+
+    # -- reads ----------------------------------------------------------------
+
+    def snapshot(self) -> DataFrame | None:
+        """Current open sessions (live keys), latest-wins columns +
+        evicted=false — the frame the Python spelling's update rows
+        described. None before the first non-empty batch."""
+        if self._snap is None:
+            return None
+        return self._snap.select(
+            "user_id",
+            "last_event_id",
+            "last_type",
+            "last_value",
+            "n_versions",
+            F.lit(False).alias("evicted"),
+            "last_ts",
+        )
+
+
+def _empty_snapshot(spark, batch_df: DataFrame, ts_col: str) -> DataFrame:
+    """0-row snapshot frame typed off the batch's own columns (so the
+    ts dtype — µs vs ns-truncated — always matches the source)."""
+    return batch_df.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.lit(0).cast("bigint").alias("n_versions"),
+        F.col(ts_col).alias("last_ts"),
+    ).limit(0)
+
+
 # ---- transformWithState timer spelling ------------------------------------
 #
 # The successor API expresses the same TTL eviction with explicit timers:

@@ -400,3 +400,111 @@ def test_jvm_ttl_stream_requires_explicit_watermark(spark, tmp_path):
 
     # batch: None resolves to the no-op watermark, plan builds fine
     assert latest_wins_ttl_jvm(batch).count() == 1
+
+
+def test_cdc_live_view_open_session_read(spark, tmp_path):
+    """r10 verdict #3: the JVM path gets a LIVE read. CdcLiveView folds
+    each micro-batch into an open-session snapshot with only JVM
+    operators; mid-stream it must serve exactly what the Python
+    spelling's update rows described (live keys' latest-wins state),
+    and its closed-session log must match the append-mode session
+    query's eviction contract."""
+    from console_datagen_spark.streaming.cdc import (
+        CdcLiveView,
+        latest_wins_stateful,
+    )
+
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    ttl_ms = 10_000
+
+    a = [
+        (1, 10, "view", 1.5, 0),
+        (2, 20, "view", 7.0, 1),
+        (1, 11, "click", 2.5, 2),
+        (1, 12, "purchase", 9.0, 5),
+    ]
+    b = [(1, 13, "view", 3.0, 20), (99, 990, "view", 0.0, 100)]
+    # two sessions for ONE key inside a single batch (50 s gap > TTL)
+    c = [(5, 50, "view", 1.0, 200), (5, 51, "click", 2.0, 250)]
+
+    closed = []
+    view = CdcLiveView(
+        ttl_ms=ttl_ms,
+        on_closed=lambda df: closed.extend(df.collect()),
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.schema(SCHEMA_TS)
+            .parquet(str(src))
+            .writeStream.foreachBatch(view.update)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def snap():
+        return {
+            r.user_id: (r.last_event_id, r.last_type, r.last_value, r.n_versions)
+            for r in view.snapshot().collect()
+        }
+
+    _ts_rows(spark, a).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    # frontier = 5 s: nothing idle > 10 s yet — both keys live, merged
+    assert snap() == {1: (12, "purchase", 9.0, 3), 2: (20, "view", 7.0, 1)}
+    assert not closed
+
+    # mid-stream parity vs the Python spelling: its live (non-evicted)
+    # update rows for the same prefix describe the same state
+    emitted = []
+    q = (
+        latest_wins_stateful(
+            spark.readStream.schema(SCHEMA_TS).parquet(str(src)),
+            ttl_ms=3_600_000,  # wall-clock TTL far beyond the test
+        )
+        .writeStream.foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "py_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    py_live = {
+        r.user_id: (r.last_event_id, r.last_type, r.last_value, r.n_versions)
+        for r in emitted
+        if not r.evicted
+    }
+    assert py_live == snap()
+
+    _ts_rows(spark, b).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    # frontier = 100 s: user 1's first session (last_ts 5) closed by the
+    # 15 s gap, its second (last_ts 20) idled out, user 2 idled out;
+    # only the 100 s sentinel survives
+    assert snap() == {99: (990, "view", 0.0, 1)}
+    got_closed = {
+        (r.user_id, r.last_event_id, r.last_type, r.last_value, r.n_versions)
+        for r in closed
+    }
+    # identical to the eviction set the append-mode session query emits
+    # for this source (test_jvm_ttl_eviction_parity's contract)
+    assert got_closed == {
+        (1, 12, "purchase", 9.0, 3),
+        (2, 20, "view", 7.0, 1),
+        (1, 13, "view", 3.0, 1),
+    }
+    assert all(r.evicted for r in closed)
+
+    _ts_rows(spark, c).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    # intra-batch split: session (50) closed inside the batch, (51) open;
+    # the 100 s sentinel idled out against the 250 s frontier
+    assert snap() == {5: (51, "click", 2.0, 1)}
+    got_closed = {
+        (r.user_id, r.last_event_id, r.last_type, r.last_value, r.n_versions)
+        for r in closed
+    }
+    assert (5, 50, "view", 1.0, 1) in got_closed
+    assert (99, 990, "view", 0.0, 1) in got_closed
