@@ -140,10 +140,29 @@ class FileSpoolShareClient:
     invariant.
     """
 
-    def __init__(self, spool_dir: str, lease_ms: int = 30_000):
+    ARCHIVE_DIR = "_archive"
+
+    def __init__(
+        self,
+        spool_dir: str,
+        lease_ms: int = 30_000,
+        max_delivery_count: int = 5,
+        clock=time.time,
+    ):
+        """``max_delivery_count`` mirrors the broker's
+        ``group.share.delivery.count.limit`` (KIP-932 default 5): each
+        acquisition increments the record's delivery count (persisted in
+        a ``.dc`` sidecar so it survives release/expiry); a record that
+        has already been delivered ``max_delivery_count`` times is
+        ARCHIVED (moved to ``_archive/``, never redelivered) instead of
+        re-leased — the broker's poison-record parking. ``clock`` is
+        injectable (seconds, ``time.time`` signature) so conformance
+        tests drive lock expiry deterministically."""
         self._dir = spool_dir
         self._lease_ms = lease_ms
-        os.makedirs(spool_dir, exist_ok=True)
+        self._max_dc = max_delivery_count
+        self._clock = clock
+        os.makedirs(os.path.join(spool_dir, self.ARCHIVE_DIR), exist_ok=True)
         self._held: dict[str, str] = {}  # delivery_id -> record path
 
     # -- producer side (test/local harness) --------------------------------
@@ -160,7 +179,8 @@ class FileSpoolShareClient:
     # -- consumer side ------------------------------------------------------
     def _try_lease(self, name: str, now: float) -> tuple[str, str] | None:
         """Race-safe lease attempt on one spool record; returns
-        (delivery_id, path) or None if the record is held elsewhere."""
+        (delivery_id, path) or None if the record is held elsewhere or
+        was archived (delivery-count cap)."""
         path = os.path.join(self._dir, name)
         lock = path + ".lock"
         if os.path.exists(lock):
@@ -177,6 +197,15 @@ class FileSpoolShareClient:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return None  # another consumer won the race
+        # holding the lock makes the delivery-count read/increment
+        # single-writer: a record already delivered max times is parked
+        # (KIP-932 delivery-count limit), everything else increments
+        dc = self._delivery_count(path)
+        if dc >= self._max_dc:
+            self._archive(path, lock)
+            return None
+        with open(path + ".dc", "w") as f:
+            f.write(str(dc + 1))
         with os.fdopen(fd, "w") as f:
             json.dump(
                 {"delivery_id": delivery_id, "expires_ms": now + self._lease_ms},
@@ -184,9 +213,33 @@ class FileSpoolShareClient:
             )
         return delivery_id, path
 
+    def _delivery_count(self, path: str) -> int:
+        try:
+            with open(path + ".dc") as f:
+                return int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            return 0
+
+    def _archive(self, path: str, lock: str) -> None:
+        """Park a record for good: moved to ``_archive/`` (the broker
+        archives rejected / delivery-capped records rather than deleting
+        them), sidecars removed."""
+        dest = os.path.join(
+            self._dir, self.ARCHIVE_DIR, os.path.basename(path)
+        )
+        try:
+            os.replace(path, dest)
+        except FileNotFoundError:
+            pass
+        for p in (lock, path + ".dc"):
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+
     def poll(self, max_records: int) -> list[ShareRecord]:
         out: list[ShareRecord] = []
-        now = time.time() * 1000
+        now = self._clock() * 1000
         for name in sorted(os.listdir(self._dir)):
             if len(out) >= max_records:
                 break
@@ -224,7 +277,7 @@ class FileSpoolShareClient:
         segments), so the driver touches O(records) filenames and zero
         payload bytes; executors read the payloads."""
         out: list[LeaseRef] = []
-        now = time.time() * 1000
+        now = self._clock() * 1000
         for name in sorted(os.listdir(self._dir)):
             if len(out) >= max_records:
                 break
@@ -250,21 +303,32 @@ class FileSpoolShareClient:
         lock = path + ".lock"
         # ownership check: if the lease expired and another consumer
         # re-leased (lock rewritten with a new delivery_id) or settled
-        # (lock gone) the record, this ack is stale and must not touch it
+        # (lock gone) the record, this ack is stale and must not touch it.
+        # An EXPIRED-but-unclaimed lease is equally stale: the broker
+        # enforces the acquisition-lock timeout server-side and refuses
+        # late acks whether or not the record was re-acquired yet (the
+        # stale lock stays for the next poll to reclaim — same outcome
+        # as the broker's automatic return to Available).
         try:
             with open(lock) as f:
-                if json.load(f).get("delivery_id") != delivery_id:
-                    raise StaleLeaseError(delivery_id)
+                held = json.load(f)
+            if held.get("delivery_id") != delivery_id:
+                raise StaleLeaseError(delivery_id)
+            if held.get("expires_ms", 0) <= self._clock() * 1000:
+                raise StaleLeaseError(delivery_id)
         except (OSError, ValueError):
             raise StaleLeaseError(delivery_id) from None
-        if ack_type in (ACCEPT, REJECT):
-            # settled for good (REJECT would archive broker-side; the spool
-            # just drops it — the reference never rejects)
-            for p in (path, lock):
+        if ack_type == ACCEPT:
+            # settled for good
+            for p in (path, lock, path + ".dc"):
                 try:
                     os.remove(p)
                 except FileNotFoundError:
                     pass
+        elif ack_type == REJECT:
+            # poison record: ARCHIVED broker-side (KIP-932), not deleted —
+            # never redelivered, but inspectable
+            self._archive(path, lock)
         elif ack_type == RELEASE:
             try:
                 os.remove(lock)  # record becomes available again
@@ -285,6 +349,10 @@ class FileSpoolShareClient:
     def pending(self) -> int:
         """Records not yet settled (available + leased) — test hook."""
         return sum(1 for n in os.listdir(self._dir) if n.endswith(".json"))
+
+    def archived(self) -> list[str]:
+        """Parked record names (rejected or delivery-capped) — test hook."""
+        return sorted(os.listdir(os.path.join(self._dir, self.ARCHIVE_DIR)))
 
 
 def _load_factory(path: str):

@@ -1,0 +1,285 @@
+r"""KIP-932 share-group conformance battery (r10 verdict #6).
+
+Property-based (hypothesis stateful) exercise of the lease table under
+every per-record transition the protocol defines:
+
+    Available --acquire--> Acquired --accept--> Acknowledged
+       ^                      |   \--reject--> Archived
+       |                      \--release / lock-timeout--> Available
+       \-- (delivery count == limit at next acquire) --> Archived
+
+checked against an exact in-test model: lease exclusivity (a record is
+held live by at most one consumer), delivery counts never exceed the
+limit (``group.share.delivery.count.limit`` analog), delivery-capped and
+rejected records park in the archive and never redeliver, stale acks
+(expired / re-leased / already-settled) raise ``StaleLeaseError`` and
+never disturb the current holder, and settlement conservation: every
+offered record is exactly one of accepted / archived / still-pending.
+
+Documented deltas — what only the real wire protocol decides (the
+emulation makes the same OBSERVABLE transitions, later or lazily):
+
+- lock timeout is enforced lazily: the broker returns a timed-out record
+  to Available immediately; the spool reclaims the stale lock at the
+  next poll and refuses late acks at ack time (same visible outcome).
+- batch acquisition: ShareFetch acquires contiguous offset batches with
+  one lock; the spool leases per record.
+- SPSO/SPEO positions, archive durability, and inter-broker lease
+  movement are broker-internal and have no observable spool analog.
+
+Reference anchor: DataGenerator.java:172-180 (share-consumer loop).
+"""
+
+import os
+
+from hypothesis import settings
+from hypothesis import strategies as st
+from hypothesis.stateful import (
+    RuleBasedStateMachine,
+    initialize,
+    invariant,
+    precondition,
+    rule,
+)
+
+import pytest
+
+from console_datagen_spark.sources.share_group import (
+    ACCEPT,
+    REJECT,
+    RELEASE,
+    FileSpoolShareClient,
+    StaleLeaseError,
+)
+
+LEASE_MS = 10_000
+MAX_DC = 3
+N_CONSUMERS = 2
+
+
+class ShareGroupMachine(RuleBasedStateMachine):
+    def __init__(self):
+        super().__init__()
+        import tempfile
+
+        self.dir = tempfile.mkdtemp(prefix="share_conf_")
+        self.now = [1_000_000.0]  # seconds; injected clock
+        clock = lambda: self.now[0]  # noqa: E731
+        self.clients = [
+            FileSpoolShareClient(
+                self.dir,
+                lease_ms=LEASE_MS,
+                max_delivery_count=MAX_DC,
+                clock=clock,
+            )
+            for _ in range(N_CONSUMERS)
+        ]
+        self.offset = 0
+        # model: name -> {status, dc, holder(consumer,delivery_id)|None,
+        #                 expires_ms}
+        self.model: dict[str, dict] = {}
+        # (consumer_idx, delivery_id) -> name, for acks incl. stale ones
+        self.held: dict[tuple[int, str], str] = {}
+        self.accepted: set[str] = set()
+
+    # ---- model helpers -----------------------------------------------------
+
+    def _now_ms(self) -> float:
+        return self.now[0] * 1000
+
+    def _live(self, rec: dict) -> bool:
+        return (
+            rec["status"] == "acquired"
+            and rec["expires_ms"] > self._now_ms()
+        )
+
+    def _model_poll(self) -> str | None:
+        """Replicate the spool's deterministic scan: first name-sorted
+        record that is available (or expired-acquired); delivery-capped
+        records archive as a scan side effect."""
+        for name in sorted(self.model):
+            rec = self.model[name]
+            if rec["status"] in ("accepted", "archived"):
+                continue
+            if self._live(rec):
+                continue
+            if rec["dc"] >= MAX_DC:
+                rec["status"] = "archived"
+                rec["holder"] = None
+                continue
+            return name
+        return None
+
+    # ---- rules ---------------------------------------------------------------
+
+    @initialize()
+    def seed(self):
+        pass
+
+    @rule()
+    def offer(self):
+        if len(self.model) >= 12:  # bound the universe, keep runs fast
+            return
+        name = f"t-0-{self.offset}.json"
+        self.clients[0].offer(
+            [
+                {
+                    "topic": "t",
+                    "partition": 0,
+                    "offset": self.offset,
+                    "key": f"k{self.offset}",
+                    "value": f"v{self.offset}",
+                    "timestamp_ms": 1,
+                }
+            ]
+        )
+        self.model[name] = {
+            "status": "available",
+            "dc": 0,
+            "holder": None,
+            "expires_ms": 0,
+        }
+        self.offset += 1
+
+    @rule(c=st.integers(0, N_CONSUMERS - 1))
+    def poll_one(self, c):
+        want = self._model_poll()
+        got = self.clients[c].poll(1)
+        if want is None:
+            assert got == [], f"model says nothing leasable, got {got}"
+            return
+        assert len(got) == 1
+        rec = got[0]
+        name = f"{rec.topic}-{rec.partition}-{rec.offset}.json"
+        assert name == want, f"scan order diverged: {name} != {want}"
+        m = self.model[name]
+        m["status"] = "acquired"
+        m["dc"] += 1
+        m["holder"] = (c, rec.delivery_id)
+        m["expires_ms"] = self._now_ms() + LEASE_MS
+        self.held[(c, rec.delivery_id)] = name
+        assert m["dc"] <= MAX_DC, "delivery count exceeded the limit"
+
+    @precondition(lambda self: self.held)
+    @rule(
+        data=st.data(),
+        ack=st.sampled_from([ACCEPT, RELEASE, REJECT]),
+    )
+    def acknowledge(self, data, ack):
+        (c, did) = data.draw(
+            st.sampled_from(sorted(self.held)), label="held lease"
+        )
+        name = self.held.pop((c, did))
+        m = self.model[name]
+        ours = m["holder"] == (c, did)
+        live = ours and m["expires_ms"] > self._now_ms()
+        if not live:
+            # expired, re-leased, or settled underneath us: stale
+            with pytest.raises((StaleLeaseError, KeyError)):
+                self.clients[c].acknowledge(did, ack)
+            return
+        self.clients[c].acknowledge(did, ack)
+        m["holder"] = None
+        if ack == ACCEPT:
+            m["status"] = "accepted"
+            self.accepted.add(name)
+        elif ack == REJECT:
+            m["status"] = "archived"
+        else:
+            m["status"] = "available"
+            m["expires_ms"] = 0
+
+    @rule(ms=st.sampled_from([LEASE_MS // 2, LEASE_MS, LEASE_MS + 1]))
+    def advance_time(self, ms):
+        self.now[0] += ms / 1000.0
+
+    # ---- invariants ------------------------------------------------------------
+
+    @invariant()
+    def conservation_and_archive_parity(self):
+        spool = {
+            n for n in os.listdir(self.dir) if n.endswith(".json")
+        }
+        model_pending = {
+            n
+            for n, m in self.model.items()
+            if m["status"] in ("available", "acquired")
+        }
+        # records the model already knows are delivery-capped but the
+        # spool hasn't scanned yet still sit in the spool dir — allow
+        # the lazy-archive direction only
+        lazily_archived = spool - model_pending
+        for n in lazily_archived:
+            assert self.model[n]["status"] == "archived", (
+                f"spool holds {n} but model says {self.model[n]['status']}"
+            )
+        assert model_pending <= spool, "spool lost a pending record"
+        archived_fs = set(self.clients[0].archived())
+        model_archived = {
+            n for n, m in self.model.items() if m["status"] == "archived"
+        }
+        # same lazy direction: filesystem archive ⊆ model archive, and
+        # every eagerly-archived record is model-archived
+        assert archived_fs <= model_archived
+        # accepted records are gone from BOTH spool and archive
+        for n in self.accepted:
+            assert n not in spool and n not in archived_fs
+
+    @invariant()
+    def delivery_counts_bounded(self):
+        for n, m in self.model.items():
+            assert 0 <= m["dc"] <= MAX_DC
+
+    def teardown(self):
+        import shutil
+
+        for cl in self.clients:
+            cl.close()
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
+TestShareGroupConformance = ShareGroupMachine.TestCase
+TestShareGroupConformance.settings = settings(
+    max_examples=60, stateful_step_count=40, deadline=None
+)
+
+
+def test_delivery_cap_parks_after_exact_limit(tmp_path):
+    """Deterministic twin of the property: a record released MAX_DC
+    times is archived on the next acquisition attempt, never delivered
+    a MAX_DC+1th time."""
+    now = [1_000_000.0]
+    cl = FileSpoolShareClient(
+        str(tmp_path), lease_ms=LEASE_MS, max_delivery_count=MAX_DC,
+        clock=lambda: now[0],
+    )
+    cl.offer([{"topic": "t", "partition": 0, "offset": 0, "key": "k",
+               "value": "v", "timestamp_ms": 1}])
+    for i in range(MAX_DC):
+        (rec,) = cl.poll(1)
+        cl.acknowledge(rec.delivery_id, RELEASE)
+    assert cl.poll(1) == []  # 4th acquire parks it instead
+    assert cl.archived() == ["t-0-0.json"]
+    assert cl.pending() == 0
+
+
+def test_expired_ack_is_stale_even_if_unclaimed(tmp_path):
+    """Broker parity: the acquisition lock timeout refuses a late ack
+    even when no other consumer re-leased the record; the record then
+    redelivers (fresh delivery id, incremented count)."""
+    now = [1_000_000.0]
+    cl = FileSpoolShareClient(
+        str(tmp_path), lease_ms=LEASE_MS, max_delivery_count=MAX_DC,
+        clock=lambda: now[0],
+    )
+    cl.offer([{"topic": "t", "partition": 0, "offset": 0, "key": "k",
+               "value": "v", "timestamp_ms": 1}])
+    (rec,) = cl.poll(1)
+    now[0] += (LEASE_MS + 1) / 1000.0
+    with pytest.raises(StaleLeaseError):
+        cl.acknowledge(rec.delivery_id, ACCEPT)
+    (again,) = cl.poll(1)
+    assert again.delivery_id != rec.delivery_id
+    assert again.offset == 0
+    cl.acknowledge(again.delivery_id, ACCEPT)
+    assert cl.pending() == 0 and cl.archived() == []
