@@ -101,19 +101,27 @@ def assign_clusters(
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
     )
+    # The argmax runs over SKINNY rows — (vec_id, cos, cid), no vector
+    # payload — and the vectors join back afterwards on vec_id. The
+    # previous row_number-window spelling sorted the corpus x nlist
+    # candidate fanout WITH the 512-byte vector attached: 53 GB of sort
+    # input at the 100x probe's sqrt-nlist (project it out and the same
+    # sort is ~2.7 GB, in-memory), the owner of the probe's production
+    # disk spill (r10 verdict #4). max_by keeps the fanout inside the
+    # scan stage and ships one row per (task, vec_id) into the exchange;
+    # ordering parity: max_by over struct(cos, -cid) == rank 1 of
+    # ORDER BY cos DESC, cid ASC (cid unique => deterministic). The
+    # join-back is a co-partitioned equi-join of two O(corpus) frames —
+    # the standard price for not dragging payloads through an argmax.
     scored = n.join(F.broadcast(cent)).select(
         "vec_id",
-        "v",
-        "nrm",
-        "cid",
         (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("cos"),
+        "cid",
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("cid").alias("cluster"))
+    best = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("cos"), -F.col("cid"))).alias("cluster")
     )
+    return n.join(best, "vec_id").select("vec_id", "v", "nrm", "cluster")
 
 
 def ivf_topk(
@@ -557,13 +565,27 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataF
     ORDER BY d, code."""
     sub = _pq_subvectors(embeddings)
     cb = codebook if codebook is not None else pq_codebook(embeddings)
+    # (d, code) packs losslessly into ONE BIGINT (d is exact integer
+    # squared-L2 over permille values, code < PQ_CODES), so the argmin is
+    # a plain min() with a primitive buffer — whole-stage-codegen
+    # HashAggregate with map-side combine. The min_by(struct) spelling
+    # has a struct aggregation buffer, which HashAggregateExec cannot
+    # host: Spark planned a SortAggregate that SORTED the corpus x PQ_M x
+    # PQ_CODES fanout per task (410M rows at the 100x probe — the other
+    # owner of its production spill, r10 verdict #4). Semantics
+    # identical: min(d * PQ_CODES + code) == lexicographic (d, code) min.
+    packed = F.col("d") * F.lit(PQ_CODES).cast("long") + F.col("code")
     return (
         sub.join(F.broadcast(cb), "j")
         .select(
             "vec_id", "j", "code", _pq_sqdist(F.col("sv"), F.col("cv")).alias("d")
         )
         .groupBy("vec_id", "j")
-        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
+        .agg(
+            F.pmod(F.min(packed), F.lit(PQ_CODES).cast("long"))
+            .cast("int")
+            .alias("code")
+        )
     )
 
 

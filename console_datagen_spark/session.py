@@ -41,6 +41,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOT set here: adaptive.coalescePartitions.initialPartitionNum.
+        # A wide initial shuffle (8x cores) is the right call when data
+        # outgrows execution memory — the 100x scale probe sets it in
+        # its own conf — but it is a DATA-PROPORTIONAL knob, not an
+        # engine default: measured at sf0.1, iterative plans that
+        # localCheckpoint per round (pagerank/LSS) materialize every
+        # initial partition before AQE can coalesce, 3-4x'ing their
+        # wall time (graph_pagerank_dups 5.1 s -> 14.9-21.7 s A/B'd in
+        # one session). Deployments size it with the cluster/input, the
+        # same way they size shuffle.partitions.
+        #
+        # collect_list/collect_set-class (TypedImperative) aggregates
+        # run in ObjectHashAggregateExec, whose sort-based fallback
+        # triggers at a default of 128 DISTINCT KEYS per task — a
+        # per-doc/per-vector groupBy degenerates into a sort of the
+        # whole task input at key #129. 256k keys of ~600 B buffers is
+        # ~150 MB/task worst case — a real hash-agg bound, not a sort.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                str(262_144))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -70,4 +89,14 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # raw longs and the catalog's ns→µs truncation branch (matching
     # DuckDB's TIMESTAMP_NS handling, FIXTURES.md D3) still fires.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # runtime-settable halves of get_spark's scale defaults, applied so
+    # driver-owned sessions get them too (rationale in get_spark): argmax
+    # aggregates must not degenerate into fanout sorts at 128 keys/task
+    try:
+        spark.conf.set(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "262144",
+        )
+    except Exception:
+        pass  # static-only in some builds; get_spark sessions already set it
     return spark

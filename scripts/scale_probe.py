@@ -280,17 +280,34 @@ def _heap_used_mb(spark: SparkSession) -> int:
 
 
 class Meter:
-    """Wall time + REST shuffle/spill delta around one measurement."""
+    """Wall time + REST shuffle/spill delta around one measurement.
+
+    Totals are read SETTLED (polled until two consecutive reads agree):
+    the status listener that feeds the REST API lags job completion, so
+    an unsettled read can attribute a section's trailing stage metrics —
+    including its entire spill — to the NEXT section (observed while
+    attributing the r10 100x spill: a build's 3.5 GB landed on the
+    following registry query)."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
+    def _settled_totals(self) -> dict[str, int]:
+        prev = _rest_stage_totals(self.spark)
+        for _ in range(10):
+            time.sleep(1)
+            cur = _rest_stage_totals(self.spark)
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
+
     def run(self, fn) -> tuple[float, dict[str, int], object]:
-        before = _rest_stage_totals(self.spark)
+        before = self._settled_totals()
         t0 = time.perf_counter()
         out = fn()
         dt = time.perf_counter() - t0
-        after = _rest_stage_totals(self.spark)
+        after = self._settled_totals()
         delta = {k: after.get(k, 0) - before.get(k, 0) for k in after}
         return round(dt, 3), delta, out
 
@@ -802,6 +819,40 @@ def main() -> int:
 
     results["memory_by_scale"] = {
         str(s): _leg_mem(results["scales"][str(s)]) for s in SCALES
+    }
+
+    # r10 verdict #4: name WHO spills, not just how much. One row per
+    # section/registry query with any spill at that leg, class-tagged so
+    # "production spill" is attributable to an operator, per scale.
+    def _leg_spill_attribution(row: dict) -> list[dict]:
+        out = []
+
+        def add(name: str, rec: dict, cls: str) -> None:
+            d = int(rec.get("diskBytesSpilled") or 0)
+            m = int(rec.get("memoryBytesSpilled") or 0)
+            if d or m:
+                out.append(
+                    {
+                        "section": name,
+                        "class": cls,
+                        "disk_spill_bytes": d,
+                        "memory_spill_bytes": m,
+                        "sec": rec.get("sec"),
+                    }
+                )
+
+        for s in _PROD_SECTIONS:
+            add(s, row.get(s) or {}, "production")
+        for s in _CONTROL_SECTIONS:
+            add(s, row.get(s) or {}, "control")
+        for name, rec in (row.get("registry") or {}).items():
+            cls = "control" if name in UNCAPPED_CONTROL else "production"
+            add(f"registry/{name}", rec or {}, cls)
+        return sorted(out, key=lambda r: -r["disk_spill_bytes"])
+
+    results["spill_attribution_by_scale"] = {
+        str(s): _leg_spill_attribution(results["scales"][str(s)])
+        for s in SCALES
     }
     top_mem = results["memory_by_scale"][str(SCALES[-1])]
 
