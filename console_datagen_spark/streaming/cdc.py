@@ -309,6 +309,11 @@ class CdcLiveView:
     source the append-mode ``latest_wins_ttl_jvm`` query reads;
     ``view.snapshot()`` is then the live state the Python spelling
     served via update rows — every open session's latest-wins record.
+
+    ``on_closed`` receives each batch's closed-session DataFrame INSIDE
+    the fold and must materialize it synchronously (write/collect): the
+    frame references the pre-merge snapshot, which is released when the
+    fold swaps in the new one.
     """
 
     def __init__(

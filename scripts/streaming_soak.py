@@ -393,6 +393,92 @@ def soak_jvm_cdc_default(spark, rows_per_sec: int = JVM_SOAK_RATE) -> dict:
     }
 
 
+LIVE_VIEW_RATE = 2_000 if SMOKE else 1_000_000
+
+
+def soak_cdc_live_view(spark, rows_per_sec: int = LIVE_VIEW_RATE) -> dict:
+    """Measure the CdcLiveView fold (r11: the JVM path's live read).
+
+    The view is a foreachBatch companion — per batch it sessionizes the
+    micro-batch, outer-join-merges into the held snapshot, evicts idle
+    keys, and localCheckpoints the survivors. That is strictly more
+    per-batch work than the append-mode query's incremental state
+    update, so its sustainable rate is the SNAPSHOT REFRESH budget, not
+    the ingest ceiling: the reference's health read needs a
+    seconds-fresh counter map, and this rung records rows/s the fold
+    absorbs while the snapshot row count plateaus at the open-session
+    bound (same law as the session-window state store)."""
+    import shutil
+
+    from console_datagen_spark.streaming.cdc import CdcLiveView
+
+    ckpt = f"{WORK_DIR}/live_view_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    view = CdcLiveView(ttl_ms=TTL_MS, watermark_delay_ms=2_000)
+    src = _cdc_source(spark, rows_per_sec)
+    q = (
+        src.writeStream.foreachBatch(view.update)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    samples: list[dict] = []
+    secs = max(SOAK_SECS // 4, 20)  # a rung, not the full soak window
+    t_end = time.time() + secs
+    last_batch = -1
+    try:
+        while time.time() < t_end:
+            time.sleep(1.0)
+            p = q.lastProgress
+            if not p or p["batchId"] == last_batch:
+                continue
+            last_batch = p["batchId"]
+            snap = view.snapshot()
+            try:
+                # bounded read: the snapshot is O(active keys). The fold
+                # may swap+unpersist the frame under a concurrent count —
+                # skip the sample's row count rather than fail the rung.
+                n_snap = snap.count() if snap is not None else 0
+            except Exception:
+                n_snap = samples[-1]["snapshot_rows"] if samples else 0
+            samples.append(
+                {
+                    "t": round(time.time() - (t_end - secs), 1),
+                    "batch_id": p["batchId"],
+                    "rows_per_sec": round(
+                        p.get("processedRowsPerSecond") or 0, 1
+                    ),
+                    "snapshot_rows": n_snap,
+                }
+            )
+    finally:
+        q.stop()
+    thirds = max(len(samples) // 3, 1)
+    mid, last = samples[thirds : 2 * thirds], samples[2 * thirds :]
+    tp_mid = statistics.mean(s["rows_per_sec"] for s in mid) if mid else 0
+    tp_last = statistics.mean(s["rows_per_sec"] for s in last) if last else 0
+    snap_mid = max((s["snapshot_rows"] for s in mid), default=0)
+    snap_last = max((s["snapshot_rows"] for s in last), default=0)
+    key_life_s = KEY_CHURN / rows_per_sec if rows_per_sec else 0
+    return {
+        "secs": secs,
+        "rows_per_sec_target": rows_per_sec,
+        "ttl_ms": TTL_MS,
+        "expected_plateau_keys": round(
+            rows_per_sec / KEY_CHURN * (key_life_s + TTL_MS / 1000 + 2)
+        ),
+        "throughput_mid_third": round(tp_mid, 1),
+        "throughput_last_third": round(tp_last, 1),
+        "snapshot_rows_max_mid_third": snap_mid,
+        "snapshot_rows_max_last_third": snap_last,
+        "series": samples,
+        "gates": {
+            "throughput_holds": tp_last >= tp_mid * 0.7,
+            "snapshot_plateaus": snap_last <= max(snap_mid * 1.25, 50),
+        },
+    }
+
+
 def soak_dedup_ingest(spark) -> dict:
     import shutil
 
@@ -551,6 +637,36 @@ def main() -> int:
         spark.stop()
         return 0 if results["ok"] else 1
 
+    if os.environ.get("SPARK_GRAFT_SOAK_LIVE_VIEW_ONLY") == "1":
+        # run only the r11 live-view rung and merge into the artifact
+        spark = get_spark(
+            app_name="console-datagen-spark-soak-liveview",
+            extra_conf={"spark.driver.memory": "8g"},
+        )
+        try:
+            with open(OUT_PATH) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            results = {"smoke": SMOKE, "gates": {}, "ok": False}
+        results.setdefault("gates", {})
+        results["cdc_live_view"] = soak_cdc_live_view(spark)
+        for k, v in results["cdc_live_view"]["gates"].items():
+            results["gates"][f"liveview_{k}"] = v
+        results["ok"] = bool(results["gates"]) and all(
+            results["gates"].values()
+        )
+        with open(OUT_PATH, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+        print(json.dumps({"cdc_live_view_gates":
+                          results["cdc_live_view"]["gates"],
+                          "throughput_last_third":
+                          results["cdc_live_view"]["throughput_last_third"],
+                          "ok": results["ok"], "out": OUT_PATH}, indent=1),
+              flush=True)
+        spark.stop()
+        return 0 if results["ok"] else 1
+
     if os.environ.get("SPARK_GRAFT_SOAK_LADDER_ONLY") == "1":
         # re-run just the knee search (e.g. after extending RATE_LADDER)
         # and merge the new ladder into the existing SOAK.json
@@ -636,6 +752,7 @@ def main() -> int:
         "rate_search_jvm_cdc": rate_search_jvm_cdc,
         "cdc_ttl": soak_cdc_ttl(spark, rows_per_sec=soak_rate),
         "jvm_cdc_soak": soak_jvm_cdc_default(spark),
+        "cdc_live_view": soak_cdc_live_view(spark),
         "dedup_ingest": soak_dedup_ingest(spark),
     }
     gates = {
@@ -652,6 +769,8 @@ def main() -> int:
         ),
         **{f"cdc_{k}": v for k, v in results["cdc_ttl"]["gates"].items()},
         **{f"jvmcdc_{k}": v for k, v in results["jvm_cdc_soak"]["gates"].items()},
+        **{f"liveview_{k}": v
+           for k, v in results["cdc_live_view"]["gates"].items()},
         **{f"ingest_{k}": v for k, v in results["dedup_ingest"]["gates"].items()},
     }
     results["gates"] = gates
