@@ -256,7 +256,11 @@ def write_curve_layout_direct(
     writes a per-attempt temp file then os.replace()s it into place —
     atomic on POSIX — so concurrent attempts (speculative execution, a
     zombie task racing its retry) can never interleave bytes in a final
-    file; on a cluster
+    file. A KILLED attempt can strand its dot-prefixed
+    ``.part-*.attempt-N.tmp`` (readers skip dot-files, so correctness is
+    unaffected; the overwrite's rmtree is what reclaims the space —
+    avoid high task-kill churn on append-style reuse of a store path);
+    on a cluster
     the path must be a shared POSIX filesystem, or swap the pq.write_table
     call for one with an fsspec filesystem for object storage.
 

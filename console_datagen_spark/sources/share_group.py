@@ -202,6 +202,7 @@ class FileSpoolShareClient:
         # (KIP-932 delivery-count limit), everything else increments
         dc = self._delivery_count(path)
         if dc >= self._max_dc:
+            os.close(fd)  # raw fd from os.open is not GC'd — don't leak
             self._archive(path, lock)
             return None
         with open(path + ".dc", "w") as f:

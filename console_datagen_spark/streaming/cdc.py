@@ -314,6 +314,28 @@ class CdcLiveView:
     the fold and must materialize it synchronously (write/collect): the
     frame references the pre-merge snapshot, which is released when the
     fold swaps in the new one.
+
+    Fold mechanics (faithful to the session-window state store): the
+    snapshot holds one row per OPEN SESSION; each batch, those rows
+    re-enter the sessionization as weighted pseudo-events (event time =
+    the session's last_ts, weight = its n_versions) unioned with the
+    batch's real events, and ``session_window`` re-merges everything —
+    including out-of-order events that BRIDGE the held session to later
+    ones, the case a first-session-only chaining rule gets wrong. A
+    session closes ONLY when the frontier passes its end (idle strictly
+    > TTL), exactly the watermark rule, so with ``watermark_delay_ms``
+    > 0 a key can transiently hold several open sessions — the same
+    state the canonical query's store holds. The pseudo-event point
+    stands in for the held session's full interval exactly when
+    ``watermark_delay_ms <= ttl_ms`` (any event the watermark still
+    admits lands within TTL of last_ts); larger delays are rejected at
+    construction.
+
+    State is in-memory (plus executor blocks via localCheckpoint): a
+    driver restart loses the snapshot even though the checkpointed
+    SOURCE resumes mid-stream. On restart either replay from a fresh
+    checkpoint, or persist ``snapshot()`` each batch and hand it to
+    ``restore()`` before restarting the query.
     """
 
     def __init__(
@@ -323,6 +345,14 @@ class CdcLiveView:
         watermark_delay_ms: int = 0,
         on_closed=None,
     ) -> None:
+        if watermark_delay_ms > ttl_ms:
+            raise ValueError(
+                "CdcLiveView requires watermark_delay_ms <= ttl_ms "
+                f"({watermark_delay_ms} > {ttl_ms}): beyond that, the "
+                "watermark admits events older than the snapshot's "
+                "pseudo-event horizon and the fold can under-merge vs "
+                "the canonical session store."
+            )
         self._ttl_ms = ttl_ms
         self._ts = ts_col
         self._delay_ms = watermark_delay_ms
@@ -330,12 +360,17 @@ class CdcLiveView:
         self._snap: DataFrame | None = None
         self._frontier = None  # running max event time - delay
 
+    def restore(self, snapshot_df: DataFrame) -> None:
+        """Seed the held state from a persisted ``snapshot()`` frame
+        (driver-restart recovery). Accepts the snapshot schema with or
+        without the ``evicted`` marker column."""
+        cols = [c for c in LIVE_SNAPSHOT_COLS]
+        self._snap = snapshot_df.select(*cols).localCheckpoint(eager=True)
+
     # -- per-batch fold (foreachBatch signature) -----------------------------
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         import datetime
-
-        from pyspark.sql.window import Window
 
         ts, ttl_ms = self._ts, self._ttl_ms
         gap = f"{ttl_ms} milliseconds"
@@ -360,99 +395,43 @@ class CdcLiveView:
         if mx is None:  # empty micro-batch: only the frontier could move
             merged = prev
         else:
-            # intra-batch sessionization — session_window works on batch
-            # frames, so this IS the streaming spelling's grouping
-            w = Window.partitionBy("user_id")
-            sess = (
-                batch_df.groupBy(F.session_window(ts, gap), "user_id")
+            # one weighted event stream: real events (weight 1) plus the
+            # held sessions as pseudo-events at their last_ts (weight =
+            # n_versions, id/type/value = the session's latest-wins
+            # fields). session_window over the union re-merges exactly
+            # what the canonical state store would: chains, intra-batch
+            # splits, AND out-of-order bridges between held and new
+            # sessions (valid because watermark_delay <= ttl pins every
+            # admissible event within TTL of a held session's last_ts).
+            events = batch_df.select(
+                "user_id",
+                "event_id",
+                "event_type",
+                "value",
+                F.col(ts).alias("_ts"),
+                F.lit(1).cast("bigint").alias("_w"),
+            )
+            if prev is not None:
+                pseudo = prev.select(
+                    "user_id",
+                    F.col("last_event_id").alias("event_id"),
+                    F.col("last_type").alias("event_type"),
+                    F.col("last_value").alias("value"),
+                    F.col("last_ts").alias("_ts"),
+                    F.col("n_versions").alias("_w"),
+                )
+                events = events.unionByName(pseudo)
+            merged = (
+                events.groupBy(F.session_window("_ts", gap), "user_id")
                 .agg(
                     F.max("event_id").alias("last_event_id"),
                     F.max_by("event_type", "event_id").alias("last_type"),
                     F.max_by("value", "event_id").alias("last_value"),
-                    F.count("*").cast("bigint").alias("n_versions"),
-                    F.max(ts).alias("last_ts"),
+                    F.sum("_w").cast("bigint").alias("n_versions"),
+                    F.max("_ts").alias("last_ts"),
                 )
-                .select(
-                    "user_id",
-                    F.col("session_window.start").alias("s_start"),
-                    "last_event_id",
-                    "last_type",
-                    "last_value",
-                    "n_versions",
-                    "last_ts",
-                )
-                .withColumn("min_s", F.min("s_start").over(w))
-                .withColumn("max_s", F.max("s_start").over(w))
-            )
-            if prev is None:
-                prev = _empty_snapshot(batch_df.sparkSession, batch_df, ts)
-            p = prev.select(
-                F.col("user_id"),
-                *[
-                    F.col(c).alias(f"p_{c}")
-                    for c in LIVE_SNAPSHOT_COLS
-                    if c != "user_id"
-                ],
-            )
-            j = sess.join(p, "user_id", "left")
-            # chain the held open session into the batch's FIRST session
-            # when the gap is within TTL (exactly-gap merges — the
-            # pinned session-window boundary)
-            chained = (
-                (F.col("s_start") == F.col("min_s"))
-                & F.col("p_last_ts").isNotNull()
-                & (F.col("s_start") <= F.col("p_last_ts") + ttl)
-            )
-            take_p = chained & (
-                F.col("p_last_event_id") > F.col("last_event_id")
-            )
-            adj = j.select(
-                "user_id",
-                "s_start",
-                "max_s",
-                F.when(take_p, F.col("p_last_event_id"))
-                .otherwise(F.col("last_event_id"))
-                .alias("last_event_id"),
-                F.when(take_p, F.col("p_last_type"))
-                .otherwise(F.col("last_type"))
-                .alias("last_type"),
-                F.when(take_p, F.col("p_last_value"))
-                .otherwise(F.col("last_value"))
-                .alias("last_value"),
-                (
-                    F.col("n_versions")
-                    + F.when(chained, F.col("p_n_versions")).otherwise(F.lit(0))
-                ).alias("n_versions"),
-                F.greatest("last_ts", F.coalesce("p_last_ts", "last_ts")).alias(
-                    "last_ts"
-                ),
-                chained.alias("chained"),
-            )
-            open_rows = adj.where(F.col("s_start") == F.col("max_s")).select(
-                *LIVE_SNAPSHOT_COLS
-            )
-            closed_batch = adj.where(F.col("s_start") < F.col("max_s")).select(
-                *LIVE_SNAPSHOT_COLS
-            )
-            # held sessions whose key reappeared UNCHAINED: closed alone
-            firsts = j.where(F.col("s_start") == F.col("min_s")).select(
-                "user_id",
-                (
-                    F.col("p_last_ts").isNotNull()
-                    & (F.col("s_start") <= F.col("p_last_ts") + ttl)
-                ).alias("chained"),
-            )
-            p_closed = (
-                prev.join(firsts, "user_id", "inner")
-                .where(~F.col("chained"))
                 .select(*LIVE_SNAPSHOT_COLS)
             )
-            # held sessions whose key is absent from the batch: carried
-            p_carry = prev.join(
-                sess.select("user_id").distinct(), "user_id", "left_anti"
-            ).select(*LIVE_SNAPSHOT_COLS)
-            merged = open_rows.unionByName(p_carry)
-            self._emit_closed(closed_batch.unionByName(p_closed))
 
         if merged is None:
             return
@@ -497,7 +476,11 @@ class CdcLiveView:
     def snapshot(self) -> DataFrame | None:
         """Current open sessions (live keys), latest-wins columns +
         evicted=false — the frame the Python spelling's update rows
-        described. None before the first non-empty batch."""
+        described. None before the first non-empty batch. With
+        ``watermark_delay_ms`` > 0 a key may transiently carry more
+        than one open session (ordered by last_ts) — the same rows the
+        canonical query's state store holds before its watermark closes
+        the earlier one."""
         if self._snap is None:
             return None
         return self._snap.select(
@@ -509,19 +492,6 @@ class CdcLiveView:
             F.lit(False).alias("evicted"),
             "last_ts",
         )
-
-
-def _empty_snapshot(spark, batch_df: DataFrame, ts_col: str) -> DataFrame:
-    """0-row snapshot frame typed off the batch's own columns (so the
-    ts dtype — µs vs ns-truncated — always matches the source)."""
-    return batch_df.select(
-        "user_id",
-        F.col("event_id").alias("last_event_id"),
-        F.col("event_type").alias("last_type"),
-        F.col("value").alias("last_value"),
-        F.lit(0).cast("bigint").alias("n_versions"),
-        F.col(ts_col).alias("last_ts"),
-    ).limit(0)
 
 
 # ---- transformWithState timer spelling ------------------------------------

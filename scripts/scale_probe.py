@@ -293,9 +293,13 @@ class Meter:
         self.spark = spark
 
     def _settled_totals(self) -> dict[str, int]:
+        # initial dwell BEFORE the first read: two immediately-agreeing
+        # reads can both predate the listener's queue drain (agreement
+        # alone doesn't prove the update arrived)
+        time.sleep(2)
         prev = _rest_stage_totals(self.spark)
         for _ in range(10):
-            time.sleep(1)
+            time.sleep(2)
             cur = _rest_stage_totals(self.spark)
             if cur == prev:
                 return cur
@@ -796,10 +800,20 @@ def main() -> int:
     _CONTROL_SECTIONS = ("cand_uncapped", "ivfpq_build", "ivfpq_probe")
 
     def _leg_mem(row: dict) -> dict:
-        prod = [row.get(s) or {} for s in _PROD_SECTIONS] + list(
-            row["registry"].values()
-        )
-        ctrl = [row.get(s) or {} for s in _CONTROL_SECTIONS]
+        # registry rows split by the SAME classification the attribution
+        # uses (UNCAPPED_CONTROL queries are controls) so
+        # production_disk_spill_bytes reconciles exactly with the sum of
+        # class='production' rows in spill_attribution_by_scale
+        prod = [row.get(s) or {} for s in _PROD_SECTIONS] + [
+            rec
+            for name, rec in (row.get("registry") or {}).items()
+            if name not in UNCAPPED_CONTROL
+        ]
+        ctrl = [row.get(s) or {} for s in _CONTROL_SECTIONS] + [
+            rec
+            for name, rec in (row.get("registry") or {}).items()
+            if name in UNCAPPED_CONTROL
+        ]
 
         def tot(rows: list[dict], key: str) -> int:
             return sum(int(r.get(key) or 0) for r in rows)

@@ -473,6 +473,10 @@ def soak_cdc_live_view(spark, rows_per_sec: int = LIVE_VIEW_RATE) -> dict:
         "snapshot_rows_max_last_third": snap_last,
         "series": samples,
         "gates": {
+            # absolute floors first: with zero samples (query died on
+            # batch 1) the relative gates pass vacuously (0 >= 0)
+            "fold_ran": len(samples) > 0,
+            "absorbs_target": tp_last >= 0.9 * rows_per_sec,
             "throughput_holds": tp_last >= tp_mid * 0.7,
             "snapshot_plateaus": snap_last <= max(snap_mid * 1.25, 50),
         },

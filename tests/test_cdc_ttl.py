@@ -508,3 +508,83 @@ def test_cdc_live_view_open_session_read(spark, tmp_path):
     }
     assert (5, 50, "view", 1.0, 1) in got_closed
     assert (99, 990, "view", 0.0, 1) in got_closed
+
+
+def test_cdc_live_view_bridging_and_restore(spark, tmp_path):
+    """Out-of-order events that BRIDGE the held session to later ones
+    must re-merge into ONE open session (the canonical state-store
+    behavior a first-session-only chaining rule gets wrong), and a
+    persisted snapshot must seed a fresh view via restore()."""
+    from console_datagen_spark.streaming.cdc import CdcLiveView
+
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    ttl_ms = 10_000
+
+    view = CdcLiveView(ttl_ms=ttl_ms, watermark_delay_ms=5_000)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(SCHEMA_TS)
+            .parquet(str(src))
+            .writeStream.foreachBatch(view.update)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: key 1 session with last_ts = 100 s, 5 versions
+    a = [(1, 10 + i, "view", 1.0 * i, 96 + i) for i in range(5)]  # 96..100
+    _ts_rows(spark, a).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    # frontier = 100 - 5 = 95 s
+    snap = view.snapshot().collect()
+    assert [(r.last_event_id, r.n_versions) for r in snap] == [(14, 5)]
+
+    # batch 2: out-of-order 96 s (admissible: >= frontier 95) + 108 s.
+    # Intra-batch alone these split (gap 12 s > ttl), but the held
+    # session's last_ts = 100 bridges both => ONE open session, n = 7.
+    b = [(1, 20, "click", 2.0, 96), (1, 21, "purchase", 3.0, 108)]
+    _ts_rows(spark, b).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    snap = view.snapshot().collect()
+    assert [
+        (r.last_event_id, r.last_type, r.n_versions) for r in snap
+    ] == [(21, "purchase", 7)]
+
+    # restore(): a fresh view seeded from the persisted snapshot frame
+    # serves the same state before any batch, and folding the NEXT
+    # (unseen) events continues the history — n_versions accumulates,
+    # not resets. restore() pairs with RESUMING the source checkpoint
+    # (replaying from scratch would double-count into the pseudo-event).
+    snap_path = str(tmp_path / "snap_store")
+    view.snapshot().write.parquet(snap_path)
+    view2 = CdcLiveView(ttl_ms=ttl_ms, watermark_delay_ms=5_000)
+    view2.restore(spark.read.parquet(snap_path))
+    got = {
+        (r.user_id, r.last_event_id, r.n_versions)
+        for r in view2.snapshot().collect()
+    }
+    assert got == {(1, 21, 7)}
+    c = [(1, 22, "view", 4.0, 112)]
+    _ts_rows(spark, c).coalesce(1).write.mode("append").parquet(str(src))
+    run_once_v2 = (
+        spark.readStream.schema(SCHEMA_TS)
+        .parquet(str(src))
+        .writeStream.foreachBatch(view2.update)
+        .option("checkpointLocation", str(ckpt))  # RESUME: only file c
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_once_v2.awaitTermination(120)
+    got = {
+        (r.user_id, r.last_event_id, r.n_versions)
+        for r in view2.snapshot().collect()
+    }
+    assert got == {(1, 22, 8)}
+
+    # delay > ttl is rejected at construction (under-merge hazard)
+    import pytest
+
+    with pytest.raises(ValueError, match="watermark_delay_ms"):
+        CdcLiveView(ttl_ms=1_000, watermark_delay_ms=2_000)
