@@ -324,9 +324,15 @@ def _unfilter_row(
         return line
     if ftype == 2:  # Up — no intra-row dependency, fully vectorized
         return (line.astype(np.int32) + prev).astype(np.uint8)
-    # Sub/Average/Paeth recur on the just-reconstructed left pixel, so
-    # the column loop is inherently serial; rows here are small (the
-    # registered queries use 8x8), and a real deployment swaps in PIL.
+    if ftype == 1:  # Sub — recon[x] = line[x] + recon[x-bpp]: a
+        # per-channel-lane prefix sum; uint8 wraparound == mod 256 on
+        # the running integer sum, so cumsum vectorizes it exactly
+        lanes = line.reshape(-1, bpp).astype(np.int64)
+        return (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+    # Average/Paeth recur on BOTH the just-reconstructed left pixel and
+    # the prior row, so their column loop is inherently serial; rows
+    # here are small (the registered queries use 8x8), and a real
+    # deployment swaps in PIL.
     recon = line.astype(np.int32)
     for x in range(len(line)):
         a = recon[x - bpp] if x >= bpp else 0
