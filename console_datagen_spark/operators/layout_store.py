@@ -256,11 +256,17 @@ def write_curve_layout_direct(
     writes a per-attempt temp file then os.replace()s it into place —
     atomic on POSIX — so concurrent attempts (speculative execution, a
     zombie task racing its retry) can never interleave bytes in a final
-    file. A KILLED attempt can strand its dot-prefixed
-    ``.part-*.attempt-N.tmp`` (readers skip dot-files, so correctness is
-    unaffected; the overwrite's rmtree is what reclaims the space —
-    avoid high task-kill churn on append-style reuse of a store path);
-    on a cluster
+    file. A KILLED attempt's stranded dot-prefixed
+    ``.part-*.attempt-N.tmp`` (readers skip dot-files, so correctness
+    is never affected) is reclaimed at two points: the overwrite's
+    rmtree sweeps the whole store at write start, and each attempt
+    sweeps OLDER attempts' tmps from every bucket it writes — a retry
+    deterministically rewrites its predecessor's buckets, so a
+    completed job strands nothing (only a job-level abort can, and that
+    store is incomplete until its next overwrite anyway). Deleting an
+    in-flight lower-id twin's tmp (speculation) at worst fails that
+    twin's os.replace — the winning attempt has already installed
+    byte-identical contents; on a cluster
     the path must be a shared POSIX filesystem, or swap the pq.write_table
     call for one with an fsspec filesystem for object storage.
 
@@ -343,6 +349,23 @@ def write_curve_layout_direct(
         for b, s, e in zip(uniq, starts, ends):
             d = f"{path}/bucket={int(b)}"
             os.makedirs(d, exist_ok=True)
+            # sweep tmps stranded by OLDER attempts of this bucket's
+            # task (a kill between write_table and os.replace): attempt
+            # ids are globally monotone, so anything below ours is a
+            # predecessor — never a live speculative twin we'd race
+            # (deleting one anyway only fails its replace; contents are
+            # byte-identical).
+            for stale in os.listdir(d):
+                if stale.startswith(".part-") and stale.endswith(".tmp"):
+                    try:
+                        sid = int(stale.rsplit("attempt-", 1)[1][:-4])
+                    except (IndexError, ValueError):
+                        sid = -1
+                    if sid < attempt:
+                        try:
+                            os.remove(os.path.join(d, stale))
+                        except FileNotFoundError:
+                            pass
             tmp = f"{d}/.part-00000.parquet.attempt-{attempt}.tmp"
             pq.write_table(table.slice(s, e - s), tmp)
             os.replace(tmp, f"{d}/part-00000.parquet")

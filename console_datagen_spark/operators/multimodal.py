@@ -337,9 +337,7 @@ def _unfilter_row(
     for x in range(len(line)):
         a = recon[x - bpp] if x >= bpp else 0
         b = int(prev[x])
-        if ftype == 1:  # Sub
-            recon[x] = (recon[x] + a) & 0xFF
-        elif ftype == 3:  # Average
+        if ftype == 3:  # Average
             recon[x] = (recon[x] + (a + b) // 2) & 0xFF
         elif ftype == 4:  # Paeth
             c = int(prev[x - bpp]) if x >= bpp else 0

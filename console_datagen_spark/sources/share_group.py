@@ -184,14 +184,29 @@ class FileSpoolShareClient:
         path = os.path.join(self._dir, name)
         lock = path + ".lock"
         if os.path.exists(lock):
+            stale = False
             try:
                 with open(lock) as f:
                     held = json.load(f)
-                if held.get("expires_ms", 0) > now:
-                    return None  # live lease elsewhere
-                os.remove(lock)  # stale lease: reclaim
-            except (OSError, ValueError):
-                return None
+                stale = held.get("expires_ms", 0) <= now
+            except ValueError:
+                # a VALID lock always holds complete JSON (the holder
+                # writes it before returning), so an empty/unparseable
+                # lock is a crash wreck from the window between lock
+                # creation and the lease dump — reclaim it rather than
+                # wedging the record forever (r11 ADVICE). The
+                # microsecond mid-write race this opens is plain
+                # at-least-once redelivery, which lease expiry already
+                # produces.
+                stale = True
+            except OSError:
+                return None  # vanished mid-check: another consumer acted
+            if not stale:
+                return None  # live lease elsewhere
+            try:
+                os.remove(lock)  # stale/wrecked lease: reclaim
+            except FileNotFoundError:
+                pass  # lost the reclaim race; fall through to O_EXCL
         delivery_id = uuid.uuid4().hex
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -192,9 +192,13 @@ def latest_wins_ttl_jvm(
     (the Python spelling has no such loss mode — r10 ADVICE). Pass
     ``"0 seconds"`` only when the source is per-key ordered (or the
     producer guarantees monotone event time); otherwise set it to the
-    source's measured disorder (the soak uses ``"2 seconds"``). On a
-    batch frame the watermark is a Catalyst no-op, so ``None`` resolves
-    to ``"0 seconds"`` there.
+    source's measured disorder (the soak uses ``"2 seconds"``).
+    MEASURE it with ``streaming.disorder``: ``measure_disorder()``
+    over a bounded sample carrying an arrival-order column, or
+    ``DisorderMonitor`` riding foreachBatch on a sample stream —
+    ``report()['suggested_watermark_delay']`` is the zero-loss value
+    in this argument's exact format. On a batch frame the watermark is
+    a Catalyst no-op, so ``None`` resolves to ``"0 seconds"`` there.
     """
     if watermark_delay is None:
         if records.isStreaming:
@@ -331,11 +335,23 @@ class CdcLiveView:
     admits lands within TTL of last_ts); larger delays are rejected at
     construction.
 
-    State is in-memory (plus executor blocks via localCheckpoint): a
-    driver restart loses the snapshot even though the checkpointed
-    SOURCE resumes mid-stream. On restart either replay from a fresh
-    checkpoint, or persist ``snapshot()`` each batch and hand it to
-    ``restore()`` before restarting the query.
+    Durability: by default state is in-memory (plus executor blocks via
+    localCheckpoint) — a driver restart loses the snapshot even though
+    the checkpointed SOURCE resumes mid-stream. Pass ``snapshot_path``
+    to persist the fold's survivors (an O(active keys) parquet) plus the
+    frontier and last batch id after EVERY batch; after a restart,
+    ``restore_from_path()`` reseeds all three and the resumed source
+    checkpoint replays only unfolded batches. The per-batch write is an
+    atomic pointer swap (new parquet dir, then os.replace of a LATEST
+    manifest), so a crash mid-write leaves the previous batch's snapshot
+    intact. ``snapshot_path`` must be driver-visible AND reachable by
+    ``spark.read`` (local/NFS path on local mode; on a cluster point it
+    at shared storage — the manifest swap needs a rename-capable FS).
+
+    Replay safety: foreachBatch is at-least-once — after a failure the
+    last batch can re-run with the SAME batch_id. ``update`` folds each
+    batch_id exactly once (a ``batch_id <= last folded`` guard skips
+    replays), so n_versions never double-counts.
     """
 
     def __init__(
@@ -344,6 +360,7 @@ class CdcLiveView:
         ts_col: str = "ts",
         watermark_delay_ms: int = 0,
         on_closed=None,
+        snapshot_path: str | None = None,
     ) -> None:
         if watermark_delay_ms > ttl_ms:
             raise ValueError(
@@ -357,20 +374,106 @@ class CdcLiveView:
         self._ts = ts_col
         self._delay_ms = watermark_delay_ms
         self._on_closed = on_closed
+        self._snapshot_path = snapshot_path
         self._snap: DataFrame | None = None
         self._frontier = None  # running max event time - delay
+        self._last_batch_id: int | None = None
 
     def restore(self, snapshot_df: DataFrame) -> None:
         """Seed the held state from a persisted ``snapshot()`` frame
         (driver-restart recovery). Accepts the snapshot schema with or
-        without the ``evicted`` marker column."""
+        without the ``evicted`` marker column.
+
+        Also derives a frontier FLOOR from the restored rows —
+        max(last_ts) − watermark_delay — so the first post-restore batch
+        does not admit arbitrarily late events the canonical query's
+        persisted watermark would drop (and eviction resumes without
+        waiting for a non-empty batch). The floor is conservative: the
+        true frontier is max event time EVER seen − delay, which can be
+        later (closed sessions since evicted); ``restore_from_path``
+        restores the exact persisted value instead."""
+        import datetime
+
         cols = [c for c in LIVE_SNAPSHOT_COLS]
         self._snap = snapshot_df.select(*cols).localCheckpoint(eager=True)
+        mx = self._snap.agg(F.max("last_ts").alias("m")).collect()[0]["m"]
+        if mx is not None:
+            floor = mx - datetime.timedelta(milliseconds=self._delay_ms)
+            if self._frontier is None or floor > self._frontier:
+                self._frontier = floor
+
+    def restore_from_path(self, spark) -> bool:
+        """Reseed snapshot, frontier, and last-folded batch id from the
+        ``snapshot_path`` manifest written by a previous run. Returns
+        True if a manifest was found (False = nothing to restore — e.g.
+        first-ever start). Call BEFORE restarting the query on its
+        resumed source checkpoint."""
+        import datetime
+        import json
+        import os
+
+        if self._snapshot_path is None:
+            raise ValueError("restore_from_path requires snapshot_path")
+        manifest = os.path.join(self._snapshot_path, "LATEST")
+        if not os.path.exists(manifest):
+            return False
+        with open(manifest, encoding="utf-8") as f:
+            meta = json.load(f)
+        if meta.get("dir") is not None:
+            snap = spark.read.parquet(
+                os.path.join(self._snapshot_path, meta["dir"])
+            )
+            self._snap = snap.select(*LIVE_SNAPSHOT_COLS).localCheckpoint(
+                eager=True
+            )
+        if meta.get("frontier") is not None:
+            self._frontier = datetime.datetime.fromisoformat(meta["frontier"])
+        self._last_batch_id = meta.get("batch_id")
+        return True
+
+    def _persist(self, batch_id: int) -> None:
+        """Write survivors + manifest for ``batch_id`` (atomic pointer
+        swap: parquet into a fresh dir, then os.replace of LATEST;
+        readers never observe a half-written snapshot). Older snapshot
+        dirs are swept AFTER the swap — at most one extra batch's
+        parquet ever lingers."""
+        import json
+        import os
+        import shutil
+
+        path = self._snapshot_path
+        os.makedirs(path, exist_ok=True)
+        dirname = None
+        if self._snap is not None:
+            dirname = f"snap-{batch_id}"
+            self._snap.write.mode("overwrite").parquet(
+                os.path.join(path, dirname)
+            )
+        meta = {
+            "batch_id": batch_id,
+            "frontier": self._frontier.isoformat()
+            if self._frontier is not None
+            else None,
+            "dir": dirname,
+        }
+        tmp = os.path.join(path, ".LATEST.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "LATEST"))
+        for entry in os.listdir(path):
+            if entry.startswith("snap-") and entry != dirname:
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
     # -- per-batch fold (foreachBatch signature) -----------------------------
 
     def update(self, batch_df: DataFrame, batch_id: int) -> None:
         import datetime
+
+        # at-least-once replay guard: foreachBatch can re-deliver the
+        # last batch (same batch_id) after a post-fold failure; folding
+        # it again would double-count n_versions vs the canonical query.
+        if self._last_batch_id is not None and batch_id <= self._last_batch_id:
+            return
 
         ts, ttl_ms = self._ts, self._ttl_ms
         gap = f"{ttl_ms} milliseconds"
@@ -434,6 +537,12 @@ class CdcLiveView:
             )
 
         if merged is None:
+            # nothing held and an empty batch: still record the fold so
+            # a replay of this batch_id is skipped and a restore resumes
+            # from here, not before it.
+            self._last_batch_id = batch_id
+            if self._snapshot_path is not None:
+                self._persist(batch_id)
             return
         # frontier eviction: idle STRICTLY longer than TTL closes a key.
         # The frontier already includes THIS batch's max event time, so
@@ -456,6 +565,9 @@ class CdcLiveView:
             except Exception:
                 pass
         self._snap = new_snap
+        self._last_batch_id = batch_id
+        if self._snapshot_path is not None:
+            self._persist(batch_id)
 
     def _emit_closed(self, closed: DataFrame) -> None:
         if self._on_closed is not None:

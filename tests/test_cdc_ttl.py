@@ -588,3 +588,126 @@ def test_cdc_live_view_bridging_and_restore(spark, tmp_path):
 
     with pytest.raises(ValueError, match="watermark_delay_ms"):
         CdcLiveView(ttl_ms=1_000, watermark_delay_ms=2_000)
+
+
+def test_cdc_live_view_restart_durability(spark, tmp_path):
+    """r11 verdict #2 + ADVICE: with ``snapshot_path`` set, the view
+    persists survivors + frontier + last batch id after every batch;
+    after a simulated driver restart (view object dropped),
+    ``restore_from_path`` reseeds all three and the resumed source
+    checkpoint replays only unfolded batches — the final snapshot
+    equals an uninterrupted run's. Also pins the at-least-once replay
+    guard (re-folding an already-folded batch_id is a no-op) and the
+    ``restore()`` frontier floor (post-restore late events are dropped
+    exactly as the canonical query's persisted watermark would)."""
+    from console_datagen_spark.streaming.cdc import CdcLiveView
+
+    ttl_ms = 10_000
+
+    def run_once(view, src, ckpt):
+        q = (
+            spark.readStream.schema(SCHEMA_TS)
+            .parquet(str(src))
+            .writeStream.foreachBatch(view.update)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def snap_set(view):
+        return {
+            (r.user_id, r.last_event_id, r.last_type, r.n_versions)
+            for r in view.snapshot().collect()
+        }
+
+    a = [(1, 10, "view", 1.0, 0), (2, 20, "view", 2.0, 3)]
+    b = [(1, 11, "click", 3.0, 8), (3, 30, "view", 4.0, 9)]
+    c = [(1, 12, "purchase", 5.0, 14), (2, 21, "click", 6.0, 30)]
+
+    # interrupted run: fold a, b with persistence, then "crash"
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    store = str(tmp_path / "live_store")
+    view_a = CdcLiveView(
+        ttl_ms=ttl_ms, watermark_delay_ms=5_000, snapshot_path=store
+    )
+    _ts_rows(spark, a).coalesce(1).write.mode("append").parquet(str(src))
+    run_once(view_a, src, ckpt)
+    _ts_rows(spark, b).coalesce(1).write.mode("append").parquet(str(src))
+    run_once(view_a, src, ckpt)
+    pre_crash = snap_set(view_a)
+    pre_frontier = view_a._frontier
+    del view_a  # the restart: in-memory snapshot, frontier, batch id all gone
+
+    view_b = CdcLiveView(
+        ttl_ms=ttl_ms, watermark_delay_ms=5_000, snapshot_path=store
+    )
+    assert view_b.restore_from_path(spark) is True
+    # all three pieces of state come back exactly
+    assert snap_set(view_b) == pre_crash
+    assert view_b._frontier == pre_frontier
+    assert view_b._last_batch_id == 1
+
+    # replay guard: foreachBatch is at-least-once — re-delivering the
+    # last committed batch must NOT fold twice (n_versions unchanged)
+    view_b.update(_ts_rows(spark, b), batch_id=1)
+    assert snap_set(view_b) == pre_crash
+
+    # resume: only the unfolded batch c replays off the source checkpoint
+    _ts_rows(spark, c).coalesce(1).write.mode("append").parquet(str(src))
+    run_once(view_b, src, ckpt)
+    resumed = snap_set(view_b)
+
+    # uninterrupted control: same batches, fresh view, no crash
+    src2, ckpt2 = tmp_path / "src2", tmp_path / "ckpt2"
+    view_c = CdcLiveView(ttl_ms=ttl_ms, watermark_delay_ms=5_000)
+    for batch in (a, b, c):
+        _ts_rows(spark, batch).coalesce(1).write.mode("append").parquet(
+            str(src2)
+        )
+        run_once(view_c, src2, ckpt2)
+    assert resumed == snap_set(view_c)
+
+    # a second restart restores the post-resume state too (persistence
+    # ran on every batch, not just the first run's)
+    view_d = CdcLiveView(
+        ttl_ms=ttl_ms, watermark_delay_ms=5_000, snapshot_path=store
+    )
+    assert view_d.restore_from_path(spark) is True
+    assert snap_set(view_d) == resumed
+    assert view_d._last_batch_id == 2
+
+    # restore_from_path with no manifest is a clean no-op
+    view_e = CdcLiveView(
+        ttl_ms=ttl_ms, snapshot_path=str(tmp_path / "never_written")
+    )
+    assert view_e.restore_from_path(spark) is False
+
+
+def test_cdc_live_view_restore_frontier_floor(spark, tmp_path):
+    """ADVICE r11: plain ``restore()`` must derive a frontier floor
+    (max(last_ts) − delay) so the first post-restore batch drops events
+    the canonical query's persisted watermark would have dropped,
+    instead of admitting arbitrarily late rows."""
+    from console_datagen_spark.streaming.cdc import CdcLiveView
+
+    ttl_ms, delay_ms = 10_000, 5_000
+    view = CdcLiveView(ttl_ms=ttl_ms, watermark_delay_ms=delay_ms)
+    view.update(_ts_rows(spark, [(1, 10, "view", 1.0, 20)]), batch_id=0)
+    snap_path = str(tmp_path / "snap")
+    view.snapshot().write.parquet(snap_path)
+
+    fresh = CdcLiveView(ttl_ms=ttl_ms, watermark_delay_ms=delay_ms)
+    fresh.restore(spark.read.parquet(snap_path))
+    assert fresh._frontier is not None  # floor = 20 s − 5 s = 15 s
+
+    # a 12 s event is older than the floor: the watermark contract says
+    # drop it — n_versions must stay 1, not merge to 2
+    fresh.update(_ts_rows(spark, [(1, 11, "late", 0.0, 12)]), batch_id=0)
+    rows = fresh.snapshot().collect()
+    assert [(r.last_event_id, r.n_versions) for r in rows] == [(10, 1)]
+
+    # an 18 s event is admissible (>= floor): it merges normally
+    fresh.update(_ts_rows(spark, [(1, 12, "ok", 2.0, 18)]), batch_id=1)
+    rows = fresh.snapshot().collect()
+    assert [(r.last_event_id, r.n_versions) for r in rows] == [(12, 2)]

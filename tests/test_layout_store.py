@@ -221,6 +221,65 @@ def test_direct_writer_parity_with_spark_writer(spark, sf_dir, tmp_path):
     assert "bucket" not in pq.ParquetFile(f).schema_arrow.names
 
 
+def test_direct_writer_sweeps_stranded_tmp_files(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r11 verdict #7: a task kill between write_table and os.replace
+    strands a dot-prefixed ``.part-*.attempt-N.tmp``. Readers must
+    exclude it, and a rewrite must reclaim it through BOTH sweeps: the
+    overwrite's rmtree at write start, and the kernel's older-attempt
+    sweep (exercised here with rmtree disabled, the within-job retry
+    shape where the store dir survives)."""
+    import glob
+    import os
+
+    from console_datagen_spark.operators.layout_store import (
+        write_curve_layout_direct,
+    )
+
+    base = _scaled(spark, sf_dir)
+    path = str(tmp_path / "direct_sweep")
+    curve = F.expr(_morton_sql("ok16", "pk16", "spark"))
+    write_curve_layout_direct(
+        base, path, curve=curve, dims=["ok16", "pk16"], n_buckets=64
+    )
+    rows_clean = spark.read.parquet(path).count()
+
+    bucket_dir = os.path.dirname(
+        glob.glob(f"{path}/bucket=*/part-00000.parquet")[0]
+    )
+    stale = os.path.join(bucket_dir, ".part-00000.parquet.attempt-0.tmp")
+    with open(stale, "wb") as f:
+        f.write(b"not parquet")  # a torn write: partial bytes, no footer
+
+    # correctness is unaffected: dot-files are invisible to every read
+    assert spark.read.parquet(path).count() == rows_clean
+    assert pruned_read(spark, path, RANGES).count() > 0
+
+    # kernel sweep: rewrite with the start-of-write rmtree disabled
+    # (simulates the retry-within-one-job shape — the bucket dir and
+    # the predecessor attempt's wreck both survive to kernel time)
+    import shutil as _shutil
+
+    monkeypatch.setattr(_shutil, "rmtree", lambda *a, **k: None)
+    write_curve_layout_direct(
+        base, path, curve=curve, dims=["ok16", "pk16"], n_buckets=64
+    )
+    monkeypatch.undo()
+    assert not os.path.exists(stale)  # attempt-0 < any live attempt id
+    assert spark.read.parquet(path).count() == rows_clean
+
+    # start-of-write sweep: plant again, rewrite normally — rmtree takes
+    # the whole store including the wreck
+    with open(stale, "wb") as f:
+        f.write(b"not parquet")
+    write_curve_layout_direct(
+        base, path, curve=curve, dims=["ok16", "pk16"], n_buckets=64
+    )
+    assert not os.path.exists(stale)
+    assert spark.read.parquet(path).count() == rows_clean
+
+
 def test_direct_writer_footer_manifest_agrees(spark, sf_dir, tmp_path):
     """The direct writer's in-pass manifest must equal an independent
     footer-statistics pass over the files it wrote (the two manifest

@@ -65,6 +65,34 @@ def test_accept_settles_release_redelivers(tmp_path):
         c.acknowledge(first[0].delivery_id, ACCEPT)
 
 
+def test_wrecked_lock_is_reclaimed_not_wedged(tmp_path):
+    """r11 ADVICE: a crash between lock creation (O_CREAT|O_EXCL) and
+    the lease-JSON dump leaves an empty .lock; a valid lock always
+    holds complete JSON, so an unparseable one must be treated as stale
+    (reclaim + deliver) — not returned-None forever, which would wedge
+    the record permanently with no expiry-based escape."""
+    import os
+
+    c = _spool(tmp_path, n=2)
+    spool = str(tmp_path / "spool")
+    names = sorted(
+        n for n in os.listdir(spool) if n.endswith(".json")
+    )
+    # plant crash wrecks: one empty lock, one truncated-JSON lock
+    with open(os.path.join(spool, names[0] + ".lock"), "w"):
+        pass
+    with open(os.path.join(spool, names[1] + ".lock"), "w") as f:
+        f.write('{"delivery_id": "abc", "expi')
+    got = c.poll(10)
+    assert len(got) == 2  # both records delivered, neither wedged
+    # and the reclaim consumed the wreck: the new locks are valid JSON
+    import json
+
+    for n in names:
+        with open(os.path.join(spool, n + ".lock")) as f:
+            assert json.load(f)["expires_ms"] > 0
+
+
 def test_expired_lease_is_reclaimed(tmp_path):
     c = _spool(tmp_path, n=1, lease_ms=50)
     held = c.poll(1)
