@@ -199,10 +199,10 @@ def audio_energy_windows(
 #     uncompressed): BGR pixel rows, BOTTOM-up, each row padded to a
 #     4-byte boundary.
 # resize_images therefore does REAL decode -> nearest-neighbor resize ->
-# re-encode for fmt in {"ppm", "bmp", "png"} (png via the stdlib-zlib
-# codec below — the one compressed format closable without a codec
-# library); jpeg still raises — lossy DCT is a genuine codec-library
-# gap, not an operator gap.
+# re-encode for fmt in {"ppm", "bmp", "png", "jpeg"} (png via the
+# stdlib-zlib codec below; jpeg via the pure-numpy baseline codec in
+# operators/jpeg.py — fixed-point integer DCT + Annex K tables, the
+# r11 verdict's last-format close).
 # Nearest-neighbor uses the exact integer map src = (dst * src_dim) DIV
 # dst_dim (no float rounding), so outputs are hash-identical on any
 # engine — certified end-to-end by mm_resize_checked's SQL oracle.
@@ -291,8 +291,7 @@ def _encode_bmp(arr: np.ndarray) -> bytes:
 # carry. The DECODER handles all 5 filters (the encoder can cycle
 # through them per row, so the filter paths are genuinely executed and
 # round-trip-tested); the encoder's default is filter 0 per row, the
-# deterministic choice. jpeg remains the honest raise: lossy DCT needs
-# a real codec library.
+# deterministic choice. jpeg is closed too — see operators/jpeg.py.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -447,10 +446,17 @@ def _encode_png(arr: np.ndarray, row_filters: str = "none") -> bytes:
     )
 
 
+from .jpeg import decode_jpeg as _decode_jpeg  # noqa: E402
+from .jpeg import encode_jpeg as _encode_jpeg  # noqa: E402
+
 _CODECS = {
     "ppm": (_decode_ppm, _encode_ppm),
     "bmp": (_decode_bmp, _encode_bmp),
     "png": (_decode_png, _encode_png),
+    # baseline JFIF, pure numpy + stdlib (operators/jpeg.py) — the last
+    # raster format closed; lossy, so only the verified exact-round-trip
+    # tile synthesis is SQL-replayable (general images are pytest-bound)
+    "jpeg": (_decode_jpeg, _encode_jpeg),
 }
 
 
@@ -464,11 +470,43 @@ def _resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 def synth_bitmap_media(
     documents: DataFrame, width: int = 8, height: int = 8, fmt: str = "ppm"
 ) -> DataFrame:
-    """Attach a VALID raster image payload per doc (PPM or BMP), pixels
-    from the same md5 chain as ``synth_media`` — deterministic, so the
-    decode -> resize path downstream is SQL-replayable end to end."""
+    """Attach a VALID raster image payload per doc, pixels from the same
+    md5 chain as ``synth_media`` — deterministic, so the decode ->
+    resize path downstream is SQL-replayable end to end.
+
+    ``fmt="jpeg"`` is the lossy exception: md5-chain noise does not
+    survive quantization, so its payloads are 8x8 GRAYSCALE images from
+    the codec's verified exact-round-trip tile set
+    (``operators/jpeg.py`` EXACT_TILES — tile index ``doc_id % K``, DC
+    offset ``+2 * (doc_id % 29)``), which keeps decode(encode(px)) ==
+    px and therefore keeps the downstream replay exact; ``width`` /
+    ``height`` must be 8."""
     if fmt not in _CODECS:
         raise ValueError(f"fmt must be one of {sorted(_CODECS)}: {fmt!r}")
+    if fmt == "jpeg":
+        if (width, height) != (8, 8):
+            raise ValueError("jpeg synthesis is tile-based: width=height=8")
+        from .jpeg import exact_tile_pixels
+
+        def _to_jpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                content = [
+                    _encode_jpeg(exact_tile_pixels(int(d)))
+                    for d in pdf["doc_id"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media_type": "image",
+                        "fmt": "jpeg",
+                        "n_bytes": [len(c) for c in content],
+                        "content": content,
+                    }
+                )
+
+        return documents.select("doc_id").mapInPandas(
+            _to_jpeg, schema=MEDIA_SCHEMA
+        )
     n_px = width * height * 3
     raw = synth_media(documents, "image", n_bytes=n_px)
     if fmt == "ppm":
@@ -533,33 +571,43 @@ RESIZED_SCHEMA = (
 )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, out_fmt: str | None = None
+) -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-encode, Arrow-batched.
 
-    REAL for "ppm" / "bmp" (pure numpy) and "png" (numpy + stdlib
-    zlib); jpeg raises per payload — the honest boundary is the codec
-    library, not this operator. Exact
-    integer index map => byte-identical output everywhere (certified by
-    mm_resize_checked's full SQL replay).
+    REAL for every format: "ppm" / "bmp" (pure numpy), "png" (numpy +
+    stdlib zlib), and "jpeg" (the pure-numpy baseline codec,
+    operators/jpeg.py). Exact integer index map => byte-identical
+    output everywhere (certified by mm_resize_checked's full SQL
+    replay). ``out_fmt`` re-encodes into a DIFFERENT format than the
+    input (e.g. jpeg in, ppm out — the lossless-out spelling a
+    downstream exact consumer wants after a lossy decode); None keeps
+    the source format.
     """
+    if out_fmt is not None and out_fmt not in _CODECS:
+        raise ValueError(f"out_fmt must be one of {sorted(_CODECS)}: {out_fmt!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
+            fmts = []
             for content, fmt in zip(pdf["content"], pdf["fmt"]):
                 codec = _CODECS.get(fmt)
                 if codec is None:
                     raise NotImplementedError(
-                        f"fmt {fmt!r} needs a codec library (PIL/opencv) "
-                        "not present in this environment; ppm/bmp/png are "
-                        "supported natively"
+                        f"fmt {fmt!r} has no native codec here; "
+                        "ppm/bmp/png/jpeg are supported"
                     )
-                decode, encode = codec
+                decode = codec[0]
+                target = out_fmt or fmt
+                encode = _CODECS[target][1]
+                fmts.append(target)
                 out.append(encode(_resize_nearest(decode(bytes(content)), width, height)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "fmt": pdf["fmt"],
+                    "fmt": fmts,
                     "width": width,
                     "height": height,
                     "content": out,

@@ -532,6 +532,56 @@ df_query(
 )
 
 
+def _mm_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    media = M.synth_bitmap_media(docs, width=8, height=8, fmt="jpeg")
+    # lossy in, lossless out: decode the real JPEG, resize, re-encode
+    # as PPM so the downstream sum pass reads exact bytes
+    resized = M.resize_images(media, 4, 4, out_fmt="ppm")
+    return M.channel_sums(resized).orderBy("doc_id")
+
+
+def _mm_resize_jpeg_oracle() -> str:
+    """The replay constants: JPEG is lossy, so the synthesis uses the
+    codec's import-verified exact-round-trip tiles (operators/jpeg.py
+    EXACT_TILES — quantization is exact because every coefficient is an
+    exact multiple of its Annex K quant step, re-verified at import for
+    all 29 DC offsets). decode(encode(px)) == px therefore holds by
+    construction, and the oracle replays the tile definition: channel
+    sums of the 4x4 nearest-neighbor resize are the even-(row, col)
+    tile subsums plus 16 pixels x the per-doc DC offset 2*(doc_id %
+    29)."""
+    from ..operators.jpeg import EXACT_TILES, N_EXACT_TILES, N_TILE_OFFSETS
+
+    subsums = [int(t[::2, ::2].sum()) for t in EXACT_TILES]
+    case = (
+        "CASE CAST(doc_id % " + str(N_EXACT_TILES) + " AS INT) "
+        + " ".join(f"WHEN {k} THEN {s}" for k, s in enumerate(subsums))
+        + " END"
+    )
+    total = f"CAST({case} + 32 * (doc_id % {N_TILE_OFFSETS}) AS BIGINT)"
+    return (
+        f"SELECT doc_id, CAST(59 AS INT) AS n_bytes, "
+        f"{total} AS r_sum, {total} AS g_sum, {total} AS b_sum "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+df_query(
+    "mm_resize_jpeg",
+    _mm_resize_jpeg,
+    oracle=_mm_resize_jpeg_oracle(),
+    tables=("documents",),
+    tags=("multimodal", "pandas_udf"),
+    doc="REAL lossy-image path (pure-numpy baseline JPEG codec: "
+    "fixed-point integer DCT, Annex K quant + Huffman tables, byte "
+    "stuffing): synth 8x8 grayscale JPEG from verified exact-round-trip "
+    "tiles -> decode -> nearest-neighbor 4x4 -> PPM re-encode -> channel "
+    "sums, certified by a SQL replay of the tile subsums (the encoder is "
+    "in the certified loop — the decoder reads its bytes)",
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     media = M.synth_media(docs, "video", n_bytes=256)

@@ -72,12 +72,11 @@ def test_frame_sampling(media):
     assert bytes(f0.frame) == M._md5_chain_bytes(f0.doc_id, 256)[:32]
 
 
-def test_resize_compressed_formats_raise(media):
-    # jpeg is the remaining genuinely codec-bound format; png now has a
-    # native stdlib-zlib codec, so synth_media's RANDOM bytes labeled
-    # 'png' fail the signature check (a real decode error), not the
-    # codec-library gate
-    with pytest.raises(Exception, match="codec"):
+def test_resize_garbage_payloads_fail_loudly(media):
+    # every raster format now has a native codec (r12 closed jpeg), so
+    # synth_media's RANDOM bytes labeled 'png'/'jpeg' fail the REAL
+    # signature checks — genuine decode errors, not a codec-library gate
+    with pytest.raises(Exception, match="JPEG"):
         M.resize_images(media.where("fmt = 'jpeg'"), 64, 64).collect()
     with pytest.raises(Exception, match="PNG"):
         M.resize_images(media.where("fmt = 'png'"), 64, 64).collect()
