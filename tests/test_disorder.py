@@ -1,0 +1,127 @@
+"""Disorder gauge: the measurement tool behind the required
+``watermark_delay`` argument (r11 verdict #8).
+
+Seeds a stream with KNOWN out-of-orderness and asserts both spellings
+recover it exactly: the batch window gauge over an arrival-order
+column, and the foreachBatch monitor measuring lateness against the
+prior-batch frontier (the watermark's own rule, at its own batch
+granularity)."""
+
+import datetime
+
+from console_datagen_spark.streaming.disorder import (
+    DisorderMonitor,
+    measure_disorder,
+)
+
+SCHEMA = "user_id LONG, event_id LONG, ts TIMESTAMP"
+BASE = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _rows(spark, seq):
+    """seq = (event_id, seconds-offset); arrival order = event_id."""
+    return spark.createDataFrame(
+        [(1, e, BASE + datetime.timedelta(seconds=s)) for (e, s) in seq],
+        SCHEMA,
+    )
+
+
+def test_measure_disorder_batch_exact(spark):
+    # arrival order 0..5; event times regress by a known worst case:
+    # event 3 arrives 8 s behind the running max (11), event 5 is 2 s
+    # behind (12 vs 14) — max lateness 8000 ms, 2 of 6 late
+    seq = [(0, 0), (1, 10), (2, 11), (3, 3), (4, 14), (5, 12)]
+    row = measure_disorder(
+        _rows(spark, seq), ts_col="ts", arrival_col="event_id"
+    ).collect()[0]
+    assert row["n_events"] == 6
+    assert row["n_late"] == 2
+    assert row["max_late_ms"] == 8_000
+    assert row["p999_late_ms"] == 8_000  # top quantile sees the max
+    assert row["p5_late_ms"] == 0  # median event is in order
+
+    # an in-order stream measures zero everywhere: '0 seconds' is safe
+    ordered = [(i, i) for i in range(5)]
+    row = measure_disorder(_rows(spark, ordered)).collect()[0]
+    assert (row["n_late"], row["max_late_ms"]) == (0, 0)
+
+
+def test_measure_disorder_partitioned(spark):
+    # two interleaved ordered shards look disordered globally but clean
+    # per partition — partition_cols gives the sharper per-shard bound
+    import datetime as dt
+
+    rows = [
+        (p, i, BASE + dt.timedelta(seconds=10 * i + p * 5))
+        for i in range(4)
+        for p in (0, 1)
+    ]
+    df = spark.createDataFrame(rows, "part LONG, event_id LONG, ts TIMESTAMP")
+    per_shard = measure_disorder(
+        df, arrival_col="event_id", partition_cols=("part",)
+    ).collect()[0]
+    assert per_shard["max_late_ms"] == 0  # each shard is ordered
+
+
+def test_disorder_monitor_stream_matches_seeded_bound(spark, tmp_path):
+    """foreachBatch monitor over a parquet stream: lateness is vs the
+    PRIOR batches' max event time (the watermark rule), so the seeded
+    cross-batch regression is recovered exactly and intra-batch
+    disorder is ignored — report() then hands back the zero-loss
+    delay ready to pass as watermark_delay."""
+    src = tmp_path / "src"
+    mon = DisorderMonitor(ts_col="ts")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(str(src))
+            .writeStream.foreachBatch(mon.update)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: frontier ends at 100 s; intra-batch regression (40) must
+    # NOT count — the watermark never saw a frontier before this batch
+    _rows(spark, [(0, 100), (1, 40)]).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    run_once()
+    # batch 2: 97 s is 3 s behind the frontier (100) — the seeded bound
+    _rows(spark, [(2, 97), (3, 105)]).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    run_once()
+    # batch 3: in order vs frontier 105
+    _rows(spark, [(4, 106)]).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+
+    rep = mon.report()
+    assert rep["n_events"] == 5
+    assert rep["n_late"] == 1
+    assert rep["max_late_ms"] == 3_000
+    assert rep["suggested_watermark_delay"] == "3000 milliseconds"
+    # and the suggestion is in the exact form latest_wins_ttl_jvm takes
+    from console_datagen_spark.streaming.cdc import latest_wins_ttl_jvm
+
+    out = latest_wins_ttl_jvm(
+        spark.readStream.schema(SCHEMA).parquet(str(src)).withColumn(
+            "event_type", _lit_type()
+        ).withColumn("value", _lit_val()),
+        watermark_delay=rep["suggested_watermark_delay"],
+    )
+    assert out.isStreaming
+
+
+def _lit_type():
+    from pyspark.sql import functions as F
+
+    return F.lit("view")
+
+
+def _lit_val():
+    from pyspark.sql import functions as F
+
+    return F.lit(1.0)
