@@ -1233,7 +1233,6 @@ df_query(
 _CONT_N = 5
 _CONT_MAX_DF = 8
 _CONT_PERMILLE = 500
-_cont_cache = CacheSlot()
 
 # 5-gram twin of _DUCK_IDS (final CTE name stays `ids` so the downstream
 # oracle text is shingle-width-agnostic)
@@ -1250,11 +1249,24 @@ _DUCK_IDS5 = (
 
 
 def _containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _cont_cache.release()
     docs = register_views(spark, sf_dir, DOCS)["documents"]
     # sizes, the df filter and the verify join all consume the shingle-id
-    # frame — one materialized build instead of three shingle explodes
-    ids = _cont_cache.hold(D.doc_shingle_ids(docs, _CONT_N))
+    # frame — one materialized build instead of three shingle explodes.
+    # localCheckpoint, NOT CacheSlot persist (r11 verdict #5, A/B'd at
+    # 100x under the probe's 16 GiB heap): the persist spelling held the
+    # ~35M-row ids frame in unified STORAGE memory, squeezing the verify
+    # fanout's partial aggregation out of execution memory — 5.24 GB
+    # shuffle write, 8.1 GB memory spill, 2.42 GB disk spill. The
+    # checkpoint spelling truncates lineage with blocks OUTSIDE the
+    # execution-memory contest and hands AQE exact sizes: 0.80 GB
+    # shuffle (6.5x less), 5 MB disk spill (480x less), and 2x faster
+    # at sf0.1 (2.16 -> 1.12 s). The one cost is local-mode wall time
+    # at 100x (44.6 -> 78.4 s, order-independent): on local[32] the
+    # extra 4.4 GB shuffle is memcpy-cheap while block re-reads are
+    # not — on a cluster that shuffle is network and the spill is disk,
+    # so the checkpoint side of the trade is the scale-correct one.
+    # Numbers in PROGRESS.jsonl r12.
+    ids = D.doc_shingle_ids(docs, _CONT_N).localCheckpoint(eager=True)
     return (
         D.containment_pairs(
             docs, _CONT_MAX_DF, _CONT_PERMILLE, n=_CONT_N, ids_df=ids
