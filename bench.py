@@ -123,6 +123,11 @@ HEADLINE = [
     "dedup_components_capped",
     "ivfpq_index_probe",  # probe of the PERSISTED codes-only index (below)
     "layout_pruned_read",  # manifest-pruned scan of the PERSISTED curve store
+    # r12: the trained quality classifier (4 GD rounds, chained 1-row
+    # weight frames) and the real-codec multimodal paths get tracked numbers
+    "quality_classifier_train",
+    "mm_resize_jpeg",
+    "mm_audio_wav",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry

@@ -6,8 +6,10 @@ frame-sample run as Arrow-batched ``mapInPandas`` operators so each task
 streams batches without materializing a partition in memory. Partitioning
 is by content hash, so media of wildly different sizes spread evenly.
 
-The actual codecs (PIL / librosa / ffmpeg) are NOT in this container, so
-the decode kernels are deterministic fakes behind ``_decode_bytes`` —
+IMAGE codecs are REAL and pure numpy/stdlib: PPM, BMP, PNG (stdlib
+zlib) and baseline JPEG (operators/jpeg.py) — no PIL/opencv needed.
+Audio/video codecs (librosa / ffmpeg) are NOT in this container, so
+those decode kernels are deterministic fakes behind ``_decode_bytes`` —
 clearly marked, swappable via constructor injection. Everything
 Spark-side (schemas, UDF signatures, batch iteration, determinism) is
 real and tested.
@@ -138,6 +140,87 @@ def sample_frames(media: DataFrame, frame_bytes: int = 32, stride: int = 2) -> D
             )
 
     return media.mapInPandas(kernel, schema=FRAMES_SCHEMA)
+
+
+# ---- REAL audio path (RIFF/PCM WAV, pure numpy — operators/wav.py) --------
+
+WAV_STATS_SCHEMA = (
+    "doc_id BIGINT, n_bytes INT, rate INT, n_samples INT, sumsq BIGINT, "
+    "min_s INT, max_s INT"
+)
+
+
+def synth_wav_media(
+    documents: DataFrame, n_samples: int = 96, rate: int = 16_000
+) -> DataFrame:
+    """Attach a VALID mono 16-bit PCM WAV per doc; samples are the
+    md5-chain bytes read as little-endian int16 (the audio twin of
+    synth_bitmap_media) — deterministic, lossless container, so the
+    decode -> decimate path downstream is SQL-replayable end to end."""
+    from .wav import encode_wav
+
+    raw = synth_media(documents, "audio", n_bytes=2 * n_samples)
+
+    def _to_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_wav(np.frombuffer(bytes(c), dtype="<i2"), rate)
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "fmt": "wav",
+                    "n_bytes": [len(c) for c in content],
+                    "content": content,
+                }
+            )
+
+    return raw.mapInPandas(_to_wav, schema=MEDIA_SCHEMA)
+
+
+def wav_decimate_stats(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio pipeline, one Arrow-batched pass: decode the WAV
+    payload (RIFF chunk walk, int16 PCM), integer-decimate, RE-ENCODE
+    (framing certified via n_bytes = 44 + 2 * n_out), and emit exact
+    integer stats of the decimated samples (sum of squares, min, max) —
+    every stage replayable by the SQL oracle because WAV is lossless."""
+    from .wav import decimate, decode_wav, encode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                samples, rate = decode_wav(bytes(content))
+                dec = decimate(samples, factor)
+                reenc = encode_wav(dec, rate)
+                s = dec.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        len(reenc),
+                        rate,
+                        len(dec),
+                        int((s * s).sum()),
+                        int(s.min()),
+                        int(s.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "rate",
+                    "n_samples",
+                    "sumsq",
+                    "min_s",
+                    "max_s",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=WAV_STATS_SCHEMA)
 
 
 AUDIO_SCHEMA = "doc_id BIGINT, win_idx INT, energy_permille BIGINT, low_energy INT"

@@ -582,6 +582,52 @@ df_query(
 )
 
 
+def _mm_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    media = M.synth_wav_media(docs, n_samples=96, rate=16_000)
+    return M.wav_decimate_stats(media, factor=2).orderBy("doc_id")
+
+
+df_query(
+    "mm_audio_wav",
+    _mm_audio_wav,
+    oracle=(
+        # Full SQL replay of the REAL audio path: the WAV payload's PCM
+        # data is the md5-chain bytes read as little-endian int16 (96
+        # mono samples = 192 bytes = 12 blocks); decode -> decimate-by-2
+        # keeps even sample indices, re-encode framing fixes n_bytes at
+        # 44 + 2*48. Sample i = byte(2i) + 256*byte(2i+1), sign-extended
+        # past 32767 — the oracle computes the decimated sum of squares
+        # / min / max from the same chain, certifying RIFF parse, PCM
+        # decode, decimation AND re-encode header arithmetic.
+        "WITH m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 384) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 11) AS t(i) "
+        "  GROUP BY doc_id), "
+        "smp AS (SELECT doc_id, "
+        "  ('0x' || substr(hx, 4 * i + 1, 2))::BIGINT "
+        "  + 256 * ('0x' || substr(hx, 4 * i + 3, 2))::BIGINT AS u "
+        "  FROM m, (SELECT unnest(generate_series(0, 95)) AS i) t "
+        "  WHERE i % 2 = 0), "
+        "sv AS (SELECT doc_id, "
+        "  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM smp) "
+        "SELECT doc_id, CAST(140 AS INT) AS n_bytes, "
+        "CAST(16000 AS INT) AS rate, CAST(48 AS INT) AS n_samples, "
+        "CAST(SUM(v * v) AS BIGINT) AS sumsq, "
+        "CAST(MIN(v) AS INT) AS min_s, CAST(MAX(v) AS INT) AS max_s "
+        "FROM sv GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "audio", "pandas_udf"),
+    doc="REAL audio path (pure-numpy RIFF/PCM WAV codec, no audio "
+    "library): synth mono 16-bit WAV from md5-chain samples -> RIFF "
+    "decode -> integer decimate-by-2 -> re-encode -> exact sample stats "
+    "(sum-of-squares/min/max), certified by a full SQL replay of the "
+    "little-endian int16 sample derivation",
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     media = M.synth_media(docs, "video", n_bytes=256)
