@@ -58,6 +58,12 @@ def get_spark(
         # per-doc/per-vector groupBy degenerates into a sort of the
         # whole task input at key #129. 256k keys of ~600 B buffers is
         # ~150 MB/task worst case — a real hash-agg bound, not a sort.
+        # r12 A/B (suspected of the r11 pipeline_pack_sequences +61%):
+        # interleaved 6x6 at sf0.1 in one warmed session gives median
+        # 0.593 s at the 128 default vs 0.564 s at 262144 — this knob is
+        # innocent (marginally FASTER on that query) and the regression
+        # was ambient: r10/r11 driver spread maxima matched (0.589 vs
+        # 0.594) while only the fast runs differed.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 str(262_144))
         .config("spark.sql.session.timeZone", "UTC")
