@@ -128,6 +128,8 @@ HEADLINE = [
     "quality_classifier_train",
     "mm_resize_jpeg",
     "mm_audio_wav",
+    # r12: exact-integer BM25 (single-tokenize postings frame)
+    "rag_bm25_topk",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry
