@@ -28,6 +28,7 @@ from . import vocab  # noqa: F401
 from . import curriculum  # noqa: F401
 from . import rag  # noqa: F401
 from . import bm25  # noqa: F401
+from . import infotheory  # noqa: F401
 from . import scale_extras  # noqa: F401
 from . import features  # noqa: F401
 from . import supervision  # noqa: F401

@@ -1,0 +1,154 @@
+"""Log-domain corpus analytics: token entropy + PMI collocations.
+
+Two standard text-pipeline measurements that were previously locked out
+of the hash-exact oracle contract because they need logarithms — now
+expressed on :mod:`..functions.intlog`'s deterministic fixed-point
+binary log (pure BIGINT on both engines):
+
+- **Per-document token entropy** — the Shannon entropy of a doc's
+  unigram distribution, a classic quality/diversity feature (low
+  entropy = repetitive or boilerplate text; used alongside repetition
+  ratios in web-scale filters). Algebra avoids per-term division:
+  H = -sum (tf/dl) log(tf/dl) = log2(dl) - (sum tf*log2(tf)) / dl,
+  so one lg per DISTINCT count value suffices and the only division is
+  the final integer DIV by dl.
+
+- **PMI collocations** — pointwise mutual information over adjacent
+  word pairs (Church & Hanks '90), the standard phrase/collocation
+  miner feeding tokenizer vocab decisions. PMI factors into a SUM of
+  logs of individual counts: lg(c2) + 2*lg(U) - lg(Nbg) - lg(c1x) -
+  lg(c1y), which keeps every intlog argument a bare count (no products
+  that could overflow the mantissa scale) and makes the fixed-point
+  error a bounded sum of per-term truncations — deterministic and
+  identical across engines, which is all the gate needs.
+
+Both queries group on raw word strings (no hashing needed — the words
+themselves are the keys), so the corpus-sized work is one split+explode
+plus hash aggregates; the lg chains run over the DISTINCT COUNT VALUES
+frame, which is tiny (<= max count rows) and broadcasts into the final
+join. No cartesian, no floats, no transcendentals.
+
+Reference anchor: north-star (LLM-pipeline text analysis) scope.
+"""
+
+from __future__ import annotations
+
+from ..functions.intlog import log2_fp_ctes
+from .registry import sql_query
+
+_PMI_MIN_C2 = 5  # collocation min support
+_PMI_TOPK = 20
+
+
+def _entropy_sql(dialect: str) -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        toks = (
+            "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
+        )
+    else:
+        toks = (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents"
+        )
+    return (
+        f"WITH toks AS (SELECT doc_id, w, COUNT(*) AS tf FROM ({toks}) r "
+        "GROUP BY doc_id, w), "
+        "dl AS (SELECT doc_id, SUM(tf) AS dl FROM toks GROUP BY doc_id), "
+        # one lg per distinct count value (tf values union dl values)
+        "vals AS (SELECT DISTINCT tf AS v FROM toks "
+        "UNION SELECT DISTINCT dl FROM dl), "
+        + log2_fp_ctes("vals", "v", "v", "1", dialect, out="lg")
+        + ", "
+        "tl AS (SELECT t.doc_id, SUM(t.tf * g.lg_fp) AS s "
+        "FROM toks t JOIN lg g ON g.v = t.tf GROUP BY t.doc_id) "
+        "SELECT d.doc_id, CAST(d.dl AS BIGINT) AS n_tokens, "
+        f"CAST(gd.lg_fp - (tl.s {idiv} d.dl) AS BIGINT) AS entropy_fp "
+        "FROM dl d JOIN lg gd ON gd.v = d.dl "
+        "JOIN tl ON tl.doc_id = d.doc_id "
+        "ORDER BY d.doc_id"
+    )
+
+
+sql_query(
+    "text_token_entropy",
+    _entropy_sql("spark"),
+    oracle=_entropy_sql("duck"),
+    tables=("documents",),
+    tags=("text", "quality", "entropy", "infotheory"),
+    doc="per-doc Shannon entropy of the unigram distribution in 2^-10-"
+    "bit fixed point (H = lg dl - (sum tf*lg tf) DIV dl): the low-"
+    "entropy-is-boilerplate quality feature, hash-exact via the integer "
+    "binary log — one lg per DISTINCT count value, broadcast back",
+)
+
+
+def _pmi_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = (
+            "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
+        )
+        bg = (
+            "SELECT explode(transform(sequence(1, size(l) - 1), "
+            "i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) "
+            "AS w2))) AS p "
+            "FROM (SELECT split(text, ' ') AS l FROM documents) d "
+            "WHERE size(l) >= 2"
+        )
+        pair_cols = "p.w1 AS w1, p.w2 AS w2"
+    else:
+        toks = (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents"
+        )
+        bg = (
+            "SELECT unnest(list_transform(generate_series(1, len(l) - 1), "
+            "i -> {'w1': l[i], 'w2': l[i+1]})) AS p "
+            "FROM (SELECT string_split(text, ' ') AS l FROM documents) d "
+            "WHERE len(l) >= 2"
+        )
+        pair_cols = "p.w1 AS w1, p.w2 AS w2"
+    return (
+        f"WITH uni AS (SELECT w, COUNT(*) AS c1 FROM ({toks}) t GROUP BY w), "
+        "u AS (SELECT SUM(c1) AS u FROM uni), "
+        f"pairs AS (SELECT {pair_cols} FROM ({bg}) b), "
+        "big AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2 "
+        f"HAVING COUNT(*) >= {_PMI_MIN_C2}), "
+        "nbg AS (SELECT COUNT(*) AS nbg FROM pairs), "
+        # one lg per distinct count value across c2, c1, U, Nbg
+        "vals AS (SELECT DISTINCT c2 AS v FROM big "
+        "UNION SELECT DISTINCT c1 FROM uni "
+        "UNION SELECT u FROM u UNION SELECT nbg FROM nbg), "
+        + log2_fp_ctes("vals", "v", "v", "1", dialect, out="lg")
+        + ", "
+        "scored AS (SELECT b.w1, b.w2, b.c2, "
+        "CAST(g2.lg_fp + 2 * gu.lg_fp - gn.lg_fp - gx.lg_fp - gy.lg_fp "
+        "AS BIGINT) AS pmi_fp "
+        "FROM big b "
+        "JOIN uni ux ON ux.w = b.w1 JOIN uni uy ON uy.w = b.w2 "
+        "JOIN lg g2 ON g2.v = b.c2 "
+        "JOIN lg gx ON gx.v = ux.c1 JOIN lg gy ON gy.v = uy.c1 "
+        "CROSS JOIN u JOIN lg gu ON gu.v = u.u "
+        "CROSS JOIN nbg JOIN lg gn ON gn.v = nbg.nbg), "
+        # distributed top-k first (TakeOrderedAndProject), THEN rank the
+        # k survivors — a global ROW_NUMBER window would drag the whole
+        # scored frame to one partition
+        "sel AS (SELECT w1, w2, c2, pmi_fp FROM scored "
+        f"ORDER BY pmi_fp DESC, w1, w2 LIMIT {_PMI_TOPK}) "
+        "SELECT w1, w2, CAST(c2 AS BIGINT) AS n_pair, pmi_fp, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY pmi_fp DESC, w1, w2) AS INT) "
+        "AS rnk FROM sel ORDER BY rnk"
+    )
+
+
+sql_query(
+    "text_pmi_collocations",
+    _pmi_sql("spark"),
+    oracle=_pmi_sql("duck"),
+    tables=("documents",),
+    tags=("text", "collocations", "pmi", "infotheory", "topk"),
+    doc="top-20 adjacent-word collocations by fixed-point PMI "
+    "(lg c2 + 2*lg U - lg Nbg - lg c1x - lg c1y, min support 5): the "
+    "Church & Hanks phrase miner feeding tokenizer vocab decisions, "
+    "hash-exact because PMI factors into logs of bare counts",
+)
