@@ -215,3 +215,70 @@ sql_query(
     doc="temperature-flattened (T=0.5, sqrt) source mix weighting: "
     "integer-permille weights, order-free sums, 5000-doc allocation",
 )
+
+
+# ---- SFT chat templating + loss-mask accounting ----------------------------
+# The standard instruction-tuning prep stage: flatten multi-turn
+# conversations into one role-tagged training string and account for
+# which tokens train (assistant turns) vs are masked (user turns) — the
+# numbers every SFT data report carries (trainable-token share, turns,
+# lengths). Synthetic conversation structure over the documents table:
+# conversation = doc_id DIV 8 (8 turns), turn = doc_id % 8, roles
+# alternate user/assistant, so every engine derives identical
+# conversations with no extra fixture. The rendered template is emitted
+# as its md5 (portable, and keeps the certified frame narrow while
+# still pinning every byte of the rendering); token counts are
+# whitespace tokens + 2 specials per turn. Scale shape: one shuffle to
+# group doc_id DIV 8 (at 100 TB: conversations are already the natural
+# key of chat corpora), ordered in-group concat via sorted collect /
+# ordered string_agg — no window over the corpus, no Python.
+
+_CHAT_TURNS = 8
+
+
+def _chat_sql(dialect: str) -> str:
+    if dialect == "spark":
+        render = (
+            "md5(array_join(transform(array_sort(collect_list(struct("
+            "turn, role, text))), s -> concat('<|', s.role, '|>', s.text, "
+            "'<|end|>')), ''))"
+        )
+        ntok = "size(split(text, ' ')) + 2"
+        idiv = "DIV"
+    else:
+        render = (
+            "md5(string_agg(concat('<|', role, '|>', text, '<|end|>'), "
+            "'' ORDER BY turn))"
+        )
+        ntok = "len(string_split(text, ' ')) + 2"
+        idiv = "//"
+    return (
+        f"WITH turns AS (SELECT doc_id {idiv} {_CHAT_TURNS} AS conv_id, "
+        f"doc_id % {_CHAT_TURNS} AS turn, "
+        f"CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+        f"text, CAST({ntok} AS BIGINT) AS n_tok FROM documents), "
+        "conv AS (SELECT conv_id, COUNT(*) AS n_turns, "
+        "SUM(n_tok) AS n_tokens_total, "
+        "SUM(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END) "
+        "AS n_tokens_trainable, "
+        f"{render} AS template_md5 "
+        "FROM turns GROUP BY conv_id) "
+        "SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns, "
+        "n_tokens_total, n_tokens_trainable, "
+        f"CAST((1000 * n_tokens_trainable) {idiv} n_tokens_total AS BIGINT) "
+        "AS trainable_permille, template_md5 "
+        "FROM conv WHERE n_turns >= 2 ORDER BY conv_id"
+    )
+
+
+sql_query(
+    "pipeline_chat_template",
+    _chat_sql("spark"),
+    oracle=_chat_sql("duck"),
+    tables=("documents",),
+    tags=("pipeline", "sft", "chat", "templating"),
+    doc="SFT chat templating: 8-turn synthetic conversations rendered to "
+    "'<|role|>text<|end|>' strings (certified via md5 of the exact "
+    "rendering) with loss-mask accounting — trainable (assistant) vs "
+    "masked token counts and permille share per conversation",
+)
