@@ -152,3 +152,60 @@ sql_query(
     "Church & Hanks phrase miner feeding tokenizer vocab decisions, "
     "hash-exact because PMI factors into logs of bare counts",
 )
+
+
+def _xent_sql(dialect: str) -> str:
+    """Per-doc cross-entropy against the corpus unigram LM.
+
+    The CCNet perplexity filter's exact-arithmetic analog: documents
+    whose token distribution diverges from the corpus LM score high
+    (rare-token soup), repetitive in-distribution docs score low.
+    H(doc, corpus) = -sum_w (tf_w/dl) lg(c_w/U)
+                   = (sum_w tf_w * (lg U - lg c_w)) DIV dl
+    — every log argument is a bare count, one lg per DISTINCT value.
+    The existing ccnet tier buckets on count proxies; this is the real
+    log-domain quantity, hash-exact.
+    """
+    idiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        toks = "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
+    else:
+        toks = (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents"
+        )
+    return (
+        f"WITH toks AS (SELECT doc_id, w, COUNT(*) AS tf FROM ({toks}) r "
+        "GROUP BY doc_id, w), "
+        "uni AS (SELECT w, SUM(tf) AS c FROM toks GROUP BY w), "
+        "u AS (SELECT SUM(c) AS u FROM uni), "
+        "dl AS (SELECT doc_id, SUM(tf) AS dl FROM toks GROUP BY doc_id), "
+        "vals AS (SELECT DISTINCT c AS v FROM uni "
+        "UNION SELECT u FROM u), "
+        + log2_fp_ctes("vals", "v", "v", "1", dialect, out="lg")
+        + ", "
+        "contrib AS (SELECT t.doc_id, "
+        "SUM(t.tf * (gu.lg_fp - gc.lg_fp)) AS s "
+        "FROM toks t "
+        "JOIN uni n ON n.w = t.w "
+        "JOIN lg gc ON gc.v = n.c "
+        "CROSS JOIN u JOIN lg gu ON gu.v = u.u "
+        "GROUP BY t.doc_id) "
+        "SELECT c.doc_id, CAST(d.dl AS BIGINT) AS n_tokens, "
+        f"CAST(c.s {idiv} d.dl AS BIGINT) AS xent_fp "
+        "FROM contrib c JOIN dl d ON d.doc_id = c.doc_id "
+        "ORDER BY c.doc_id"
+    )
+
+
+sql_query(
+    "text_cross_entropy",
+    _xent_sql("spark"),
+    oracle=_xent_sql("duck"),
+    tables=("documents",),
+    tags=("text", "quality", "perplexity", "infotheory"),
+    doc="per-doc cross-entropy vs the corpus unigram LM in 2^-10-bit "
+    "fixed point ((sum tf*(lg U - lg c_w)) DIV dl): the exact "
+    "log-domain CCNet perplexity-filter quantity the count-proxy ccnet "
+    "tier approximates, hash-exact via the integer binary log",
+)
