@@ -128,8 +128,10 @@ HEADLINE = [
     "quality_classifier_train",
     "mm_resize_jpeg",
     "mm_audio_wav",
-    # r12: exact-integer BM25 (single-tokenize postings frame)
+    # r12: exact-integer BM25 (single-tokenize postings frame) + the
+    # fixed-point log-domain tier's flagship (CCNet-style cross-entropy)
     "rag_bm25_topk",
+    "text_cross_entropy",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry
