@@ -264,7 +264,10 @@ def _chat_sql(dialect: str) -> str:
         f"{render} AS template_md5 "
         "FROM turns GROUP BY conv_id) "
         "SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns, "
-        "n_tokens_total, n_tokens_trainable, "
+        # explicit BIGINT: DuckDB's SUM(BIGINT) yields HUGEINT, which
+        # fetchdf degrades to float64 and the strict value-hash rejects
+        "CAST(n_tokens_total AS BIGINT) AS n_tokens_total, "
+        "CAST(n_tokens_trainable AS BIGINT) AS n_tokens_trainable, "
         f"CAST((1000 * n_tokens_trainable) {idiv} n_tokens_total AS BIGINT) "
         "AS trainable_permille, template_md5 "
         "FROM conv WHERE n_turns >= 2 ORDER BY conv_id"
