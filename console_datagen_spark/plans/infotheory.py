@@ -33,6 +33,7 @@ Reference anchor: north-star (LLM-pipeline text analysis) scope.
 
 from __future__ import annotations
 
+from ..functions.hashing import bucket_sql_duck, bucket_sql_spark
 from ..functions.intlog import log2_fp_ctes
 from .registry import sql_query
 
@@ -208,4 +209,75 @@ sql_query(
     "fixed point ((sum tf*(lg U - lg c_w)) DIV dl): the exact "
     "log-domain CCNet perplexity-filter quantity the count-proxy ccnet "
     "tier approximates, hash-exact via the integer binary log",
+)
+
+
+def _kl_sql(dialect: str) -> str:
+    """KL(train || val) over unigram distributions, per language.
+
+    The log-domain upgrade of dq_split_drift's count proxies: the
+    actual divergence the drift literature defines, exact because
+    KL = sum_w p_w (lg p_w - lg q_w) expands into logs of bare counts
+    (add-1 smoothed on the val side so unseen tokens stay finite):
+    KL_fp = (sum_w c_w*((lg c_w - lg U) - (lg (d_w+1) - lg (V+S))))
+            DIV U
+    with c/U train counts+total, d/V val counts+total, S the smoothing
+    mass (train vocab size). Split = the canonical hash-bucket idiom.
+    """
+    idiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        toks = (
+            "SELECT lang, explode(split(text, ' ')) AS w, "
+            + bucket_sql_spark("doc_id", "kl1", 10)
+            + " AS b FROM documents"
+        )
+    else:
+        toks = (
+            "SELECT lang, unnest(string_split(text, ' ')) AS w, "
+            + bucket_sql_duck("doc_id", "kl1", 10)
+            + " AS b FROM documents"
+        )
+    return (
+        f"WITH toks AS ({toks}), "
+        "tr AS (SELECT lang, w, COUNT(*) AS c FROM toks WHERE b < 8 "
+        "GROUP BY lang, w), "
+        "va AS (SELECT lang, w, COUNT(*) AS d FROM toks WHERE b >= 8 "
+        "GROUP BY lang, w), "
+        "ut AS (SELECT lang, SUM(c) AS u, COUNT(*) AS s FROM tr "
+        "GROUP BY lang), "
+        "uv AS (SELECT lang, SUM(d) AS v FROM va GROUP BY lang), "
+        # one lg per distinct bare-count value across all four families
+        "vals AS (SELECT DISTINCT c AS vv FROM tr "
+        "UNION SELECT DISTINCT d + 1 FROM va "
+        "UNION SELECT u FROM ut UNION SELECT v + s FROM uv "
+        "JOIN ut ON ut.lang = uv.lang), "
+        + log2_fp_ctes("vals", "vv", "vv", "1", dialect, out="lg")
+        + ", "
+        "terms AS (SELECT tr.lang, "
+        "SUM(tr.c * ((gc.lg_fp - gu.lg_fp) - (gd.lg_fp - gs.lg_fp))) AS s "
+        "FROM tr "
+        "LEFT JOIN va ON va.lang = tr.lang AND va.w = tr.w "
+        "JOIN ut ON ut.lang = tr.lang "
+        "JOIN uv ON uv.lang = tr.lang "
+        "JOIN lg gc ON gc.vv = tr.c "
+        "JOIN lg gd ON gd.vv = COALESCE(va.d, 0) + 1 "
+        "JOIN lg gu ON gu.vv = ut.u "
+        "JOIN lg gs ON gs.vv = uv.v + ut.s "
+        "GROUP BY tr.lang) "
+        "SELECT t.lang, CAST(u.u AS BIGINT) AS n_train_tokens, "
+        f"CAST(t.s {idiv} u.u AS BIGINT) AS kl_fp "
+        "FROM terms t JOIN ut u ON u.lang = t.lang ORDER BY t.lang"
+    )
+
+
+sql_query(
+    "dq_kl_split_drift",
+    _kl_sql("spark"),
+    oracle=_kl_sql("duck"),
+    tables=("documents",),
+    tags=("dq", "drift", "kl", "infotheory"),
+    doc="per-language KL(train||val) of unigram distributions in "
+    "2^-10-bit fixed point (80/20 hash split, add-1 smoothed val side): "
+    "the actual divergence dq_split_drift's count proxies approximate, "
+    "hash-exact via logs of bare counts",
 )
