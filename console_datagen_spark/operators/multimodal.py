@@ -223,6 +223,92 @@ def wav_decimate_stats(media: DataFrame, factor: int = 2) -> DataFrame:
     return media.mapInPandas(kernel, schema=WAV_STATS_SCHEMA)
 
 
+# ---- REAL compressed-audio path (FLAC, pure numpy — operators/flac.py) ----
+
+FLAC_STATS_SCHEMA = (
+    "doc_id BIGINT, rate INT, n_samples INT, sumsq BIGINT, "
+    "min_s INT, max_s INT, roundtrip_ok INT"
+)
+
+
+def synth_flac_media(
+    documents: DataFrame, n_samples: int = 96, rate: int = 16_000
+) -> DataFrame:
+    """Attach a VALID mono 16-bit FLAC per doc — the compressed twin of
+    synth_wav_media: the SAME md5-chain int16 samples, losslessly
+    Rice/fixed-predictor coded (operators/flac.py), so the decode path
+    downstream replays to the identical sample math the WAV oracle uses."""
+    from .flac import encode_flac
+
+    raw = synth_media(documents, "audio", n_bytes=2 * n_samples)
+
+    def _to_flac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_flac(np.frombuffer(bytes(c), dtype="<i2"), rate)
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "fmt": "flac",
+                    "n_bytes": [len(c) for c in content],
+                    "content": content,
+                }
+            )
+
+    return raw.mapInPandas(_to_flac, schema=MEDIA_SCHEMA)
+
+
+def flac_decimate_stats(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL compressed-audio pipeline, one Arrow-batched pass: decode the
+    FLAC payload (metadata walk, frame-header CRC-8, Rice/fixed-predictor
+    subframe, frame CRC-16, STREAMINFO sample-MD5 — ALL verified),
+    integer-decimate, RE-ENCODE as FLAC and RE-DECODE, asserting the
+    roundtrip bit-exact in-kernel (encoded size is residual-dependent, so
+    unlike WAV's fixed 44-byte framing the certifiable re-encode fact is
+    decode(encode(x)) == x, emitted as roundtrip_ok). Sample stats replay
+    in SQL exactly like the WAV path — FLAC is lossless."""
+    from .flac import decode_flac, encode_flac
+    from .wav import decimate
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                samples, rate = decode_flac(bytes(content))
+                dec = decimate(samples, factor)
+                rt, rt_rate = decode_flac(encode_flac(dec, rate))
+                ok = int(rt_rate == rate and np.array_equal(rt, dec))
+                s = dec.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        len(dec),
+                        int((s * s).sum()),
+                        int(s.min()),
+                        int(s.max()),
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "rate",
+                    "n_samples",
+                    "sumsq",
+                    "min_s",
+                    "max_s",
+                    "roundtrip_ok",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=FLAC_STATS_SCHEMA)
+
+
 AUDIO_SCHEMA = "doc_id BIGINT, win_idx INT, energy_permille BIGINT, low_energy INT"
 
 

@@ -628,6 +628,59 @@ df_query(
 )
 
 
+def _mm_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    media = M.synth_flac_media(docs, n_samples=96, rate=16_000)
+    return M.flac_decimate_stats(media, factor=2).orderBy("doc_id")
+
+
+df_query(
+    "mm_audio_flac",
+    _mm_audio_flac,
+    oracle=(
+        # Full SQL replay of the REAL compressed-audio path: the FLAC
+        # payload encodes the SAME md5-chain int16 samples as the WAV
+        # query (96 mono samples = 192 bytes = 12 blocks), Rice/fixed-
+        # predictor coded. Losslessness means decode -> decimate-by-2
+        # yields exactly the even-index samples, so the oracle computes
+        # the decimated sum-of-squares / min / max from the chain —
+        # certifying metadata walk, frame-header CRC-8, Rice decode,
+        # fixed-predictor reconstruction, frame CRC-16 AND the
+        # STREAMINFO sample-MD5 check (any decode slip breaks one of
+        # them loudly). roundtrip_ok pins encode∘decode == id on the
+        # decimated signal (FLAC's encoded size is residual-dependent,
+        # so the WAV query's fixed-framing n_bytes check has no FLAC
+        # analog — the roundtrip is the re-encode certification).
+        "WITH m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 384) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 11) AS t(i) "
+        "  GROUP BY doc_id), "
+        "smp AS (SELECT doc_id, "
+        "  ('0x' || substr(hx, 4 * i + 1, 2))::BIGINT "
+        "  + 256 * ('0x' || substr(hx, 4 * i + 3, 2))::BIGINT AS u "
+        "  FROM m, (SELECT unnest(generate_series(0, 95)) AS i) t "
+        "  WHERE i % 2 = 0), "
+        "sv AS (SELECT doc_id, "
+        "  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM smp) "
+        "SELECT doc_id, CAST(16000 AS INT) AS rate, "
+        "CAST(48 AS INT) AS n_samples, "
+        "CAST(SUM(v * v) AS BIGINT) AS sumsq, "
+        "CAST(MIN(v) AS INT) AS min_s, CAST(MAX(v) AS INT) AS max_s, "
+        "CAST(1 AS INT) AS roundtrip_ok "
+        "FROM sv GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "audio", "flac", "pandas_udf"),
+    doc="REAL compressed-audio path (pure-numpy FLAC codec: Rice/fixed-"
+    "predictor subset of RFC 9639, CRC-8/16 + sample-MD5 verified, no "
+    "audio library): synth mono 16-bit FLAC from md5-chain samples -> "
+    "full verified decode -> integer decimate-by-2 -> re-encode+re-decode "
+    "roundtrip -> exact sample stats, certified by a full SQL replay of "
+    "the little-endian int16 sample derivation",
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     media = M.synth_media(docs, "video", n_bytes=256)

@@ -17,10 +17,13 @@ binary log (pure BIGINT on both engines):
   word pairs (Church & Hanks '90), the standard phrase/collocation
   miner feeding tokenizer vocab decisions. PMI factors into a SUM of
   logs of individual counts: lg(c2) + 2*lg(U) - lg(Nbg) - lg(c1x) -
-  lg(c1y), which keeps every intlog argument a bare count (no products
-  that could overflow the mantissa scale) and makes the fixed-point
-  error a bounded sum of per-term truncations — deterministic and
-  identical across engines, which is all the gate needs.
+  lg(c1y), so every intlog argument is a bare count (never a product
+  of counts) and the fixed-point error is a bounded sum of per-term
+  truncations — deterministic and identical across engines, which is
+  all the gate needs. Bare counts can still be corpus TOTALS (U, Nbg
+  here reach ~2e13 at 100 TB); intlog handles any BIGINT argument
+  exactly in that regime via its min(e,20) mantissa identity — see
+  :mod:`..functions.intlog` for the domain analysis.
 
 Both queries group on raw word strings (no hashing needed — the words
 themselves are the keys), so the corpus-sized work is one split+explode
@@ -246,9 +249,15 @@ def _kl_sql(dialect: str) -> str:
         "ut AS (SELECT lang, SUM(c) AS u, COUNT(*) AS s FROM tr "
         "GROUP BY lang), "
         "uv AS (SELECT lang, SUM(d) AS v FROM va GROUP BY lang), "
-        # one lg per distinct bare-count value across all four families
+        # one lg per distinct bare-count value across all four families.
+        # The literal 1 must always be present: train-only words smooth to
+        # d+1 = 1 on the val side, and the inner join on lg would silently
+        # drop them (the largest-divergence terms) if no train count
+        # happened to equal 1 — both engines agreed, so the hash gate
+        # could not catch it (ADVICE r12).
         "vals AS (SELECT DISTINCT c AS vv FROM tr "
         "UNION SELECT DISTINCT d + 1 FROM va "
+        "UNION SELECT 1 "
         "UNION SELECT u FROM ut UNION SELECT v + s FROM uv "
         "JOIN ut ON ut.lang = uv.lang), "
         + log2_fp_ctes("vals", "vv", "vv", "1", dialect, out="lg")

@@ -237,26 +237,33 @@ _CHAT_TURNS = 8
 
 
 def _chat_sql(dialect: str) -> str:
+    # text is wrapped in COALESCE(text, '') on BOTH sides: Spark's concat
+    # yields NULL on any NULL arg (the whole turn would vanish from
+    # array_join) while DuckDB's concat skips NULL args (renders
+    # '<|role|><|end|>') — without the pin, a NULL text would diverge
+    # template_md5/n_tok across engines and the contract held only
+    # because the fixture happens to be non-null (ADVICE r12).
     if dialect == "spark":
         render = (
             "md5(array_join(transform(array_sort(collect_list(struct("
             "turn, role, text))), s -> concat('<|', s.role, '|>', s.text, "
             "'<|end|>')), ''))"
         )
-        ntok = "size(split(text, ' ')) + 2"
+        ntok = "size(split(COALESCE(text, ''), ' ')) + 2"
         idiv = "DIV"
     else:
         render = (
             "md5(string_agg(concat('<|', role, '|>', text, '<|end|>'), "
             "'' ORDER BY turn))"
         )
-        ntok = "len(string_split(text, ' ')) + 2"
+        ntok = "len(string_split(COALESCE(text, ''), ' ')) + 2"
         idiv = "//"
     return (
         f"WITH turns AS (SELECT doc_id {idiv} {_CHAT_TURNS} AS conv_id, "
         f"doc_id % {_CHAT_TURNS} AS turn, "
         f"CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
-        f"text, CAST({ntok} AS BIGINT) AS n_tok FROM documents), "
+        f"COALESCE(text, '') AS text, "
+        f"CAST({ntok} AS BIGINT) AS n_tok FROM documents), "
         "conv AS (SELECT conv_id, COUNT(*) AS n_turns, "
         "SUM(n_tok) AS n_tokens_total, "
         "SUM(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END) "

@@ -457,6 +457,18 @@ def probe_scale(spark: SparkSession, sf_dir: str, scale: int) -> dict:
 
 
 # --------------------------------------------------- 10^4-bucket layout
+def _write_sentinel(spark: SparkSession) -> float:
+    """Disk-write ambient gauge recorded next to every write-heavy leg:
+    bench.py's fixed parquet-write+sync job (ONE definition — imported),
+    min-of-2. VERDICT r12 #1: both open anomalies blamed disk writeback
+    while no sentinel measured it, making the attribution unfalsifiable.
+    A leg's ratio gate can now be judged against the write ambient the
+    samples were actually taken under."""
+    from bench import _run_sentinel_write
+
+    return round(min(_run_sentinel_write(spark) for _ in range(2)), 3)
+
+
 def probe_layout(spark: SparkSession, n_buckets: int = 10_000) -> dict:
     """Write a curve store at 10^4 buckets and certify the broadcast-
     manifest pruned read: dynamic partition pruning in the plan, exact
@@ -474,6 +486,7 @@ def probe_layout(spark: SparkSession, n_buckets: int = 10_000) -> dict:
         "CAST(pmod(hash('y', id), 65536) AS BIGINT) AS pk16",
     )
     path = f"{PROBE_DIR}/curve_store_{n_buckets}"
+    sentinel_write = _write_sentinel(spark)
     t0 = time.perf_counter()
     write_curve_layout(
         base,
@@ -510,6 +523,7 @@ def probe_layout(spark: SparkSession, n_buckets: int = 10_000) -> dict:
         "parity": n_pruned == n_full,
         "write_sec": write_sec,
         "probe_sec": probe_sec,
+        "sentinel_write_sec": sentinel_write,
     }
 
 
@@ -580,6 +594,7 @@ def probe_layout_direct(
         "CAST(pmod(hash('y', id), 65536) AS BIGINT) AS pk16",
     )
     path = f"{PROBE_DIR}/curve_store_direct_{n_buckets}"
+    sentinel_write = _write_sentinel(spark)
     t0 = time.perf_counter()
     write_curve_layout_direct(
         base,
@@ -602,6 +617,7 @@ def probe_layout_direct(
         "probe_sec": probe_sec,
         "pruned_rows": n_pruned,
         "surviving_buckets": surv,
+        "sentinel_write_sec": sentinel_write,
     }
 
 
@@ -758,6 +774,11 @@ def main() -> int:
                         else old
                     )
                     kept["write_sec_samples"] = samples
+                    # always carry the ambient the LATEST sample was
+                    # taken under, even when the old min is kept
+                    kept["sentinel_write_sec_remeasure"] = new[
+                        "sentinel_write_sec"
+                    ]
                     results["layout"][str(b)] = kept
                     print(
                         f"# layout {b}: {old.get('write_sec')} -> "

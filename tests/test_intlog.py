@@ -116,10 +116,89 @@ def test_bm25_term_headroom():
     assert num < 2**63 - 1
 
 
-@pytest.mark.parametrize("bad", [(0, 1), (3, 0)])
-def test_log2_fp_domain(bad):
-    """x,y >= 1 is the contract; bin(0 DIV y) paths would misbehave —
-    document by asserting the helper is only fed valid domains in-repo
-    (BM25's (2N+2, 2df+1) are always >= 1)."""
-    x, y = bad
-    assert x < 1 or y < 1  # nothing to run: the contract test is the doc
+def test_log2_fp_huge_args_exact():
+    """Corpus-total-scale arguments (x >= 2^43, the old overflow cliff)
+    are in-domain since r13: e >= 20 takes the exact identity path, so
+    accuracy holds all the way to BIGINT max (ADVICE r12)."""
+    pairs = [
+        (1 << 43, 1),
+        ((1 << 43) + 17, 1),
+        (2 * 10**13, 1),  # ~100 TB corpus token total
+        (2**62 - 3, 1),
+        (2**62 - 3, 977),
+        (2 * 10**13, 3 * 10**6),  # lg(U / c_w) shape
+    ]
+    got = _duck_log2_fp(pairs)
+    for (x, y), fp in zip(pairs, got):
+        true = math.log2(x / y) * (1 << FRAC_BITS)
+        assert fp <= true + 1e-6, (x, y, fp, true)
+        assert fp >= true - 3, (x, y, fp, true)
+
+
+def test_log2_fp_huge_args_preshift_accuracy():
+    """The e < 20 pre-shift regime (x and y both >= ~2^43): the shared
+    downshift preserves the ratio to < 2^-41 relative, so the output is
+    still within the normal 3-unit truncation envelope."""
+    pairs = [
+        (2**62 - 3, 2**61 + 11),  # e = 0
+        (2**62 - 3, (2**62 - 3) // 5),  # e = 2
+        (3 * 10**15 + 7, 10**13 + 1),  # e = 8
+        (2**50 + 123, 2**44 + 9),  # e = 6, just past the old cliff
+    ]
+    got = _duck_log2_fp(pairs)
+    for (x, y), fp in zip(pairs, got):
+        true = math.log2(x / y) * (1 << FRAC_BITS)
+        assert abs(fp - true) <= 3, (x, y, fp, true)
+
+
+def test_log2_fp_huge_args_spark_duck_identical(spark):
+    """Cross-engine bit-identity holds in the regimes the r12 advice
+    flagged: x >= 2^43 previously wrapped in Spark and ERRORED in
+    DuckDB; now both engines agree everywhere."""
+    pairs = [
+        (1 << 43, 1),
+        (2 * 10**13, 1),
+        (2**62 - 3, 1),
+        (2**62 - 3, 2**61 + 11),
+        (3 * 10**15 + 7, 10**13 + 1),
+    ]
+    values = ", ".join(
+        f"({i}, CAST({x} AS BIGINT), CAST({y} AS BIGINT))"
+        for i, (x, y) in enumerate(pairs)
+    )
+    duck_sql = (
+        f"WITH args AS (SELECT * FROM (VALUES {values}) t(k, x, y)), "
+        + log2_fp_ctes("args", "k", "x", "y", "duck")
+        + " SELECT k, lg_fp FROM lg ORDER BY k"
+    )
+    spark_sql = (
+        f"WITH args AS (SELECT * FROM (VALUES {values}) t(k, x, y)), "
+        + log2_fp_ctes("args", "k", "x", "y", "spark")
+        + " SELECT k, lg_fp FROM lg ORDER BY k"
+    )
+    con = duckdb.connect()
+    try:
+        want = [tuple(r) for r in con.execute(duck_sql).fetchall()]
+    finally:
+        con.close()
+    got = [tuple(r) for r in spark.sql(spark_sql).collect()]
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "bad,want",
+    [
+        # x=0: mantissa 0 clamps to S, e=0 -> lg_fp 0 (the lg of 1) —
+        # degenerate but deterministic; x=0 never reaches the helper
+        # in-repo (BM25's (2N+2, 2df+1) are always >= 1)
+        ((0, 1), 0),
+        # y=0: division by zero -> NULL in DuckDB, never a finite lie
+        ((3, 0), None),
+    ],
+)
+def test_log2_fp_domain(bad, want):
+    """x, y >= 1 is the contract. ACTUALLY RUN the out-of-domain inputs
+    and pin the observed failure mode, so any behavior change is caught
+    (ADVICE r12: the old spelling never executed the SQL)."""
+    got = _duck_log2_fp([bad])
+    assert got == [want], (bad, got)
