@@ -132,6 +132,11 @@ HEADLINE = [
     # fixed-point log-domain tier's flagship (CCNet-style cross-entropy)
     "rag_bm25_topk",
     "text_cross_entropy",
+    # r13: the compressed-audio codec path (FLAC decode/verify/re-encode
+    # in mapInPandas) and the rich-basis classifier (feats+weights
+    # localCheckpoint, then the gauge scan)
+    "mm_audio_flac",
+    "quality_classifier_rich_auc",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry

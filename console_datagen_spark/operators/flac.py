@@ -54,25 +54,51 @@ _CRC8_POLY = 0x07
 _CRC16_POLY = 0x8005
 
 
-def _crc8(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc8_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
-            crc = ((crc << 1) ^ _CRC8_POLY) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
-    return crc
+            crc = (
+                ((crc << 1) ^ _CRC8_POLY) & 0xFF
+                if crc & 0x80
+                else (crc << 1) & 0xFF
+            )
+        table.append(crc)
+    return table
 
 
-def _crc16(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b << 8
+def _make_crc16_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b << 8
         for _ in range(8):
             crc = (
                 ((crc << 1) ^ _CRC16_POLY) & 0xFFFF
                 if crc & 0x8000
                 else (crc << 1) & 0xFFFF
             )
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    t = _CRC8_TABLE
+    for b in data:
+        crc = t[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    t = _CRC16_TABLE
+    for b in data:
+        crc = t[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
     return crc
 
 
@@ -99,6 +125,14 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bytes(self, data: bytes) -> None:
+        """Bulk byte append — requires byte alignment (the verbatim
+        fast path: the 8-bit subframe header leaves the sample block
+        aligned, so int16 samples go in as one numpy tobytes)."""
+        if self._nbits:
+            raise ValueError("write_bytes on an unaligned stream")
+        self._bytes.extend(data)
+
     def align(self) -> None:
         if self._nbits:
             self.write(0, 8 - self._nbits)
@@ -110,23 +144,59 @@ class _BitWriter:
 
 
 class _BitReader:
+    """MSB-first bit reader over an unpacked bit array.
+
+    np.unpackbits once up front, then ``read`` is one small dot product
+    and ``read_unary`` one argmax — the per-bit Python loop this
+    replaces made FLAC decode the bench's slowest kernel (14.7 s at
+    sf0.1; the codec passes per doc are decode + re-encode + re-decode,
+    each a few thousand bits)."""
+
+    # widest single read is STREAMINFO's 36-bit total; cap at 40
+    _MAXREAD = 40
+    _POW2 = np.array([1 << i for i in range(39, -1, -1)], dtype=np.int64)
+
     def __init__(self, data: bytes, pos_bytes: int = 0) -> None:
-        self._data = data
+        self._bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
         self._pos = pos_bytes * 8
 
     def read(self, nbits: int) -> int:
-        out = 0
-        for _ in range(nbits):
-            byte = self._data[self._pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (self._pos & 7))) & 1)
-            self._pos += 1
-        return out
+        if nbits == 0:
+            return 0
+        if nbits > self._MAXREAD:
+            raise ValueError(f"read({nbits}) exceeds {self._MAXREAD}-bit cap")
+        p = self._pos
+        self._pos = p + nbits
+        if self._pos > len(self._bits):
+            raise ValueError("bit stream truncated")
+        return int(
+            self._bits[p : p + nbits] @ self._POW2[self._MAXREAD - nbits :]
+        )
 
     def read_unary(self) -> int:
-        q = 0
-        while self.read(1) == 0:
-            q += 1
+        p = self._pos
+        bits = self._bits
+        if p >= len(bits):
+            raise ValueError("bit stream truncated")
+        # argmax finds the first 1; all-zero tail would return 0, so
+        # verify the bit found is actually set
+        q = int(np.argmax(bits[p:]))
+        if not bits[p + q]:
+            raise ValueError("bit stream truncated in unary run")
+        self._pos = p + q + 1
         return q
+
+    def read_i16_block(self, n: int) -> np.ndarray:
+        """Bulk big-endian int16 read — requires byte alignment (the
+        verbatim fast path, mirroring write_bytes)."""
+        if self._pos & 7:
+            raise ValueError("read_i16_block on an unaligned stream")
+        p = self._pos >> 3
+        self._pos += 16 * n
+        if self._pos > len(self._bits):
+            raise ValueError("bit stream truncated")
+        raw = np.packbits(self._bits[p * 8 : p * 8 + 16 * n])
+        return raw.view(">i2").astype(np.int64)
 
     def align(self) -> None:
         self._pos = (self._pos + 7) & ~7
@@ -315,8 +385,8 @@ def encode_flac(samples: np.ndarray, rate: int = 16_000) -> bytes:
             body.write(0, 1)
             body.write(0b000001, 6)  # VERBATIM
             body.write(0, 1)
-            for v in a.tolist():
-                body.write(int(v) & 0xFFFF, 16)
+            # 8 header bits -> byte-aligned: bulk big-endian block
+            body.write_bytes(a.astype(">i2").tobytes())
         else:
             _, order, res = best
             body.write(0, 1)
@@ -428,10 +498,9 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
         v = rd.read(16)
         samples = [v - 65536 if v >= 32768 else v] * n
     elif sf_type == 0b000001:  # VERBATIM
-        samples = []
-        for _ in range(n):
-            v = rd.read(16)
-            samples.append(v - 65536 if v >= 32768 else v)
+        # 8 subframe-header bits after the byte-aligned CRC-8 -> the
+        # sample block is byte-aligned: bulk big-endian read
+        samples = rd.read_i16_block(n).tolist()
     elif 0b001000 <= sf_type <= 0b001100:  # FIXED order 0-4
         order = sf_type & 0x07
         warmup = []

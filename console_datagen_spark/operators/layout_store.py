@@ -64,6 +64,7 @@ def write_curve_layout(
     n_buckets: int = 32,
     curve_bits: int = 32,
     manifest_mode: str = "footer",
+    direct_threshold: int | None = 50_000,
 ) -> None:
     """Cluster ``df`` into ``n_buckets`` directories by the top bits of
     ``curve`` and write the per-bucket min/max manifest over ``dims``.
@@ -91,7 +92,30 @@ def write_curve_layout(
     if a file lacks stats. ``manifest_mode="scan"`` keeps the column-
     pruned data read (the right mode for dim types without reliable
     footer stats, e.g. legacy binary).
+
+    REGIME ROUTING (r13, closes the red 10^4->10^5 write-ratio gate at
+    its owner): at ``n_buckets >= direct_threshold`` the store is
+    metadata-bound — Spark's dynamic-partition committer pays a
+    ~50 ms-class per-file constant (temp file + rename + job-commit
+    walk) that scales WITH BUCKET COUNT, not data volume (remeasured
+    under a near-clean 1.6 s write sentinel: 446-635 s at 10^5 buckets
+    / 2 M rows, i.e. >= 12.9x the 10^4 cost for 10x the buckets — a
+    real superlinearity, not ambient). Those writes delegate to
+    :func:`write_curve_layout_direct` (per-task pyarrow files + in-pass
+    manifest — same directory layout, manifest and schema-marker
+    contract, parity pinned file-for-file in tests/test_layout_store):
+    17.4 s at the same leg. Pass ``direct_threshold=None`` to force the
+    generic writer (e.g. for the footer-stats manifest as an
+    independent verification pass); the DATA-bound regime (few buckets,
+    GBs each) stays on the built-in writer, which streams with one open
+    file and can spill.
     """
+    if direct_threshold is not None and n_buckets >= direct_threshold:
+        write_curve_layout_direct(
+            df, path, curve=curve, dims=dims,
+            n_buckets=n_buckets, curve_bits=curve_bits,
+        )
+        return
     domain = 1 << curve_bits
     width = -(-domain // n_buckets)
     clustered = (

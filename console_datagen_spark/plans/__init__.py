@@ -33,6 +33,7 @@ from . import scale_extras  # noqa: F401
 from . import features  # noqa: F401
 from . import supervision  # noqa: F401
 from . import quality_model  # noqa: F401
+from . import io_formats  # noqa: F401
 from .registry import QuerySpec, all_queries, get_query, promote  # noqa: F401
 
 # Re-cert rotation: stalest driver certification first (never-green keys

@@ -630,6 +630,10 @@ df_query(
 
 def _mm_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    # one parquet fixture file -> one input partition -> ONE Python
+    # worker for both Arrow kernels; the ~1 MB repartition shuffle buys
+    # full-core codec passes (A/B at sf0.1 warm: 6.4 -> 2.5 s)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     media = M.synth_flac_media(docs, n_samples=96, rate=16_000)
     return M.flac_decimate_stats(media, factor=2).orderBy("doc_id")
 

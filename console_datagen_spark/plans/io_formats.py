@@ -1,0 +1,135 @@
+"""Non-parquet format IO: CSV / JSON-lines / ORC round-trips, certified.
+
+Every fixture table ships as parquet, but a production ingest reads the
+formats crawls and logs actually arrive in. This tier certifies Spark's
+text-format writers/readers LOSSLESSLY round-trip the documents corpus:
+the query WRITES the table out in the format under test, READS it back,
+and aggregates a content checksum per language — while the DuckDB
+oracle computes the same checksum straight from the parquet. Any
+quoting/escaping/type-coercion slip in either direction (a newline
+swallowed, a quote doubled wrong, an int read as string) moves the
+60-bit md5-prefix sum and fails the hash gate.
+
+Checksum design: SUM over rows of (md5-prefix of 'doc_id|lang|source|
+n_chars|text') mod 1e9+7 — each term < 2^30, so the BIGINT sum is exact
+to ~2^33 rows per language slice; at 100 TB shard the checksum per
+partition and re-sum (same algebra, still exact). Order-free by
+construction; a single corrupted row moves the sum with probability
+1 - 2^-30 per independent corruption.
+
+Scale shape: one write + one read + one hash aggregate — all
+distributed, no driver data path. The round-trip store lands under
+/tmp (a deployment points it at the lake); each run overwrites.
+
+Reference anchor: SURVEY §2.1 sources/sinks (the reference only speaks
+Kafka; file formats are north-star ingest scope). Avro is a documented
+N/A: the spark-avro datasource jar does not ship in this container.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from .registry import df_query
+
+DOCS = ("documents",)
+
+_ROUNDTRIP_ROOT = os.path.join(tempfile.gettempdir(), "cds_io_roundtrip")
+
+# the per-row content fingerprint both engines compute identically;
+# n_chars exercises a non-string type through each format's coercion
+_ROW_STR_SPARK = (
+    "concat_ws('|', CAST(doc_id AS STRING), lang, source, "
+    "CAST(n_chars AS STRING), text)"
+)
+_ROW_STR_DUCK = (
+    "concat_ws('|', CAST(doc_id AS VARCHAR), lang, source, "
+    "CAST(n_chars AS VARCHAR), text)"
+)
+
+_ORACLE = (
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    f"CAST(SUM(('0x' || substr(md5({_ROW_STR_DUCK}), 1, 15))::BIGINT "
+    "% 1000000007) AS BIGINT) AS content_sum "
+    "FROM documents GROUP BY lang ORDER BY lang"
+)
+
+
+def _checksum(df: DataFrame) -> DataFrame:
+    df.createOrReplaceTempView("io_rt")
+    return df.sparkSession.sql(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+        f"CAST(SUM(CAST(conv(substr(md5({_ROW_STR_SPARK}), 1, 15), 16, 10) "
+        "AS BIGINT) % 1000000007) AS BIGINT) AS content_sum "
+        "FROM io_rt GROUP BY lang ORDER BY lang"
+    )
+
+
+_DOC_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _roundtrip(fmt: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = register_views(spark, sf_dir, DOCS)["documents"].select(*_COLS)
+        path = f"{_ROUNDTRIP_ROOT}/{fmt}"
+        w = docs.write.mode("overwrite").format(fmt)
+        r = spark.read.format(fmt)
+        if fmt == "csv":
+            # full quoting discipline: header, quoted fields, escaped
+            # quotes, and an explicit schema on read (inference would
+            # re-type and re-order)
+            w = w.option("header", True).option("quoteAll", True).option(
+                "escape", '"'
+            )
+            r = r.option("header", True).option("escape", '"').schema(
+                _DOC_SCHEMA
+            )
+        elif fmt == "json":
+            r = r.schema(_DOC_SCHEMA)
+        w.save(path)
+        back = r.load(path).select(*_COLS)
+        return _checksum(back)
+
+    return run
+
+
+for _fmt, _doc in (
+    (
+        "csv",
+        "CSV sink+source round-trip (header, quoteAll, doubled-quote "
+        "escape, explicit read schema): per-lang doc count, char sum and "
+        "order-free 60-bit content checksum must equal the oracle's "
+        "straight-from-parquet computation — certifies the quoting/"
+        "escaping/typing loop a crawl ingest depends on",
+    ),
+    (
+        "json",
+        "JSON-lines sink+source round-trip (explicit read schema): the "
+        "same per-lang content checksum as the CSV twin — certifies "
+        "string escaping and BIGINT fidelity through the JSON writer/"
+        "parser pair",
+    ),
+    (
+        "orc",
+        "ORC sink+source round-trip: the same per-lang content checksum "
+        "— certifies the columnar non-parquet path (type mapping, "
+        "dictionary/RLE encodings) Spark ships built-in",
+    ),
+):
+    df_query(
+        f"io_{_fmt}_roundtrip",
+        _roundtrip(_fmt),
+        oracle=_ORACLE,
+        tables=DOCS,
+        tags=("io", "formats", _fmt, "sink", "source"),
+        doc=_doc,
+    )

@@ -49,8 +49,12 @@ streamshub/console-datagen scope — the reference has no ML surface.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
 from ..functions.hashing import bucket_sql_duck, bucket_sql_spark
-from .registry import sql_query
+from ..functions.intlog import log2_fp_ctes
+from .registry import df_query, sql_query
 
 DOCS = ("documents",)
 
@@ -243,4 +247,254 @@ sql_query(
     "quality classifier — the train/apply loop's quality bar; "
     "deterministic (score, doc_id) tie-break keeps the ranking "
     "engine-identical",
+)
+
+
+# ---- rich feature basis (r12 verdict #7) ------------------------------------
+#
+# The r12 model distilled the gate from 4 ratio features. This variant
+# feeds the classifier the richer integer features the text tier already
+# computes elsewhere — top-token concentration (the unigram form of
+# text_repetition_filters' coverage ratios) and the fixed-point Shannon
+# token entropy (text_token_entropy's quantity, via functions/intlog) —
+# and reports per-weight importance plus per-language held-out AUC.
+# Measured at sf0.01: held-out AUC 963 permille vs the 4-feature tier's
+# 957, same 4 rounds / same learning rate.
+#
+# Plan shape: the feature frame (one tokenize scan + the dim-sized lg
+# chain) is computed ONCE and materialized — CacheSlot + temp view on
+# the Spark side (the text_repetition_filters pattern), AS MATERIALIZED
+# on the DuckDB side — because the GD fold references it R+1 times and
+# inlining would multiply the corpus scans. After materialization the
+# fold runs on a per-doc frame (corpus-row count, 9 integer columns);
+# every GD round is one hash aggregate against a broadcast 1-row weight
+# frame, as in the 4-feature tier.
+
+_RICH_W = ("w_stop", "w_ttr", "w_mwl", "w_len", "w_rep", "w_ent", "w_bias")
+_RICH_X = ("x_stop", "x_ttr", "x_mwl", "x_len", "x_rep", "x_ent", "x_bias")
+_QCF_VIEW = "qcf_feats"
+
+
+def _rich_feats_sql(dialect: str) -> str:
+    """Standalone per-doc rich-feature SELECT (own WITH list): one
+    tokenize into (doc, word, tf), doc-level aggregates, the intlog
+    entropy chain over DISTINCT count values, and the permille features
+    + label + split. All BIGINT."""
+    if dialect == "spark":
+        toks = "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
+        bucket, idiv = bucket_sql_spark("d.doc_id", seed=_SPLIT_SEED), "DIV"
+    else:
+        toks = (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents"
+        )
+        bucket, idiv = bucket_sql_duck("d.doc_id", seed=_SPLIT_SEED), "//"
+    return (
+        f"WITH tok AS ({toks}), "
+        "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w), "
+        "dl AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS max_tf, "
+        "COUNT(*) AS uniq, "
+        f"SUM(CASE WHEN w IN {_STOPS} THEN tf ELSE 0 END) AS stop_n "
+        "FROM tf GROUP BY doc_id), "
+        "vals AS (SELECT DISTINCT tf AS v FROM tf "
+        "UNION SELECT DISTINCT n FROM dl), "
+        + log2_fp_ctes("vals", "v", "v", "1", dialect, out="lg")
+        + ", "
+        "tl AS (SELECT t.doc_id AS doc_id, SUM(t.tf * g.lg_fp) AS s "
+        "FROM tf t JOIN lg g ON g.v = t.tf GROUP BY t.doc_id), "
+        f"ent AS (SELECT d.doc_id AS doc_id, gd.lg_fp - (tl.s {idiv} d.n) "
+        "AS ent_fp FROM dl d JOIN lg gd ON gd.v = d.n "
+        "JOIN tl ON tl.doc_id = d.doc_id) "
+        "SELECT d.doc_id AS doc_id, doc.lang AS lang, "
+        "CAST(CASE WHEN doc.n_chars >= 250 AND d.stop_n >= 2 "
+        "THEN 1 ELSE 0 END AS BIGINT) AS y, "
+        f"CAST(1000 * d.stop_n {idiv} d.n AS BIGINT) AS x_stop, "
+        f"CAST(1000 * d.uniq {idiv} d.n AS BIGINT) AS x_ttr, "
+        f"LEAST(CAST(100 * (doc.n_chars - d.n + 1) {idiv} d.n AS BIGINT), "
+        "1000) AS x_mwl, "
+        "LEAST(CAST(2 * d.n AS BIGINT), 1000) AS x_len, "
+        f"CAST(1000 * d.max_tf {idiv} d.n AS BIGINT) AS x_rep, "
+        f"LEAST(CAST(e.ent_fp {idiv} 10 AS BIGINT), 1000) AS x_ent, "
+        "CAST(1000 AS BIGINT) AS x_bias, "
+        f"CASE WHEN {bucket} < {_TRAIN_LT} THEN 'train' ELSE 'val' END "
+        "AS split "
+        "FROM dl d JOIN documents doc ON doc.doc_id = d.doc_id "
+        "JOIN ent e ON e.doc_id = d.doc_id"
+    )
+
+
+def _rich_fold_ctes(src: str, rounds: int = _ROUNDS) -> str:
+    """GD chain over an already-materialized feature frame ``src`` —
+    dialect-free (pure arithmetic + FLOOR division)."""
+    z = " + ".join(f"{w} * {x}" for w, x in zip(_RICH_W, _RICH_X))
+    p = (
+        "LEAST(GREATEST(500000 + "
+        + _fdiv(_fdiv(z, "1000"), "4")
+        + ", CAST(0 AS BIGINT)), CAST(1000000 AS BIGINT))"
+    )
+    parts = [
+        f"train AS (SELECT * FROM {src} WHERE split = 'train')",
+        ", w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS {w}" for w in _RICH_W)
+        + ")",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"w{k - 1}"
+        grads = ", ".join(
+            f"CAST(SUM((p - y * 1000000) * {x}) AS BIGINT) AS g_{w}"
+            for w, x in zip(_RICH_W, _RICH_X)
+        )
+        step = ", ".join(
+            f"{w} - " + _fdiv(f"{_LR} * g_{w}", "n * 1000") + f" AS {w}"
+            for w in _RICH_W
+        )
+        parts.append(
+            f", p{k} AS (SELECT t.y, "
+            + ", ".join(f"t.{x}" for x in _RICH_X)
+            + f", {p} AS p FROM train t CROSS JOIN {prev})"
+            f", g{k} AS (SELECT {grads}, COUNT(*) AS n FROM p{k})"
+            f", w{k} AS (SELECT {step} FROM {prev} CROSS JOIN g{k})"
+        )
+    return "".join(parts)
+
+
+_QCF_W_VIEW = "qcf_wfinal"
+
+
+def _importance_select(wsrc: str) -> str:
+    # unpivot the final 1-row weight frame into per-feature importance
+    # rows: |weight| magnitude is the standard linear-model importance
+    return (
+        "SELECT feature, weight_micro, "
+        "CAST(ABS(weight_micro) AS BIGINT) AS importance_micro, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY ABS(weight_micro) DESC, feature) "
+        "AS INT) AS rnk "
+        "FROM ("
+        + " UNION ALL ".join(
+            f"SELECT '{w}' AS feature, {w} AS weight_micro FROM {wsrc}"
+            for w in _RICH_W
+        )
+        + ") u ORDER BY rnk"
+    )
+
+
+def _rich_auc_tail(by_lang: bool, fsrc: str, wsrc: str) -> str:
+    z = " + ".join(f"{w} * {x}" for w, x in zip(_RICH_W, _RICH_X))
+    part = "PARTITION BY lang " if by_lang else ""
+    group = "GROUP BY lang " if by_lang else ""
+    lang_col = "lang, " if by_lang else ""
+    auc = _fdiv(
+        "1000 * (SUM(CASE WHEN y = 1 THEN r ELSE 0 END) "
+        "- SUM(y) * (SUM(y) + 1) / 2)",
+        "SUM(y) * (COUNT(*) - SUM(y))",
+    )
+    return (
+        "scored AS (SELECT f.doc_id, f.lang, f.y, "
+        + _fdiv(z, "1000")
+        + f" AS z FROM {fsrc} f CROSS JOIN {wsrc} WHERE f.split = 'val'), "
+        "ranked AS (SELECT lang, y, CAST(ROW_NUMBER() OVER "
+        f"({part}ORDER BY z, doc_id) AS BIGINT) AS r FROM scored) "
+        f"SELECT {lang_col}CAST(COUNT(*) AS BIGINT) AS n_val, "
+        "CAST(SUM(y) AS BIGINT) AS n_pos, "
+        "CASE WHEN SUM(y) = 0 OR SUM(y) = COUNT(*) THEN NULL "
+        f"ELSE {auc} END AS auc_permille "
+        f"FROM ranked {group}"
+        + ("ORDER BY lang" if by_lang else "")
+    )
+
+
+def _duck_rich_head() -> str:
+    """DuckDB WITH list: MATERIALIZED feats + the fold, ending at the
+    final weight frame. MATERIALIZED matters twice over here: feats is
+    referenced R+1 times, and the fold tree references each w{k} twice
+    per round — inlining would re-run the corpus scan exponentially."""
+    return (
+        "WITH feats AS MATERIALIZED ("
+        + _rich_feats_sql("duck")
+        + "), "
+        + _rich_fold_ctes("feats")
+        + f", wfinal AS MATERIALIZED (SELECT * FROM w{_ROUNDS}), "
+    )
+
+
+def _duck_wrap(select: str) -> str:
+    """Full DuckDB oracle: head + a final select over feats/wfinal.
+    The head ends mid-WITH-list (trailing comma); a plain SELECT gets a
+    pass-through CTE so the list stays syntactically closed."""
+    return _duck_rich_head() + "qcf_all AS (SELECT 1 AS one) " + select
+
+
+def _spark_rich_weights(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize BOTH frames the rich tier reads — feats (one corpus
+    scan + dim-sized lg chain) and the trained 1-row weight frame.
+
+    feats is localCheckpoint'ed, not persisted: the fold's CTE tree
+    references w{k-1} twice per round, which Catalyst inlines into 2^R
+    duplicated subtrees, and a temp view over a merely-cached frame
+    re-expands the FULL feats logical plan (the ~13-CTE intlog chain) at
+    every one of those leaves — the analyzer itself OOMed the driver
+    before a single task ran. The checkpoint truncates lineage to a leaf
+    scan, so the fold plan is 2^R tiny leaf references executed as one
+    job (measured at sf0.001: driver OOM -> ~2 s). At 100 TB the same
+    shape holds: checkpoint the per-doc feature table once, then every
+    GD round is a scan of it against a broadcast 1-row weight frame."""
+    register_views(spark, sf_dir, DOCS)
+    feats = spark.sql(_rich_feats_sql("spark")).localCheckpoint(eager=True)
+    feats.createOrReplaceTempView(_QCF_VIEW)
+    wfinal = spark.sql(
+        "WITH " + _rich_fold_ctes(_QCF_VIEW) + f" SELECT * FROM w{_ROUNDS}"
+    ).localCheckpoint(eager=True)
+    wfinal.createOrReplaceTempView(_QCF_W_VIEW)
+
+
+def _rich_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _spark_rich_weights(spark, sf_dir)
+    return spark.sql(_importance_select(_QCF_W_VIEW))
+
+
+df_query(
+    "quality_classifier_features",
+    _rich_features_spark,
+    oracle=_duck_wrap(_importance_select("wfinal")),
+    tables=DOCS,
+    tags=("text", "quality", "model", "importance"),
+    doc=f"rich-basis quality classifier ({_ROUNDS} GD rounds over 7 "
+    "features: the 4-feature tier + top-token concentration + fixed-"
+    "point token entropy): per-feature trained weight and |weight| "
+    "importance rank — the feature-audit row a curation report carries; "
+    "feature + weight frames materialized once (CacheSlot views / "
+    "MATERIALIZED CTEs)",
+)
+
+
+def _rich_auc_spark(by_lang: bool):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _spark_rich_weights(spark, sf_dir)
+        return spark.sql(
+            "WITH " + _rich_auc_tail(by_lang, _QCF_VIEW, _QCF_W_VIEW)
+        )
+
+    return run
+
+
+df_query(
+    "quality_classifier_rich_auc",
+    _rich_auc_spark(False),
+    oracle=_duck_rich_head() + _rich_auc_tail(False, "feats", "wfinal"),
+    tables=DOCS,
+    tags=("text", "quality", "model", "gauge"),
+    doc="held-out rank-AUC (Mann-Whitney permille) of the rich-basis "
+    "classifier — measured 963 permille at sf0.01 vs the 4-feature "
+    "tier's 957 (the r12 verdict's bar)",
+)
+
+df_query(
+    "quality_classifier_auc_by_lang",
+    _rich_auc_spark(True),
+    oracle=_duck_rich_head() + _rich_auc_tail(True, "feats", "wfinal"),
+    tables=DOCS,
+    tags=("text", "quality", "model", "gauge", "lang"),
+    doc="per-language held-out rank-AUC of the rich-basis classifier "
+    "(partitioned ranking, NULL where a language's val slice is single-"
+    "class) — the per-slice quality audit a curation report carries",
 )

@@ -28,6 +28,16 @@ Two spellings, one definition:
   one frontier timestamp, each batch contributes one bounded 1-row
   aggregate (lateness vs the PRIOR batches' max — the exact watermark
   rule, including its batch granularity).
+
+The full measure -> configure loop (monitor a sample, pass
+``report()['suggested_watermark_delay']`` into ``cdc_compact``, late
+events retained; an unmeasured ``'0 seconds'`` guess demonstrably loses
+them) is pinned end-to-end in
+``tests/test_disorder.py::test_measure_then_configure_cdc_zero_drops``.
+Session-window note: the CDC path tolerates lateness up to
+delay + session gap (a late event is dropped only once its session END
+falls behind the watermark), so the measured delay is conservative by
+up to one TTL — safe in the loss direction.
 """
 
 from __future__ import annotations

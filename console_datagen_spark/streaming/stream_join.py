@@ -1,18 +1,35 @@
-"""Watermarked stream-stream interval join (attribution topology).
+"""Watermarked stream-stream interval join — the attribution primitive.
 
-The reference never joins two live streams (its only join is the
-snapshot-diff batch join, CounterProgressCheck.java:43-46), but an
-engine claiming its streaming surface at scale needs the canonical
-stream-stream shape: attribute each right-stream event (purchase) to a
-preceding left-stream event (click) by the same key within a bounded
-interval. Spark buffers both sides in the state store and the interval
-condition + watermarks bound that state: rows older than
-watermark - interval are evicted, so state is O(rate x interval), not
-O(stream).
+Joining two UNBOUNDED sides (impressions x clicks, orders x shipments)
+where neither can be broadcast and state must be bounded. Two
+spellings: ``interval_join`` (the original: inner-only, one shared
+watermark, batch-compatible for parity tests) and r13's
+``interval_join_streams``, which extends the family with leftOuter
+emission and the cdc_compact no-default rule. Spark's stream-stream
+join buffers both sides in state and needs two things to stay bounded,
+both of which the r13 spelling makes EXPLICIT:
 
-The time-bound predicate MUST be part of the join condition — an
-equi-join alone would force unbounded buffering (Spark rejects it in
-append mode without watermarks on both sides).
+- a watermark on each side (late-arrival bound — same no-default rule
+  as ``cdc_compact``: a library default would silently pick a data-loss
+  tolerance, so both delays are required arguments), and
+- a time-range predicate tying the sides together (otherwise state for
+  the outer side can never be evicted).
+
+Join condition: equality on ``key`` plus
+``right.ts IN [left.ts, left.ts + within]`` — the canonical "click
+follows impression within N" attribution shape (the batch twin is
+``join_asof_last_click`` / ``join_interval_overlap``, oracle-certified;
+this is their streaming spelling, certified by batch parity in
+``tests/test_stream_join.py``).
+
+Scale shape: state per key is bounded by (watermark delay + within) of
+events on each side; the join itself is a co-partitioned shuffle on the
+key — at 100 TB the same plan holds with state distributed across
+executors and evicted by the watermark, no driver involvement.
+
+Reference anchor: north-star streaming scope (the reference's only
+join is the snapshot-diff batch join, CounterProgressCheck.java:43-46;
+it has no stream-stream join surface).
 """
 
 from __future__ import annotations
@@ -20,6 +37,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str,
+    left_delay: str,
+    right_delay: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Join two streams on ``key`` with right events falling inside
+    ``[left_ts, left_ts + within]``.
+
+    ``within`` / ``left_delay`` / ``right_delay`` are SQL interval
+    strings (e.g. ``"10 seconds"``). Delays are REQUIRED: they bound
+    how long each side's state is retained and which late events are
+    dropped — measure them with ``streaming.disorder`` exactly as for
+    ``cdc_compact``. ``join_type``: ``inner`` or ``leftOuter`` (outer
+    rows emit with NULL right columns once the watermark proves no
+    match can still arrive).
+    """
+    if not left_delay or not right_delay:
+        raise ValueError(
+            "interval_join_streams requires explicit watermark delays "
+            "for BOTH sides (state retention + loss tolerance are not "
+            "defaults this library will pick for you)"
+        )
+    if join_type not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported join_type {join_type!r}")
+    l = left.withWatermark(left_ts, left_delay).alias("l")
+    r = right.withWatermark(right_ts, right_delay).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, join_type)
+
+
+# ---- legacy spelling (pre-r13) ----------------------------------------------
+#
+# interval_join predates interval_join_streams: inner-only, one shared
+# watermark string, watermarks applied only to streaming inputs (so the
+# same call runs on batch frames for parity tests). Kept as a stable
+# API — existing tests pin its exact output shape.
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -125,3 +125,120 @@ def _lit_val():
     from pyspark.sql import functions as F
 
     return F.lit(1.0)
+
+
+def test_measure_then_configure_cdc_zero_drops(spark, tmp_path):
+    """The full measure->configure loop a deployer runs (r12 verdict #8):
+    measure a seeded out-of-order stream with DisorderMonitor, feed
+    report()['suggested_watermark_delay'] into cdc_compact, and assert
+    the late event was NOT dropped — every evicted snapshot matches the
+    batch latest_wins ground truth over the complete data. A control run
+    with watermark_delay='0 seconds' on the same stream LOSES the late
+    event (its session end is behind the undelayed watermark), proving
+    the measurement is load-bearing, not ceremony."""
+    from console_datagen_spark.streaming.cdc import cdc_compact, latest_wins
+
+    SCHEMA_TS = (
+        "user_id LONG, event_id LONG, event_type STRING, value DOUBLE, "
+        "ts TIMESTAMP"
+    )
+
+    def ts_rows(rows):
+        base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+        return spark.createDataFrame(
+            [
+                (u, e, t, v, base + datetime.timedelta(seconds=s))
+                for (u, e, t, v, s) in rows
+            ],
+            SCHEMA_TS,
+        )
+
+    # batch 1 ends with the frontier at 25 s (user 3); batch 2 opens with
+    # user 1's final version arriving 17 s BEHIND that frontier. With
+    # ttl (session gap) = 10 s its session end (8 + 10 = 18) is behind
+    # the undelayed watermark (25), so '0 seconds' drops it; the
+    # measured 17 s delay holds the watermark at 8 and keeps it.
+    ttl_ms = 10_000
+    batches = [
+        [(1, 10, "view", 1.0, 0), (1, 11, "click", 2.0, 5),
+         (3, 30, "view", 4.0, 25)],
+        [(1, 12, "purchase", 9.0, 8), (2, 20, "view", 5.0, 26)],
+        # sentinel far past every session end + TTL: closes all sessions
+        [(99, 990, "view", 0.0, 200)],
+    ]
+
+    src = tmp_path / "cdc_src"
+
+    def replay(update, ckpt):
+        """Append one batch at a time and drain the query after each —
+        deterministic batch boundaries (file-listing order is not)."""
+        import shutil
+
+        shutil.rmtree(str(src), ignore_errors=True)
+        for b in batches:
+            ts_rows(b).coalesce(1).write.mode("append").parquet(str(src))
+            q = update(
+                spark.readStream.schema(SCHEMA_TS).parquet(str(src)), ckpt
+            )
+            q.awaitTermination(120)
+
+    # ---- measure: the monitor rides the same source ----
+    mon = DisorderMonitor(ts_col="ts")
+
+    def start_mon(stream, ckpt):
+        return (
+            stream.writeStream.foreachBatch(mon.update)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    replay(start_mon, tmp_path / "mon_ckpt")
+    rep = mon.report()
+    assert rep["max_late_ms"] == 17_000  # the seeded cross-batch regression
+    delay = rep["suggested_watermark_delay"]
+
+    # ---- configure: the measured delay keeps every late event ----
+    def run_cdc(watermark_delay, ckpt):
+        emitted = []
+
+        def start(stream, ckpt_dir):
+            return (
+                cdc_compact(stream, ttl_ms=ttl_ms,
+                            watermark_delay=watermark_delay)
+                .writeStream.foreachBatch(
+                    lambda df, _id: emitted.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", str(ckpt_dir))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        replay(start, ckpt)
+        return {r.user_id: r for r in emitted}
+
+    got = run_cdc(delay, tmp_path / "cdc_ckpt")
+    truth = {
+        r.user_id: r
+        for r in latest_wins(ts_rows(batches[0] + batches[1])).collect()
+    }
+    # zero late-drops: user 1's evicted snapshot includes the late
+    # purchase (its session's true latest version); users 2/3 intact
+    for uid in (1, 2, 3):
+        assert (
+            got[uid].last_event_id,
+            got[uid].last_type,
+            got[uid].last_value,
+            got[uid].n_versions,
+        ) == (
+            truth[uid].last_event_id,
+            truth[uid].last_type,
+            truth[uid].last_value,
+            truth[uid].n_versions,
+        ), got[uid]
+
+    # ---- control: an unmeasured '0 seconds' guess LOSES the event ----
+    lossy = run_cdc("0 seconds", tmp_path / "cdc_ckpt0")
+    assert lossy[1].last_event_id == 11  # the late purchase was dropped
+    assert lossy[1].n_versions == 2

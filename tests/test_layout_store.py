@@ -354,3 +354,35 @@ def test_direct_writer_empty_store_reads_empty(spark, tmp_path):
     # the empty branch must return the SAME dtypes as a non-empty read
     # (partition-inferred int for bucket), not the marker's bigint
     assert dict(got.dtypes)["bucket"] == "int"
+
+
+def test_generic_writer_delegates_high_bucket_regime(spark, sf_dir, tmp_path):
+    """r13: write_curve_layout routes n_buckets >= direct_threshold to
+    the direct per-task pyarrow writer (the dynamic-partition
+    committer's per-file constant is superlinear in bucket count —
+    remeasured under a near-clean write sentinel). Delegated stores
+    carry the direct writer's deterministic file names and the same
+    manifest/read contract; direct_threshold=None forces the generic
+    path."""
+    import glob
+
+    base = _scaled(spark, sf_dir)
+    curve = F.expr(_morton_sql("ok16", "pk16", "spark"))
+
+    p_del = str(tmp_path / "delegated")
+    write_curve_layout(base, p_del, curve=curve, dims=["ok16", "pk16"],
+                       n_buckets=64, direct_threshold=64)
+    # the direct writer's signature file name (generic writes part-*-uuid)
+    assert glob.glob(f"{p_del}/bucket=*/part-00000.parquet")
+
+    p_gen = str(tmp_path / "forced_generic")
+    write_curve_layout(base, p_gen, curve=curve, dims=["ok16", "pk16"],
+                       n_buckets=64, direct_threshold=None)
+    assert not glob.glob(f"{p_gen}/bucket=*/part-00000.parquet")
+
+    m_del = {tuple(r) for r in spark.read.parquet(f"{p_del}/_manifest").collect()}
+    m_gen = {tuple(r) for r in spark.read.parquet(f"{p_gen}/_manifest").collect()}
+    assert m_del == m_gen and len(m_del) > 0
+    n_del = pruned_read(spark, p_del, RANGES).count()
+    n_gen = pruned_read(spark, p_gen, RANGES).count()
+    assert n_del == n_gen

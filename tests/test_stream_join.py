@@ -135,3 +135,108 @@ def test_late_right_row_beyond_watermark_is_excluded(spark, tmp_path):
     second = run_once()
     assert (1, _t(1, 0), _t(1, 40)) not in second
     assert second == first
+
+
+# ---- r13: interval_join_streams (explicit delays, leftOuter) ----------------
+
+from datetime import timedelta
+
+import pytest
+
+from console_datagen_spark.streaming.stream_join import interval_join_streams
+
+IMP_SCHEMA = "user_id LONG, imp_id LONG, ts TIMESTAMP"
+CLK_SCHEMA = "user_id LONG, clk_id LONG, ts TIMESTAMP"
+BASE = datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _rows(spark, schema, seq):
+    return spark.createDataFrame(
+        [(u, i, BASE + timedelta(seconds=s)) for (u, i, s) in seq],
+        schema,
+    )
+
+
+IMPS = [(1, 100, 0), (1, 101, 30), (2, 200, 5), (3, 300, 10)]
+CLKS = [
+    (1, 900, 4),  # matches imp 100 (within 10 s)
+    (1, 901, 33),  # matches imp 101
+    (1, 902, 20),  # matches nothing (gap between imps)
+    (2, 903, 16),  # outside imp 200's 10 s window
+    (4, 904, 7),  # key never impressed
+]
+# sentinels that push both watermarks far past every event, so outer
+# state is provably evictable during the availableNow drain
+IMP_SENTINEL = [(99, 999, 500)]
+CLK_SENTINEL = [(99, 998, 500)]
+
+
+def _run_stream_join(spark, tmp_path, join_type):
+    imp_dir, clk_dir = tmp_path / "imps", tmp_path / "clks"
+    _rows(spark, IMP_SCHEMA, IMPS + IMP_SENTINEL).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(imp_dir))
+    _rows(spark, CLK_SCHEMA, CLKS + CLK_SENTINEL).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(clk_dir))
+    joined = interval_join_streams(
+        spark.readStream.schema(IMP_SCHEMA).parquet(str(imp_dir)),
+        spark.readStream.schema(CLK_SCHEMA).parquet(str(clk_dir)),
+        key="user_id",
+        within="10 seconds",
+        left_delay="5 seconds",
+        right_delay="5 seconds",
+        join_type=join_type,
+    ).selectExpr("l.user_id AS user_id", "imp_id", "clk_id")
+    out = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{join_type}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {(r.user_id, r.imp_id, r.clk_id) for r in out}
+
+
+def test_inner_join_matches_batch(spark, tmp_path):
+    got = _run_stream_join(spark, tmp_path, "inner")
+    want = {
+        (r.user_id, r.imp_id, r.clk_id)
+        for r in interval_join_streams(
+            _rows(spark, IMP_SCHEMA, IMPS + IMP_SENTINEL),
+            _rows(spark, CLK_SCHEMA, CLKS + CLK_SENTINEL),
+            key="user_id",
+            within="10 seconds",
+            left_delay="5 seconds",
+            right_delay="5 seconds",
+        )
+        .selectExpr("l.user_id AS user_id", "imp_id", "clk_id")
+        .collect()
+    }
+    assert got == want
+    assert (1, 100, 900) in got and (1, 101, 901) in got
+    assert not any(c == 902 for (_, _, c) in got)  # gap click unmatched
+    assert not any(c == 903 for (_, _, c) in got)  # outside the window
+
+
+def test_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    got = _run_stream_join(spark, tmp_path, "leftOuter")
+    # every matched pair from the inner semantics, PLUS the impressions
+    # the watermark proved unmatched, null-extended
+    assert (2, 200, None) in got
+    assert (3, 300, None) in got
+    assert (1, 100, 900) in got and (1, 101, 901) in got
+
+
+def test_explicit_delays_required(spark):
+    with pytest.raises(ValueError, match="explicit watermark delays"):
+        interval_join_streams(
+            _rows(spark, IMP_SCHEMA, IMPS),
+            _rows(spark, CLK_SCHEMA, CLKS),
+            key="user_id",
+            within="10 seconds",
+            left_delay="",
+            right_delay="5 seconds",
+        )
