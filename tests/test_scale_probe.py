@@ -133,3 +133,31 @@ def test_leg_exponents_tolerate_missing_scales():
     assert e["endpoint"] is not None
     single = sp._leg_exps({1: 5.0, 3: None, 10: None, 30: None})
     assert single == {"endpoint": None, "legs": {}}
+
+
+def test_write_sentinel_measures_and_cleans_up(spark):
+    """The r13 disk-write sentinel (bench._run_sentinel_write, reused by
+    the probe's per-leg gauge): returns a positive wall time and leaves
+    no store behind — a stranded sentinel dir would feed the NEXT run's
+    overwrite cost into the measurement."""
+    import os
+
+    from bench import SENTINEL_WRITE_PATH, _run_sentinel_write
+
+    dt = _run_sentinel_write(spark)
+    assert dt > 0
+    assert not os.path.exists(SENTINEL_WRITE_PATH)
+
+
+def test_probe_layout_records_write_sentinel(monkeypatch):
+    """probe_layout / probe_layout_direct must carry the per-leg write
+    ambient (VERDICT r12 #1: 'one sentinel per resource axis you
+    blame') — pin the artifact key so a refactor can't silently drop
+    the attribution field."""
+    import inspect
+
+    import scripts.scale_probe as sp
+
+    for fn in (sp.probe_layout, sp.probe_layout_direct):
+        src = inspect.getsource(fn)
+        assert "sentinel_write_sec" in src, fn.__name__
