@@ -826,6 +826,83 @@ sql_query(
 )
 
 
+# Kneser-Ney smoothed bigram LM (Chen & Goodman 1998, the estimator the
+# backoff LMs above approximate): absolute discounting with a
+# CONTINUATION-count unigram backoff —
+#     P_KN(w|v) = max(c(vw) - D, 0)/c(v·) + D·N1+(v·)/c(v·) · N1+(·w)/Nt
+# with D = 3/4 (the canonical fixed discount), N1+(v·) the count of
+# distinct continuations of v, N1+(·w) the count of distinct contexts
+# preceding w, and Nt the total bigram-type count. Scaling every term by
+# 4 clears the fraction into ONE integer rational:
+#     P_KN = [max(4c - 3, 0)·Nt + 3·N1+(v·)·N1+(·w)] / [4·c(v·)·Nt]
+# so the floor-ppm projection is hash-exact on both engines — the
+# textbook float spelling is not certifiable, this one is. Per-context
+# probabilities sum to exactly 1 in rationals (pinned by unit test with
+# fractions.Fraction). Scale shape: two hash aggregates over the bigram
+# stream + three dim-sized count frames broadcast into the scoring join;
+# distributed top-k (LIMIT before ROW_NUMBER, the PMI idiom). Integer
+# domain: products stay in BIGINT while c(v·)·Nt < 2^43-ish — fixture
+# scales are orders of magnitude inside; a 100 TB corpus takes the same
+# shard-then-merge treatment as the BM25 postings (per-shard counts,
+# rational folded after the merge).
+
+_KN_TOPK = 20
+
+
+def _kneser_ney_sql(dialect: str) -> str:
+    if dialect == "spark":
+        idiv = "DIV"
+        bg = (
+            "SELECT explode(transform(sequence(1, size(l) - 1), "
+            "i -> struct(element_at(l, i) AS v, element_at(l, i + 1) "
+            "AS w))) AS p "
+            "FROM (SELECT split(text, ' ') AS l FROM documents) d "
+            "WHERE size(l) >= 2"
+        )
+    else:
+        idiv = "//"
+        bg = (
+            "SELECT unnest(list_transform(generate_series(1, len(l) - 1), "
+            "i -> {'v': l[i], 'w': l[i+1]})) AS p "
+            "FROM (SELECT string_split(text, ' ') AS l FROM documents) d "
+            "WHERE len(l) >= 2"
+        )
+    return (
+        f"WITH pairs AS (SELECT p.v AS v, p.w AS w FROM ({bg}) b), "
+        "c2 AS (SELECT v, w, COUNT(*) AS c FROM pairs GROUP BY v, w), "
+        # context totals + distinct-continuation counts, one pass over c2
+        "cv AS (SELECT v, SUM(c) AS cv, COUNT(*) AS n1v FROM c2 GROUP BY v), "
+        "cw AS (SELECT w, COUNT(*) AS n1w FROM c2 GROUP BY w), "
+        "nt AS (SELECT COUNT(*) AS nt FROM c2), "
+        "kn AS (SELECT c2.v, c2.w, c2.c, "
+        "CAST((1000000 * (GREATEST(4 * c2.c - 3, 0) * nt.nt "
+        "+ 3 * cv.n1v * cw.n1w)) "
+        f"{idiv} (4 * cv.cv * nt.nt) AS BIGINT) AS kn_ppm "
+        "FROM c2 JOIN cv ON cv.v = c2.v JOIN cw ON cw.w = c2.w "
+        "CROSS JOIN nt), "
+        "sel AS (SELECT v, w, c, kn_ppm FROM kn "
+        f"ORDER BY kn_ppm DESC, v, w LIMIT {_KN_TOPK}) "
+        "SELECT v, w, CAST(c AS BIGINT) AS n_pair, kn_ppm, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY kn_ppm DESC, v, w) AS INT) "
+        "AS rnk FROM sel ORDER BY rnk"
+    )
+
+
+sql_query(
+    "text_kneser_ney_bigrams",
+    _kneser_ney_sql("spark"),
+    oracle=_kneser_ney_sql("duck"),
+    tables=DOCS,
+    tags=("text", "lm", "kneser-ney", "smoothing", "topk"),
+    doc=f"top-{_KN_TOPK} bigrams by Kneser-Ney smoothed probability "
+    "(Chen & Goodman absolute discounting D=3/4 with continuation-count "
+    "backoff) as ONE exact integer rational floored to ppm — the "
+    "estimator the stupid-backoff tier approximates, hash-exact where "
+    "the float textbook spelling is not; per-context rational "
+    "probabilities sum to exactly 1 (unit-pinned)",
+)
+
+
 # ---- CCNet-style perplexity buckets + per-bucket sampling -------------------
 
 # The CCNet curation recipe (Wenzek et al. 2020): score every doc with an

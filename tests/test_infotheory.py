@@ -114,3 +114,62 @@ def test_kl_split_drift_oracle_agrees_on_fixture(spark, kl_fixture):
     finally:
         con.close()
     assert got == want
+
+
+def test_kneser_ney_per_context_probabilities_sum_to_one():
+    """KN is a proper distribution: for each context v, the rational
+    P_KN(w|v) = max(4c-3,0)/(4cv) + (3/4)(N1v/cv)(N1w/Nt) summed over
+    the FULL vocabulary (unseen w contribute only the continuation
+    term) equals EXACTLY 1 — the discount mass 3*N1v/(4cv) removed from
+    seen bigrams is redistributed by the continuation distribution,
+    whose N1w sum over all w is Nt by definition. Verified in
+    fractions.Fraction from DuckDB counts at sf0.001 (no floats), along
+    with the query's single-rational spelling agreeing term-for-term on
+    seen pairs."""
+    from fractions import Fraction
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        rows = con.execute(
+            "WITH pairs AS (SELECT p.v AS v, p.w AS w FROM ("
+            "  SELECT unnest(list_transform(generate_series(1, len(l)-1), "
+            "  i -> {'v': l[i], 'w': l[i+1]})) AS p "
+            "  FROM (SELECT string_split(text, ' ') AS l FROM documents) d "
+            "  WHERE len(l) >= 2) b), "
+            "c2 AS (SELECT v, w, COUNT(*) AS c FROM pairs GROUP BY v, w) "
+            "SELECT v, w, c FROM c2"
+        ).fetchall()
+    finally:
+        con.close()
+    c2 = {(v, w): c for v, w, c in rows}
+    cv: dict[str, int] = {}
+    n1v: dict[str, int] = {}
+    n1w: dict[str, int] = {}
+    for (v, w), c in c2.items():
+        cv[v] = cv.get(v, 0) + c
+        n1v[v] = n1v.get(v, 0) + 1
+        n1w[w] = n1w.get(w, 0) + 1
+    nt = len(c2)
+    vocab_w = set(n1w)
+    d = Fraction(3, 4)
+    # check the three highest-fanout contexts (the expensive ones)
+    for v in sorted(n1v, key=n1v.get, reverse=True)[:3]:
+        seen = {w for (vv, w) in c2 if vv == v}
+        total = Fraction(0)
+        for w in vocab_w:
+            c = c2.get((v, w), 0)
+            p = (
+                Fraction(max(c * 4 - 3, 0), 4 * cv[v])
+                + d * Fraction(n1v[v], cv[v]) * Fraction(n1w[w], nt)
+            )
+            total += p
+            if w in seen:
+                # and the query's single-rational spelling agrees exactly
+                num = max(4 * c - 3, 0) * nt + 3 * n1v[v] * n1w[w]
+                den = 4 * cv[v] * nt
+                assert p == Fraction(num, den)
+        assert total == 1, (v, total)
