@@ -309,6 +309,99 @@ def flac_decimate_stats(media: DataFrame, factor: int = 2) -> DataFrame:
     return media.mapInPandas(kernel, schema=FLAC_STATS_SCHEMA)
 
 
+# ---- REAL video-container path (Y4M, pure numpy — operators/y4m.py) -------
+
+Y4M_STATS_SCHEMA = (
+    "doc_id BIGINT, n_frames INT, kept_frames INT, width INT, height INT, "
+    "luma_sum BIGINT, luma_min INT, luma_max INT, roundtrip_ok INT"
+)
+
+
+def synth_y4m_media(
+    documents: DataFrame, n_frames: int = 8, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Attach a VALID mono Y4M stream per doc: frame pixels are the
+    md5-chain bytes (frame k = bytes [k*w*h, (k+1)*w*h)) — the video
+    twin of synth_wav_media. Y4M is raw/lossless, so the parse ->
+    frame-sample path downstream is SQL-replayable end to end; the
+    previous video tier chunked the SAME chain bytes without a real
+    container, so mm_frames_checked's replay carries over conceptually."""
+    from .y4m import encode_y4m
+
+    raw = synth_media(documents, "video", n_bytes=n_frames * width * height)
+
+    def _to_y4m(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_y4m(
+                    np.frombuffer(bytes(c), dtype=np.uint8).reshape(
+                        n_frames, height, width
+                    )
+                )
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "fmt": "y4m",
+                    "n_bytes": [len(c) for c in content],
+                    "content": content,
+                }
+            )
+
+    return raw.mapInPandas(_to_y4m, schema=MEDIA_SCHEMA)
+
+
+def y4m_frame_stats(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video pipeline, one Arrow-batched pass: parse the Y4M
+    container (tagged header, FRAME markers, exact plane lengths),
+    sample every ``stride``-th frame, RE-ENCODE the sampled stream and
+    RE-DECODE it (roundtrip_ok pins encode∘decode == id), and emit
+    exact integer luma stats of the kept frames — every stage
+    replayable by the SQL oracle because Y4M is raw bytes."""
+    from .y4m import decode_y4m, encode_y4m, sample_every
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                frames, fps = decode_y4m(bytes(content))
+                kept = sample_every(frames, stride)
+                rt, rt_fps = decode_y4m(encode_y4m(kept, fps))
+                ok = int(rt_fps == fps and np.array_equal(rt, kept))
+                s = kept.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        frames.shape[0],
+                        kept.shape[0],
+                        frames.shape[2],
+                        frames.shape[1],
+                        int(s.sum()),
+                        int(s.min()),
+                        int(s.max()),
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "kept_frames",
+                    "width",
+                    "height",
+                    "luma_sum",
+                    "luma_min",
+                    "luma_max",
+                    "roundtrip_ok",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=Y4M_STATS_SCHEMA)
+
+
 AUDIO_SCHEMA = "doc_id BIGINT, win_idx INT, energy_permille BIGINT, low_energy INT"
 
 

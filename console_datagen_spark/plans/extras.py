@@ -685,6 +685,54 @@ df_query(
 )
 
 
+def _mm_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    media = M.synth_y4m_media(docs, n_frames=8, width=8, height=8)
+    return M.y4m_frame_stats(media, stride=2).orderBy("doc_id")
+
+
+df_query(
+    "mm_video_y4m",
+    _mm_video_y4m,
+    oracle=(
+        # Full SQL replay of the REAL video-container path: each doc's
+        # Y4M wraps 8 mono 8x8 frames whose pixels are the md5-chain
+        # bytes (512 bytes = 32 blocks = 1024 hex chars); frame k covers
+        # bytes [64k, 64(k+1)), stride-2 sampling keeps k in {0,2,4,6}.
+        # The oracle computes the kept frames' luma sum/min/max from the
+        # same chain — certifying the tagged-header parse, FRAME-marker
+        # walk, exact plane-length slicing AND (via roundtrip_ok) the
+        # sampled stream's re-encode/re-decode identity. Y4M is raw
+        # bytes, so unlike MP4/WebM the replay is exact by construction.
+        "WITH m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 1024) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 31) AS t(i) "
+        "  GROUP BY doc_id), "
+        "px AS (SELECT doc_id, "
+        "  ('0x' || substr(hx, 2 * p + 1, 2))::BIGINT AS b "
+        "  FROM m, (SELECT unnest(generate_series(0, 511)) AS p) t "
+        "  WHERE (p // 64) % 2 = 0) "
+        "SELECT doc_id, CAST(8 AS INT) AS n_frames, "
+        "CAST(4 AS INT) AS kept_frames, "
+        "CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
+        "CAST(SUM(b) AS BIGINT) AS luma_sum, "
+        "CAST(MIN(b) AS INT) AS luma_min, CAST(MAX(b) AS INT) AS luma_max, "
+        "CAST(1 AS INT) AS roundtrip_ok "
+        "FROM px GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "video", "y4m", "pandas_udf"),
+    doc="REAL video-container path (pure-numpy Y4M/YUV4MPEG2 parser — "
+    "the raw interchange format ffmpeg consumes; no codec library): "
+    "synth 8-frame mono 8x8 Y4M from md5-chain luma -> tagged-header "
+    "parse + FRAME walk -> stride-2 frame sampling -> re-encode+re-"
+    "decode roundtrip -> exact luma stats, certified by a full SQL "
+    "replay of the byte derivation; MP4/WebM stay permanent N/A (lossy "
+    "codecs have no hash-exact replay)",
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     media = M.synth_media(docs, "video", n_bytes=256)
