@@ -1,38 +1,46 @@
 """FLAC codec (lossless audio) — pure numpy + stdlib, no audio library.
 
-Closes the last closable audio-format gap (VERDICT r12 #6): unlike
-MP3/Vorbis, FLAC is LOSSLESS and fully integer — LPC/fixed prediction
-plus Rice/Golomb residual coding, no float anywhere in the spec's
-decode path (RFC 9639 / the classic flac format doc) — so, exactly like
-the PNG/JPEG/WAV closures before it, a real codec can be certified
-end-to-end: synthesize samples from the md5 chain, encode, decode,
-decimate, re-encode, and replay the sample math in SQL.
+Closes the last closable audio-format gap (VERDICT r12 #6, widened per
+VERDICT r13 #3): unlike MP3/Vorbis, FLAC is LOSSLESS and fully integer —
+LPC/fixed prediction plus Rice/Golomb residual coding, no float anywhere
+in the spec's decode path (RFC 9639 / the classic flac format doc) — so,
+exactly like the PNG/JPEG/WAV closures before it, a real codec can be
+certified end-to-end: synthesize samples from the md5 chain, encode,
+decode, decimate, re-encode, and replay the sample math in SQL.
 
-Implemented subset (spec-correct bytes; any standard FLAC decoder reads
+Implemented surface (spec-correct bytes; any standard FLAC decoder reads
 our streams, and our decoder rejects what it does not support LOUDLY):
 
 - Stream: ``fLaC`` marker + STREAMINFO metadata block (34 bytes,
-  including the MD5 of the raw little-endian sample bytes, which the
-  decoder VERIFIES), then one audio frame per stream.
+  including the MD5 of the raw interleaved little-endian sample bytes,
+  which the decoder VERIFIES), then one or more audio frames.
 - Frame header: sync ``0b11111111111110``, fixed-blocksize strategy,
   block-size code 0b0111 (16-bit "blocksize-1" at header end), sample
   rate code 0b1100 (8-bit kHz) or 0b1101/0b1110 (16-bit Hz / 10 Hz)
-  fallback, mono channel assignment, 16-bit sample-size code, UTF-8
-  coded frame number, CRC-8 (poly 0x07).
-- Subframes: CONSTANT, VERBATIM, and FIXED orders 0-4 (the encoder
-  picks the cheapest of orders 0-2 by residual magnitude; the decoder
-  reconstructs any order 0-4).
-- Residuals: Rice method 0 (4-bit parameter), any partition order on
-  decode (the encoder emits order 0); escape code 0b1111 -> verbatim
-  residuals at 5-bit width, per spec.
+  fallback, UTF-8 coded frame number (multi-byte forms round-trip-
+  tested), CRC-8 (poly 0x07).
+- Channels: mono, independent stereo, and all three stereo
+  decorrelation modes — left/side, right/side, mid/side — with the
+  spec's bps+1 side-channel width, on BOTH encode and decode (the
+  encoder picks the cheapest assignment per frame by exact bit cost).
+- Subframes: CONSTANT, VERBATIM, FIXED orders 0-4, and LPC orders 1-32.
+  Decode-side LPC is the coefficient reader + an exact integer FIR
+  (arithmetic-shift accumulator per spec). Encode-side LPC quantizes
+  Levinson-Durbin coefficients to integer precision-12/shift form —
+  floats pick the PREDICTOR only; the emitted residuals and the decode
+  path stay exact integer, so losslessness never depends on float.
+- Residuals: Rice method 0 (4-bit parameter) and method 1 (5-bit), any
+  partition order on decode (the encoder emits order 0); escape codes
+  at any width INCLUDING the spec-legal width 0 (all-zero partition).
+- Wasted-bits subframes (unary-coded shift) on decode.
 - Frame footer CRC-16 (poly 0x8005), verified on decode.
+- Multi-frame streams: ``encode_flac(..., block_size=...)`` splits into
+  sequentially-numbered fixed-blocksize frames; decode walks frames
+  until STREAMINFO's total and verifies the frame-number sequence.
 
-Out of scope (documented permanent N/As, SURVEY §8): LPC subframes on
-ENCODE (fixed predictors already compress the certified payloads;
-decode-side LPC needs only the coefficient dequantizer and is omitted
-to keep the verified surface honest), stereo decorrelation, multi-frame
-streams, MP3/MP4/Vorbis (lossy entropy codecs — a codec LIBRARY, not a
-byte layout).
+Out of scope (documented permanent N/As, SURVEY §8): >2 channels,
+non-16-bit source depth, MP3/MP4/Vorbis (lossy entropy codecs — a codec
+LIBRARY, not a byte layout).
 
 Scale shape: identical to wav.py/jpeg.py — called from Arrow-batched
 ``mapInPandas`` kernels on per-row payloads, embarrassingly parallel,
@@ -118,6 +126,9 @@ class _BitWriter:
             self._bytes.append((self._acc >> self._nbits) & 0xFF)
         self._acc &= (1 << self._nbits) - 1
 
+    def write_signed(self, value: int, nbits: int) -> None:
+        self.write(value & ((1 << nbits) - 1), nbits)
+
     def write_unary(self, q: int) -> None:
         # q zero bits then a one bit (Rice quotient)
         while q >= 32:
@@ -127,11 +138,15 @@ class _BitWriter:
 
     def write_bytes(self, data: bytes) -> None:
         """Bulk byte append — requires byte alignment (the verbatim
-        fast path: the 8-bit subframe header leaves the sample block
-        aligned, so int16 samples go in as one numpy tobytes)."""
+        fast path: a byte-aligned subframe start + the 8-bit subframe
+        header leave the sample block aligned, so int16 samples go in
+        as one numpy tobytes)."""
         if self._nbits:
             raise ValueError("write_bytes on an unaligned stream")
         self._bytes.extend(data)
+
+    def aligned(self) -> bool:
+        return self._nbits == 0
 
     def align(self) -> None:
         if self._nbits:
@@ -173,6 +188,10 @@ class _BitReader:
             self._bits[p : p + nbits] @ self._POW2[self._MAXREAD - nbits :]
         )
 
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
+
     def read_unary(self) -> int:
         p = self._pos
         bits = self._bits
@@ -197,6 +216,9 @@ class _BitReader:
             raise ValueError("bit stream truncated")
         raw = np.packbits(self._bits[p * 8 : p * 8 + 16 * n])
         return raw.view(">i2").astype(np.int64)
+
+    def byte_aligned(self) -> bool:
+        return (self._pos & 7) == 0
 
     def align(self) -> None:
         self._pos = (self._pos + 7) & ~7
@@ -233,6 +255,23 @@ def _restore_fixed(order: int, warmup: list[int], residual: list[int]) -> list[i
     return out
 
 
+def _restore_lpc(
+    warmup: list[int], coefs: list[int], shift: int, residual: list[int]
+) -> list[int]:
+    """Exact integer LPC reconstruction (RFC 9639 §9.2.4): the predictor
+    is an integer FIR over prior OUTPUT samples, accumulated in unbounded
+    Python ints and arithmetic-shifted right — Python's ``>>`` on
+    negative ints is the floor shift the spec requires."""
+    out = list(warmup)
+    order = len(coefs)
+    for r in residual:
+        acc = 0
+        for i in range(order):
+            acc += coefs[i] * out[-1 - i]
+        out.append((acc >> shift) + r)
+    return out
+
+
 # ---- Rice coding ------------------------------------------------------------
 
 
@@ -246,6 +285,13 @@ def _rice_param(residual: np.ndarray) -> int:
     while (1 << k) < mean and k < 14:
         k += 1
     return k
+
+
+def _rice_cost(residual: np.ndarray, k: int) -> int:
+    if len(residual) == 0:
+        return 0
+    z = np.where(residual >= 0, 2 * residual, -2 * residual - 1)
+    return int((z >> k).sum()) + (k + 1) * len(residual)
 
 
 def _write_rice(w: _BitWriter, residual: np.ndarray, k: int) -> None:
@@ -272,15 +318,19 @@ def _write_utf8_num(w: _BitWriter, v: int) -> None:
     if v < 0x80:
         w.write(v, 8)
         return
-    # multi-byte form (frame 0 is all we emit; keep the general writer
-    # for spec completeness)
+    # n-byte form carries 5n+1 payload bits (2 bytes -> 11, ... 7 -> 36)
+    # and the lead byte is n ones then a zero: (0xFF << (8-n)) & 0xFF.
+    # ADVICE r13: the previous spelling set one extra lead bit and used
+    # a wrong capacity threshold — every v >= 128 failed to round-trip.
     nbytes = 2
-    while v >= (1 << (6 - nbytes + 5 * nbytes)) and nbytes < 7:
+    while v >= (1 << (5 * nbytes + 1)) and nbytes < 7:
         nbytes += 1
-    lead = (0xFF << (8 - nbytes - 1)) & 0xFF
+    if v >= (1 << (5 * nbytes + 1)):
+        raise ValueError(f"frame number {v} exceeds the 36-bit UTF-8 form")
+    lead = (0xFF << (8 - nbytes)) & 0xFF
     shift = 6 * (nbytes - 1)
     w.write(lead | (v >> shift), 8)
-    for i in range(nbytes - 1):
+    for _ in range(nbytes - 1):
         shift -= 6
         w.write(0x80 | ((v >> shift) & 0x3F), 8)
 
@@ -303,45 +353,253 @@ def _read_utf8_num(rd: _BitReader) -> int:
     return v
 
 
+# ---- subframe planning (encoder) --------------------------------------------
+
+# A subframe "plan" is (cost_bits, kind, payload):
+#   ("const", value)                      CONSTANT
+#   ("verbatim", samples)                 VERBATIM
+#   ("fixed", order, residual)            FIXED + Rice order-0 partition
+#   ("lpc", order, precision, shift, coefs, residual)
+
+
+def _quantize_lpc(a: np.ndarray, order: int, precision: int = 12):
+    """Levinson-Durbin + coefficient quantization. Floats choose the
+    predictor ONLY — residuals are recomputed with the quantized integer
+    coefficients, so encode/decode round-trips exactly regardless of any
+    float nondeterminism. Returns (coefs, shift) or None when the signal
+    is degenerate (zero autocorrelation / unstable recursion)."""
+    x = a.astype(np.float64)
+    n = len(x)
+    if n <= order:
+        return None
+    autoc = np.array(
+        [float(np.dot(x[: n - lag], x[lag:])) for lag in range(order + 1)]
+    )
+    if autoc[0] <= 0:
+        return None
+    err = autoc[0]
+    lpc = np.zeros(order)
+    for i in range(order):
+        acc = autoc[i + 1] - np.dot(lpc[:i], autoc[i:0:-1])
+        if err <= 0:
+            return None
+        k = acc / err
+        lpc[: i + 1] = np.concatenate([lpc[:i] - k * lpc[:i][::-1], [k]])
+        err *= 1.0 - k * k
+    cmax = float(np.max(np.abs(lpc)))
+    if not np.isfinite(cmax) or cmax <= 0:
+        return None
+    # largest shift keeping every coef inside the signed `precision` range
+    shift = precision - 1
+    while shift > 0 and cmax * (1 << shift) >= (1 << (precision - 1)):
+        shift -= 1
+    if shift <= 0:
+        return None
+    lim = 1 << (precision - 1)
+    coefs = np.clip(np.round(lpc * (1 << shift)), -lim, lim - 1).astype(int)
+    if not np.any(coefs):
+        return None
+    return coefs.tolist(), shift
+
+
+def _lpc_residual(a: np.ndarray, coefs: list[int], shift: int) -> np.ndarray:
+    """Exact integer LPC residual via a vectorized correlate (int64 is
+    safe: |acc| <= order * 2^(precision-1) * 2^17 < 2^35)."""
+    c = np.array(coefs, dtype=np.int64)
+    order = len(c)
+    x = a.astype(np.int64)
+    # prediction for sample i (i >= order): sum_j c[j] * x[i-1-j]
+    pred = np.correlate(x, c[::-1].astype(np.int64), mode="valid")[:-1]
+    return x[order:] - (pred >> shift)
+
+
+_LPC_PRECISION = 12
+
+
+def _plan_subframe(a: np.ndarray, bps: int) -> tuple[int, tuple]:
+    """Best-of CONSTANT / FIXED 0-4 / LPC-8 / VERBATIM by exact bit cost."""
+    n = len(a)
+    if np.all(a == a[0]):
+        return 8 + bps, ("const", int(a[0]))
+    best_cost = 8 + n * bps  # verbatim
+    best: tuple = ("verbatim", a)
+    for order in range(0, min(5, n)):
+        res = _fixed_residual(a, order)
+        if len(res) == 0 or np.max(np.abs(res)) > (1 << 40):
+            continue  # keep unary lengths sane
+        k = _rice_param(res)
+        cost = 8 + bps * order + 2 + 4 + 4 + _rice_cost(res, k)
+        if cost < best_cost:
+            best_cost, best = cost, ("fixed", order, res)
+    lpc_order = 8
+    if n > 2 * lpc_order:
+        q = _quantize_lpc(a, lpc_order, _LPC_PRECISION)
+        if q is not None:
+            coefs, shift = q
+            res = _lpc_residual(a, coefs, shift)
+            if len(res) and np.max(np.abs(res)) <= (1 << 40):
+                k = _rice_param(res)
+                cost = (
+                    8
+                    + bps * lpc_order
+                    + 4
+                    + 5
+                    + _LPC_PRECISION * lpc_order
+                    + 2
+                    + 4
+                    + 4
+                    + _rice_cost(res, k)
+                )
+                if cost < best_cost:
+                    best_cost = cost
+                    best = ("lpc", lpc_order, _LPC_PRECISION, shift, coefs, res)
+    return best_cost, best
+
+
+def _emit_residual(w: _BitWriter, res: np.ndarray) -> None:
+    k = _rice_param(res)
+    w.write(0b00, 2)  # residual method: 4-bit Rice
+    w.write(0, 4)  # partition order 0
+    w.write(k, 4)
+    _write_rice(w, res, k)
+
+
+def _emit_subframe(w: _BitWriter, a: np.ndarray, bps: int, plan: tuple) -> None:
+    kind = plan[0]
+    w.write(0, 1)  # zero padding bit
+    if kind == "const":
+        w.write(0b000000, 6)
+        w.write(0, 1)  # no wasted bits
+        w.write_signed(plan[1], bps)
+    elif kind == "verbatim":
+        w.write(0b000001, 6)
+        w.write(0, 1)
+        if bps == 16 and w.aligned():
+            # 8 header bits on a byte-aligned start: bulk big-endian block
+            w.write_bytes(a.astype(">i2").tobytes())
+        else:
+            for v in a.tolist():
+                w.write_signed(int(v), bps)
+    elif kind == "fixed":
+        _, order, res = plan
+        w.write(0b001000 | order, 6)
+        w.write(0, 1)
+        for v in a[:order].tolist():
+            w.write_signed(int(v), bps)  # warmup
+        _emit_residual(w, res)
+    elif kind == "lpc":
+        _, order, precision, shift, coefs, res = plan
+        w.write(0b100000 | (order - 1), 6)
+        w.write(0, 1)
+        for v in a[:order].tolist():
+            w.write_signed(int(v), bps)  # warmup
+        w.write(precision - 1, 4)
+        w.write(shift, 5)  # spec: 5-bit signed, but negative is forbidden
+        for c in coefs:
+            w.write_signed(int(c), precision)
+        _emit_residual(w, res)
+    else:  # pragma: no cover
+        raise AssertionError(f"unknown subframe plan {kind}")
+
+
+# ---- channel decorrelation ---------------------------------------------------
+
+# frame-header channel codes (RFC 9639 table): value -> (n_ch, mode)
+_CH_MONO = 0b0000
+_CH_STEREO = 0b0001
+_CH_LEFT_SIDE = 0b1000
+_CH_RIGHT_SIDE = 0b1001
+_CH_MID_SIDE = 0b1010
+
+
+def _stereo_candidates(left: np.ndarray, right: np.ndarray):
+    """The four assignment candidates as (code, [(samples, bps), ...])."""
+    l64 = left.astype(np.int64)
+    r64 = right.astype(np.int64)
+    side = l64 - r64
+    mid = (l64 + r64) >> 1
+    return [
+        (_CH_STEREO, [(l64, 16), (r64, 16)]),
+        (_CH_LEFT_SIDE, [(l64, 16), (side, 17)]),
+        (_CH_RIGHT_SIDE, [(side, 17), (r64, 16)]),
+        (_CH_MID_SIDE, [(mid, 16), (side, 17)]),
+    ]
+
+
 # ---- encoder ----------------------------------------------------------------
 
+_MAX_BLOCK = 65536
 
-def encode_flac(samples: np.ndarray, rate: int = 16_000) -> bytes:
-    """Mono int16 samples -> FLAC bytes (single frame, fixed predictor).
 
-    The encoder tries CONSTANT, then fixed orders 0-2 with Rice order-0
-    partitions, and picks the smallest encoding — real compression on
-    real signals, verbatim-equivalent cost on md5-chain noise."""
-    a = np.asarray(samples, dtype=np.int64).ravel()
-    n = len(a)
-    if n < 1 or n > 65536:
-        raise ValueError(f"encode_flac supports 1..65536 samples, got {n}")
-    if a.min() < -32768 or a.max() > 32767:
-        raise ValueError("samples out of int16 range")
+_CHANNEL_MODES = {
+    "independent": _CH_STEREO,
+    "left_side": _CH_LEFT_SIDE,
+    "right_side": _CH_RIGHT_SIDE,
+    "mid_side": _CH_MID_SIDE,
+}
 
-    raw_le = a.astype("<i2").tobytes()
-    md5 = hashlib.md5(raw_le).digest()
 
-    # STREAMINFO: min/max blocksize, min/max framesize (0 = unknown),
+def encode_flac(
+    samples: np.ndarray,
+    rate: int = 16_000,
+    block_size: int | None = None,
+    channel_mode: str | None = None,
+) -> bytes:
+    """int16 samples -> FLAC bytes.
+
+    ``samples``: 1-D array (mono) or 2-D shape ``(2, n)`` channels-first
+    (stereo). Every subframe is the exact-bit-cost best of CONSTANT /
+    FIXED 0-4 / quantized-Levinson LPC-8 / VERBATIM; stereo frames pick
+    the cheapest of the four channel assignments unless ``channel_mode``
+    pins one ('independent' / 'left_side' / 'right_side' / 'mid_side' —
+    the flac CLI's -M surface; the spec tests pin each decode path with
+    it). ``block_size=None`` emits one frame (n <= 65536); otherwise the
+    stream splits into sequentially numbered ``block_size`` frames (last
+    may be short)."""
+    a = np.asarray(samples, dtype=np.int64)
+    if a.ndim == 1:
+        channels = [a]
+    elif a.ndim == 2 and a.shape[0] in (1, 2):
+        channels = [a[i] for i in range(a.shape[0])]
+    else:
+        raise ValueError(f"samples must be 1-D or (2, n), got shape {a.shape}")
+    n = channels[0].shape[0]
+    n_ch = len(channels)
+    if any(c.shape[0] != n for c in channels):
+        raise ValueError("channel length mismatch")
+    if n < 1:
+        raise ValueError("need at least 1 sample")
+    for c in channels:
+        if c.min() < -32768 or c.max() > 32767:
+            raise ValueError("samples out of int16 range")
+    if block_size is None:
+        if n > _MAX_BLOCK:
+            raise ValueError(
+                f"single-frame encode supports <= {_MAX_BLOCK} samples, "
+                f"got {n}; pass block_size to split"
+            )
+        block_size = n
+    if not (1 <= block_size <= _MAX_BLOCK):
+        raise ValueError(f"block_size {block_size} out of range")
+
+    interleaved = np.stack(channels, axis=1).reshape(-1).astype("<i2")
+    md5 = hashlib.md5(interleaved.tobytes()).digest()
+
+    # STREAMINFO: min/max blocksize (the last short frame is excluded
+    # from "min" per spec), min/max framesize (0 = unknown),
     # rate(20) ch-1(3) bps-1(5) total(36), md5(16)
     si = _BitWriter()
-    si.write(n, 16)
-    si.write(n, 16)
+    si.write(min(block_size, n), 16)
+    si.write(min(block_size, n), 16)
     si.write(0, 24)
     si.write(0, 24)
     si.write(rate, 20)
-    si.write(0, 3)  # 1 channel
+    si.write(n_ch - 1, 3)
     si.write(15, 5)  # 16 bps
     si.write(n, 36)
     streaminfo = si.getvalue() + md5
-    header = b"fLaC" + bytes([0x80, 0, 0, 34]) + streaminfo  # last block
+    out = bytearray(b"fLaC" + bytes([0x80, 0, 0, 34]) + streaminfo)
 
-    # ---- frame header ----
-    fh = _BitWriter()
-    fh.write(0b11111111111110, 14)
-    fh.write(0, 1)  # reserved
-    fh.write(0, 1)  # fixed blocksize strategy
-    fh.write(0b0111, 4)  # blocksize: 16-bit value-1 at end of header
     if rate % 1000 == 0 and rate // 1000 < 256:
         rate_code, rate_tail = 0b1100, (rate // 1000, 8)
     elif rate < 65536:
@@ -350,55 +608,112 @@ def encode_flac(samples: np.ndarray, rate: int = 16_000) -> bytes:
         rate_code, rate_tail = 0b1110, (rate // 10, 16)
     else:
         raise ValueError(f"sample rate {rate} not encodable")
-    fh.write(rate_code, 4)
-    fh.write(0, 4)  # channel assignment: mono
-    fh.write(0b100, 3)  # sample size: 16 bit
-    fh.write(0, 1)  # reserved
-    _write_utf8_num(fh, 0)  # frame number 0
-    fh.write(n - 1, 16)  # blocksize-1
-    fh.write(rate_tail[0], rate_tail[1])
+
+    for frame_no, start in enumerate(range(0, n, block_size)):
+        chunk = [c[start : start + block_size] for c in channels]
+        bs = chunk[0].shape[0]
+        if n_ch == 1:
+            if channel_mode is not None:
+                raise ValueError("channel_mode only applies to stereo input")
+            ch_code, parts = _CH_MONO, [(chunk[0], 16)]
+        else:
+            cands = _stereo_candidates(chunk[0], chunk[1])
+            if channel_mode is not None:
+                want = _CHANNEL_MODES.get(channel_mode)
+                if want is None:
+                    raise ValueError(
+                        f"unknown channel_mode {channel_mode!r}; pick one of "
+                        f"{sorted(_CHANNEL_MODES)}"
+                    )
+                cands = [c for c in cands if c[0] == want]
+            costed = [
+                (sum(_plan_subframe(s, b)[0] for s, b in parts), code, parts)
+                for code, parts in cands
+            ]
+            _, ch_code, parts = min(costed, key=lambda t: t[0])
+
+        fh = _BitWriter()
+        fh.write(0b11111111111110, 14)
+        fh.write(0, 1)  # reserved
+        fh.write(0, 1)  # fixed blocksize strategy
+        fh.write(0b0111, 4)  # blocksize: 16-bit value-1 at end of header
+        fh.write(rate_code, 4)
+        fh.write(ch_code, 4)
+        fh.write(0b100, 3)  # sample size: 16 bit
+        fh.write(0, 1)  # reserved
+        _write_utf8_num(fh, frame_no)
+        fh.write(bs - 1, 16)
+        fh.write(rate_tail[0], rate_tail[1])
+        head = fh.getvalue()
+        head += bytes([_crc8(head)])
+
+        body = _BitWriter()
+        for s, bps in parts:
+            _, plan = _plan_subframe(s, bps)
+            _emit_subframe(body, s, bps, plan)
+        body.align()
+        frame = head + body.getvalue()
+        frame += struct.pack(">H", _crc16(frame))
+        out.extend(frame)
+    return bytes(out)
+
+
+def craft_lpc_stream(
+    samples: np.ndarray,
+    coefs: list[int],
+    shift: int,
+    precision: int = 12,
+    rate: int = 16_000,
+) -> bytes:
+    """Explicit-coefficient LPC encoder: a spec-correct mono single-frame
+    stream whose only subframe is LPC with the GIVEN quantized predictor.
+    Used by the spec tests to pin decode-side LPC against hand-chosen
+    coefficient sets (including ones the cost-driven encoder would never
+    pick); also the interop hook for external coefficient tables."""
+    a = np.asarray(samples, dtype=np.int64).ravel()
+    order = len(coefs)
+    if not (1 <= order <= 32):
+        raise ValueError("LPC order must be 1..32")
+    if len(a) <= order:
+        raise ValueError("need more samples than the LPC order")
+    if not (0 <= shift <= 15):
+        raise ValueError("shift must be 0..15")
+    lim = 1 << (precision - 1)
+    if any(c < -lim or c >= lim for c in coefs):
+        raise ValueError("coefficient exceeds the signed precision range")
+    res = _lpc_residual(a, list(coefs), shift)
+    if np.max(np.abs(res)) > (1 << 40):
+        raise ValueError("residuals too large for sane unary lengths")
+
+    md5 = hashlib.md5(a.astype("<i2").tobytes()).digest()
+    si = _BitWriter()
+    si.write(len(a), 16)
+    si.write(len(a), 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(0, 3)
+    si.write(15, 5)
+    si.write(len(a), 36)
+    header = b"fLaC" + bytes([0x80, 0, 0, 34]) + si.getvalue() + md5
+
+    fh = _BitWriter()
+    fh.write(0b11111111111110, 14)
+    fh.write(0, 2)
+    fh.write(0b0111, 4)
+    fh.write(0b1101, 4)  # 16-bit Hz tail
+    fh.write(_CH_MONO, 4)
+    fh.write(0b100, 3)
+    fh.write(0, 1)
+    _write_utf8_num(fh, 0)
+    fh.write(len(a) - 1, 16)
+    fh.write(rate, 16)
     head = fh.getvalue()
     head += bytes([_crc8(head)])
 
-    # ---- subframe: best of constant / fixed 0-2 (verbatim fallback) ----
     body = _BitWriter()
-    if np.all(a == a[0]):
-        body.write(0, 1)  # zero padding bit
-        body.write(0b000000, 6)  # CONSTANT
-        body.write(0, 1)  # no wasted bits
-        body.write(int(a[0]) & 0xFFFF, 16)
-    else:
-        best: tuple[int, int, np.ndarray] | None = None  # (cost_bits, order, res)
-        for order in range(0, min(3, n)):
-            res = _fixed_residual(a, order)
-            if len(res) == 0:
-                continue
-            k = _rice_param(res)
-            z = np.where(res >= 0, 2 * res, -2 * res - 1)
-            cost = 16 * order + 8 + int((z >> k).sum()) + (k + 1) * len(res)
-            if np.max(np.abs(res)) > (1 << 40):
-                continue  # keep unary lengths sane
-            if best is None or cost < best[0]:
-                best = (cost, order, res)
-        verbatim_cost = 16 * n
-        if best is None or best[0] >= verbatim_cost:
-            body.write(0, 1)
-            body.write(0b000001, 6)  # VERBATIM
-            body.write(0, 1)
-            # 8 header bits -> byte-aligned: bulk big-endian block
-            body.write_bytes(a.astype(">i2").tobytes())
-        else:
-            _, order, res = best
-            body.write(0, 1)
-            body.write(0b001000 | order, 6)  # FIXED, order
-            body.write(0, 1)
-            for v in a[:order].tolist():
-                body.write(int(v) & 0xFFFF, 16)  # warmup
-            k = _rice_param(res)
-            body.write(0b00, 2)  # residual method: 4-bit Rice
-            body.write(0, 4)  # partition order 0
-            body.write(k, 4)
-            _write_rice(body, res, k)
+    plan = ("lpc", order, precision, shift, list(coefs), res)
+    _emit_subframe(body, a, 16, plan)
     body.align()
     frame = head + body.getvalue()
     frame += struct.pack(">H", _crc16(frame))
@@ -408,10 +723,88 @@ def encode_flac(samples: np.ndarray, rate: int = 16_000) -> bytes:
 # ---- decoder ----------------------------------------------------------------
 
 
+def _read_residuals(rd: _BitReader, n: int, order: int) -> list[int]:
+    """Coded residual section shared by FIXED and LPC subframes: methods
+    0 (4-bit Rice, escape 0b1111) and 1 (5-bit Rice, escape 0b11111),
+    any partition order, escape widths including the spec-legal 0."""
+    method = rd.read(2)
+    if method not in (0, 1):
+        raise ValueError(f"unsupported residual method {method}")
+    kbits = 4 if method == 0 else 5
+    escape = (1 << kbits) - 1
+    part_order = rd.read(4)
+    n_parts = 1 << part_order
+    if part_order and n % n_parts:
+        raise ValueError("blocksize not divisible by residual partitions")
+    residual: list[int] = []
+    for p in range(n_parts):
+        k = rd.read(kbits)
+        cnt = (n >> part_order) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("predictor order exceeds first partition")
+        if k == escape:  # escape: fixed-width verbatim residuals
+            width = rd.read(5)
+            if width == 0:
+                # spec-legal all-zero partition (ADVICE r13: the previous
+                # 1 << (width-1) spelling crashed on it)
+                residual.extend([0] * cnt)
+            else:
+                for _ in range(cnt):
+                    u = rd.read(width)
+                    half = 1 << (width - 1)
+                    residual.append(u - (1 << width) if u >= half else u)
+        else:
+            residual.extend(_read_rice(rd, cnt, k))
+    return residual
+
+
+def _read_subframe(rd: _BitReader, n: int, bps: int) -> list[int]:
+    if rd.read(1) != 0:
+        raise ValueError("bad subframe padding bit")
+    sf_type = rd.read(6)
+    wasted = 0
+    if rd.read(1):
+        wasted = rd.read_unary() + 1  # unary-coded "wasted bits - 1"
+    eff = bps - wasted
+    if eff < 1:
+        raise ValueError("wasted bits exceed sample width")
+    if sf_type == 0b000000:  # CONSTANT
+        samples = [rd.read_signed(eff)] * n
+    elif sf_type == 0b000001:  # VERBATIM
+        if eff == 16 and rd.byte_aligned():
+            samples = rd.read_i16_block(n).tolist()
+        else:
+            samples = [rd.read_signed(eff) for _ in range(n)]
+    elif 0b001000 <= sf_type <= 0b001100:  # FIXED order 0-4
+        order = sf_type & 0x07
+        warmup = [rd.read_signed(eff) for _ in range(order)]
+        samples = _restore_fixed(order, warmup, _read_residuals(rd, n, order))
+    elif sf_type >= 0b100000:  # LPC order 1-32
+        order = (sf_type & 0x1F) + 1
+        warmup = [rd.read_signed(eff) for _ in range(order)]
+        precision = rd.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid LPC precision code 15")
+        shift = rd.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift is forbidden")
+        coefs = [rd.read_signed(precision) for _ in range(order)]
+        samples = _restore_lpc(
+            warmup, coefs, shift, _read_residuals(rd, n, order)
+        )
+    else:
+        raise ValueError(f"unsupported/reserved subframe type {sf_type:#08b}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
 def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
-    """FLAC bytes -> (mono int16 samples, rate). Verifies the frame
-    CRC-8/CRC-16 and the STREAMINFO sample MD5; rejects unsupported
-    features loudly rather than guessing."""
+    """FLAC bytes -> (samples, rate). Mono returns a 1-D int16 array;
+    stereo returns shape ``(2, n)`` channels-first. Walks every frame,
+    verifies each frame's CRC-8/CRC-16, the frame-number sequence, and
+    the STREAMINFO interleaved-sample MD5; rejects unsupported features
+    loudly rather than guessing."""
     if content[:4] != b"fLaC":
         raise ValueError("not a FLAC payload (no fLaC marker)")
     pos = 4
@@ -441,103 +834,108 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
     bps = si.read(5) + 1
     total = si.read(36)
     want_md5 = streaminfo[18:34]
-    if n_ch != 1:
-        raise ValueError(f"only mono FLAC supported ({n_ch} channels)")
+    if n_ch not in (1, 2):
+        raise ValueError(f"only mono/stereo FLAC supported ({n_ch} channels)")
     if bps != 16:
         raise ValueError(f"only 16-bit FLAC supported ({bps}-bit)")
 
-    # ---- frame ----
-    frame_start = pos
+    decoded: list[list[np.ndarray]] = [[] for _ in range(n_ch)]
+    got = 0
+    frame_no = 0
     rd = _BitReader(content, pos)
-    if rd.read(14) != 0b11111111111110:
-        raise ValueError("bad frame sync")
-    rd.read(1)
-    rd.read(1)  # blocking strategy
-    bs_code = rd.read(4)
-    sr_code = rd.read(4)
-    ch_code = rd.read(4)
-    ss_code = rd.read(3)
-    rd.read(1)
-    if ch_code != 0:
-        raise ValueError("only mono channel assignment supported")
-    if ss_code != 0b100:
-        raise ValueError("only 16-bit sample-size code supported")
-    _read_utf8_num(rd)
-    if bs_code == 0b0110:
-        n = rd.read(8) + 1
-    elif bs_code == 0b0111:
-        n = rd.read(16) + 1
-    elif 0b0010 <= bs_code <= 0b0101:
-        n = 576 << (bs_code - 2)
-    elif bs_code >= 0b1000:
-        n = 256 << (bs_code - 8)
-    else:
-        raise ValueError(f"unsupported blocksize code {bs_code}")
-    if sr_code == 0b1100:
-        rd.read(8)
-    elif sr_code in (0b1101, 0b1110):
-        rd.read(16)
-    elif sr_code == 0b0000:
-        pass  # from STREAMINFO
-    elif sr_code < 0b1100:
-        pass  # table-coded rates carry no tail bits
-    else:
-        raise ValueError("invalid sample rate code 15")
-    crc8_end = rd.byte_pos()
-    if _crc8(content[frame_start:crc8_end]) != rd.read(8):
-        raise ValueError("frame header CRC-8 mismatch")
+    while total == 0 or got < total:
+        frame_start = rd.byte_pos()
+        if rd.read(14) != 0b11111111111110:
+            raise ValueError("bad frame sync")
+        rd.read(1)
+        blocking = rd.read(1)
+        bs_code = rd.read(4)
+        sr_code = rd.read(4)
+        ch_code = rd.read(4)
+        ss_code = rd.read(3)
+        rd.read(1)
+        if ss_code != 0b100:
+            raise ValueError("only 16-bit sample-size code supported")
+        num = _read_utf8_num(rd)
+        if blocking == 0 and num != frame_no:
+            raise ValueError(
+                f"frame number {num} out of sequence (expected {frame_no})"
+            )
+        if bs_code == 0b0110:
+            n = rd.read(8) + 1
+        elif bs_code == 0b0111:
+            n = rd.read(16) + 1
+        elif 0b0010 <= bs_code <= 0b0101:
+            n = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            n = 256 << (bs_code - 8)
+        else:
+            raise ValueError(f"unsupported blocksize code {bs_code}")
+        if sr_code == 0b1100:
+            rd.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            rd.read(16)
+        elif sr_code == 0b0000:
+            pass  # from STREAMINFO
+        elif sr_code < 0b1100:
+            pass  # table-coded rates carry no tail bits
+        else:
+            raise ValueError("invalid sample rate code 15")
+        crc8_end = rd.byte_pos()
+        if _crc8(content[frame_start:crc8_end]) != rd.read(8):
+            raise ValueError("frame header CRC-8 mismatch")
 
-    # ---- subframe ----
-    if rd.read(1) != 0:
-        raise ValueError("bad subframe padding bit")
-    sf_type = rd.read(6)
-    wasted = rd.read(1)
-    if wasted:
-        raise ValueError("wasted-bits subframes not supported")
-    if sf_type == 0b000000:  # CONSTANT
-        v = rd.read(16)
-        samples = [v - 65536 if v >= 32768 else v] * n
-    elif sf_type == 0b000001:  # VERBATIM
-        # 8 subframe-header bits after the byte-aligned CRC-8 -> the
-        # sample block is byte-aligned: bulk big-endian read
-        samples = rd.read_i16_block(n).tolist()
-    elif 0b001000 <= sf_type <= 0b001100:  # FIXED order 0-4
-        order = sf_type & 0x07
-        warmup = []
-        for _ in range(order):
-            v = rd.read(16)
-            warmup.append(v - 65536 if v >= 32768 else v)
-        method = rd.read(2)
-        if method != 0:
-            raise ValueError(f"unsupported residual method {method}")
-        part_order = rd.read(4)
-        residual: list[int] = []
-        n_parts = 1 << part_order
-        for p in range(n_parts):
-            k = rd.read(4)
-            cnt = (n >> part_order) - (order if p == 0 else 0)
-            if k == 0b1111:  # escape: fixed-width verbatim residuals
-                width = rd.read(5)
-                for _ in range(cnt):
-                    u = rd.read(width)
-                    half = 1 << (width - 1)
-                    residual.append(u - (1 << width) if u >= half else u)
-            else:
-                residual.extend(_read_rice(rd, cnt, k))
-        samples = _restore_fixed(order, warmup, residual)
-    else:
-        raise ValueError(f"unsupported subframe type {sf_type:#08b} (LPC?)")
-    rd.align()
-    crc16_end = rd.byte_pos()
-    if _crc16(content[frame_start:crc16_end]) != rd.read(16):
-        raise ValueError("frame CRC-16 mismatch")
+        if ch_code == _CH_MONO:
+            if n_ch != 1:
+                raise ValueError("mono frame in a stereo stream")
+            chans = [_read_subframe(rd, n, 16)]
+        elif ch_code in (_CH_STEREO, _CH_LEFT_SIDE, _CH_RIGHT_SIDE, _CH_MID_SIDE):
+            if n_ch != 2:
+                raise ValueError("stereo frame in a mono stream")
+            # the SIDE channel carries one extra bit per spec
+            bps0 = 17 if ch_code == _CH_RIGHT_SIDE else 16
+            bps1 = 16 if ch_code in (_CH_STEREO, _CH_RIGHT_SIDE) else 17
+            s0 = _read_subframe(rd, n, bps0)
+            s1 = _read_subframe(rd, n, bps1)
+            if ch_code == _CH_STEREO:
+                chans = [s0, s1]
+            elif ch_code == _CH_LEFT_SIDE:
+                chans = [s0, [left - side for left, side in zip(s0, s1)]]
+            elif ch_code == _CH_RIGHT_SIDE:
+                chans = [[side + right for side, right in zip(s0, s1)], s1]
+            else:  # mid/side: mid2 = (mid << 1) | (side & 1)
+                left = [
+                    (((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(s0, s1)
+                ]
+                right = [
+                    (((m << 1) | (s & 1)) - s) >> 1 for m, s in zip(s0, s1)
+                ]
+                chans = [left, right]
+        elif 0b0001 <= ch_code <= 0b0111:
+            raise ValueError(f"{ch_code + 1}-channel FLAC not supported")
+        else:
+            raise ValueError(f"reserved channel assignment {ch_code:#06b}")
 
-    arr = np.asarray(samples, dtype=np.int64)
-    if arr.min() < -32768 or arr.max() > 32767:
-        raise ValueError("decoded samples out of int16 range")
-    out = arr.astype("<i2")
-    if total and total != n:
-        raise ValueError(f"STREAMINFO total {total} != frame blocksize {n}")
-    if hashlib.md5(out.tobytes()).digest() != want_md5:
+        rd.align()
+        crc16_end = rd.byte_pos()
+        if _crc16(content[frame_start:crc16_end]) != rd.read(16):
+            raise ValueError("frame CRC-16 mismatch")
+        for ci, ch in enumerate(chans):
+            arr = np.asarray(ch, dtype=np.int64)
+            if len(arr) and (arr.min() < -32768 or arr.max() > 32767):
+                raise ValueError("decoded samples out of int16 range")
+            decoded[ci].append(arr)
+        got += n
+        frame_no += 1
+        if total == 0:
+            break  # total-unknown streams: single frame only
+    if total and got != total:
+        raise ValueError(f"decoded {got} samples, STREAMINFO says {total}")
+
+    chans_arr = [np.concatenate(c) if c else np.zeros(0, np.int64) for c in decoded]
+    interleaved = np.stack(chans_arr, axis=1).reshape(-1).astype("<i2")
+    if hashlib.md5(interleaved.tobytes()).digest() != want_md5:
         raise ValueError("STREAMINFO sample MD5 mismatch")
-    return out, rate
+    if n_ch == 1:
+        return chans_arr[0].astype("<i2"), rate
+    return np.stack(chans_arr).astype("<i2"), rate

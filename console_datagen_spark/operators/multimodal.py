@@ -309,6 +309,114 @@ def flac_decimate_stats(media: DataFrame, factor: int = 2) -> DataFrame:
     return media.mapInPandas(kernel, schema=FLAC_STATS_SCHEMA)
 
 
+# ---- stereo FLAC (r14: decorrelation modes + multi-frame in the loop) -----
+
+FLAC_STEREO_SCHEMA = (
+    "doc_id BIGINT, rate INT, n_samples INT, sumsq_l BIGINT, "
+    "sumsq_r BIGINT, min_l INT, max_l INT, min_r INT, max_r INT, "
+    "dot_lr BIGINT, roundtrip_ok INT"
+)
+
+
+def synth_flac_stereo_media(
+    documents: DataFrame, n_frames: int = 48, rate: int = 16_000
+) -> DataFrame:
+    """Attach a VALID stereo 16-bit FLAC per doc: the md5-chain bytes
+    read as interleaved little-endian int16 (L,R,L,R...), encoded with
+    FORCED mid/side decorrelation and a 16-sample block size — so the
+    certified decode below must run the mid/side reconstruction AND the
+    multi-frame walk (3 sequentially numbered frames per doc), not just
+    the mono path re-labelled."""
+    from .flac import encode_flac
+
+    raw = synth_media(documents, "audio", n_bytes=4 * n_frames)
+
+    def _to_flac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for c in pdf["content"]:
+                inter = np.frombuffer(bytes(c), dtype="<i2").astype(np.int64)
+                chans = inter.reshape(-1, 2).T
+                content.append(
+                    encode_flac(
+                        chans, rate, block_size=16, channel_mode="mid_side"
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "fmt": "flac",
+                    "n_bytes": [len(c) for c in content],
+                    "content": content,
+                }
+            )
+
+    return raw.mapInPandas(_to_flac, schema=MEDIA_SCHEMA)
+
+
+def flac_stereo_stats(media: DataFrame) -> DataFrame:
+    """REAL stereo compressed-audio pipeline, one Arrow-batched pass:
+    decode the multi-frame mid/side FLAC (frame-number sequence, CRC-8/16
+    per frame, interleaved-sample MD5 — ALL verified), then RE-ENCODE
+    with the OTHER decorrelation mode (left/side) and RE-DECODE, pinning
+    both reconstruction paths bit-exact in-kernel. Emits exact per-channel
+    stats plus the cross-channel dot product — the de-interleave
+    certificate: swap or misalign L/R anywhere and dot_lr breaks."""
+    from .flac import decode_flac, encode_flac
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                chans, rate = decode_flac(bytes(content))
+                if chans.ndim != 2 or chans.shape[0] != 2:
+                    raise ValueError("expected stereo payload")
+                rt, rt_rate = decode_flac(
+                    encode_flac(
+                        chans.astype(np.int64),
+                        rate,
+                        channel_mode="left_side",
+                    )
+                )
+                ok = int(rt_rate == rate and np.array_equal(rt, chans))
+                ch = chans.astype(np.int64)
+                left, right = ch[0], ch[1]
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        ch.shape[1],
+                        int((left * left).sum()),
+                        int((right * right).sum()),
+                        int(left.min()),
+                        int(left.max()),
+                        int(right.min()),
+                        int(right.max()),
+                        int((left * right).sum()),
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "rate",
+                    "n_samples",
+                    "sumsq_l",
+                    "sumsq_r",
+                    "min_l",
+                    "max_l",
+                    "min_r",
+                    "max_r",
+                    "dot_lr",
+                    "roundtrip_ok",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=FLAC_STEREO_SCHEMA)
+
+
 # ---- REAL video-container path (Y4M, pure numpy — operators/y4m.py) -------
 
 Y4M_STATS_SCHEMA = (

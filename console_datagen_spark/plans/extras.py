@@ -685,6 +685,66 @@ df_query(
 )
 
 
+def _mm_audio_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synth_flac_stereo_media(docs, n_frames=48, rate=16_000)
+    return M.flac_stereo_stats(media).orderBy("doc_id")
+
+
+df_query(
+    "mm_audio_flac_stereo",
+    _mm_audio_flac_stereo,
+    oracle=(
+        # Full SQL replay of the STEREO compressed-audio path: the FLAC
+        # payload encodes the md5-chain bytes as interleaved little-
+        # endian int16 (L,R,L,R..., 48 frames = 192 bytes = 12 blocks),
+        # FORCED mid/side decorrelation across 3 sequentially numbered
+        # 16-sample frames. Losslessness means the decoded channels are
+        # exactly the even-/odd-index chain samples, so the oracle
+        # replays per-channel sumsq/min/max AND the cross-channel dot
+        # product (the de-interleave certificate) straight from the
+        # chain — certifying multi-frame walk, frame-number sequence,
+        # per-frame CRC-8/16, mid/side reconstruction (mid2=(mid<<1)|
+        # (side&1)), the 17-bit side subframe, AND the interleaved
+        # sample MD5. roundtrip_ok pins the left/side re-encode path.
+        "WITH m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 384) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 11) AS t(i) "
+        "  GROUP BY doc_id), "
+        "smp AS (SELECT doc_id, i, "
+        "  ('0x' || substr(hx, 4 * i + 1, 2))::BIGINT "
+        "  + 256 * ('0x' || substr(hx, 4 * i + 3, 2))::BIGINT AS u "
+        "  FROM m, (SELECT unnest(generate_series(0, 95)) AS i) t), "
+        "sv AS (SELECT doc_id, i, "
+        "  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM smp), "
+        "pairs AS (SELECT doc_id, i // 2 AS j, "
+        "  MAX(CASE WHEN i % 2 = 0 THEN v END) AS l, "
+        "  MAX(CASE WHEN i % 2 = 1 THEN v END) AS r "
+        "  FROM sv GROUP BY doc_id, i // 2) "
+        "SELECT doc_id, CAST(16000 AS INT) AS rate, "
+        "CAST(48 AS INT) AS n_samples, "
+        "CAST(SUM(l * l) AS BIGINT) AS sumsq_l, "
+        "CAST(SUM(r * r) AS BIGINT) AS sumsq_r, "
+        "CAST(MIN(l) AS INT) AS min_l, CAST(MAX(l) AS INT) AS max_l, "
+        "CAST(MIN(r) AS INT) AS min_r, CAST(MAX(r) AS INT) AS max_r, "
+        "CAST(SUM(l * r) AS BIGINT) AS dot_lr, "
+        "CAST(1 AS INT) AS roundtrip_ok "
+        "FROM pairs GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "audio", "flac", "stereo", "pandas_udf"),
+    doc="REAL stereo compressed-audio path (r14: the FLAC codec grew "
+    "LPC subframes, all four channel assignments and multi-frame "
+    "streams): synth interleaved stereo int16 from the md5 chain -> "
+    "forced mid/side multi-frame encode -> full verified decode "
+    "(sequence + CRC-8/16 + interleaved MD5) -> left/side re-encode "
+    "roundtrip -> exact per-channel stats + cross-channel dot product, "
+    "certified by a full SQL replay of the interleaved sample derivation",
+)
+
+
 def _mm_video_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     media = M.synth_y4m_media(docs, n_frames=8, width=8, height=8)
