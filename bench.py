@@ -202,11 +202,33 @@ def _run_sentinel_shuffle(spark) -> float:
 # (codegen is pure CPU, the shuffle sentinel's exchange mostly stays in
 # page cache). VERDICT r12 #1: "one sentinel per resource axis you
 # blame". A fixed parquet write of SENTINEL_WRITE_N deterministic rows
-# across 32 files + per-file fsync via os.sync equivalent (the files are
-# re-read to force materialization, then the dir is removed) — registry-
-# independent, no round's diff can touch it.
+# across 32 files, then ONE global os.sync() so the page-cache flush is
+# charged to the sentinel rather than to a later query, then rmtree.
+# The files are NOT re-read (byte verification isn't the point; write
+# throughput is) and there is no per-file fsync — registry-independent,
+# no round's diff can touch it. (ADVICE r13: the previous comment
+# claimed re-reads + per-file fsync that never happened.)
 SENTINEL_WRITE_N = 8_000_000
 SENTINEL_WRITE_PATH = "/tmp/bench_write_sentinel"
+
+
+def _box_snapshot() -> dict:
+    """Direct box-state evidence alongside the sentinels (VERDICT r13
+    #9): /proc/loadavg + MemAvailable, captured at run start AND end, so
+    future ambient attributions don't rest solely on the sentinels'
+    indirect workload-shaped evidence."""
+    snap: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            snap["loadavg"] = [float(x) for x in f.read().split()[:3]]
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    snap["mem_available_kb"] = int(line.split()[1])
+                    break
+    except OSError:  # non-Linux fallback: fields absent, never fatal
+        pass
+    return snap
 
 
 def _run_sentinel_write(spark) -> float:
@@ -312,6 +334,7 @@ def _run_once(spark, registry, name: str) -> float:
 
 
 def main() -> None:
+    box_start = _box_snapshot()
     # Spark's local-mode default driver heap is 1g; the r9 headline list
     # (80 queries x min-of-3 in ONE session) OOMed it mid-run — size the
     # lone JVM like the scale probe does rather than shrinking the bench
@@ -386,6 +409,10 @@ def main() -> None:
         # min-drift identifies ambient noise per query, inside ONE
         # artifact, with no cross-artifact narrative needed
         "query_spread": spreads,
+        # direct box-state evidence (load + free memory, start/end) so
+        # ambient attribution has a non-sentinel witness (VERDICT r13 #9)
+        "box_start": box_start,
+        "box_end": _box_snapshot(),
         **extras,
     }
     print(json.dumps(payload))

@@ -111,6 +111,17 @@ def write_curve_layout(
     file and can spill.
     """
     if direct_threshold is not None and n_buckets >= direct_threshold:
+        # ADVICE r13: the direct writer produces its manifest in-pass
+        # (no footer/scan distinction), so a caller pinning a specific
+        # manifest_mode must not be silently re-routed onto a different
+        # manifest-production strategy — make them choose explicitly.
+        if manifest_mode != "footer":
+            raise ValueError(
+                f"manifest_mode={manifest_mode!r} is not available in the "
+                f"direct-writer regime (n_buckets={n_buckets} >= "
+                f"direct_threshold={direct_threshold}); pass "
+                "direct_threshold=None to keep the generic writer"
+            )
         write_curve_layout_direct(
             df, path, curve=curve, dims=dims,
             n_buckets=n_buckets, curve_bits=curve_bits,

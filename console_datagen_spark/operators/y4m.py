@@ -87,16 +87,27 @@ def decode_y4m(content: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         raise ValueError("Y4M header missing W/H")
     if chroma not in _CHROMA_DIV:
         raise ValueError(f"unsupported chroma mode {chroma}")
-    div = _CHROMA_DIV[chroma]
     luma_len = w * h
-    chroma_len = 0 if div is None else 2 * (luma_len // div)
+    if chroma == "mono":
+        chroma_len = 0
+    elif chroma == "C444":
+        chroma_len = 2 * luma_len
+    else:  # C420: planes are ceil-halved per axis (VERDICT r13 #4 —
+        # 2*(w*h//4) mis-sized every odd-dimension frame)
+        chroma_len = 2 * ((w + 1) // 2) * ((h + 1) // 2)
     frame_len = luma_len + chroma_len
 
     frames = []
     pos = nl + 1
     while pos < len(content):
         line_end = content.find(b"\n", pos)
-        if line_end < 0 or content[pos : pos + 5] != b"FRAME":
+        # the marker must be exactly "FRAME" followed by newline or a
+        # space-separated parameter (ADVICE r13: b"FRAMExyz" was accepted)
+        if (
+            line_end < 0
+            or content[pos : pos + 5] != b"FRAME"
+            or content[pos + 5 : pos + 6] not in (b"\n", b" ")
+        ):
             raise ValueError(f"bad FRAME marker at byte {pos}")
         pos = line_end + 1
         if pos + frame_len > len(content):

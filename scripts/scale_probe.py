@@ -1063,6 +1063,12 @@ def main() -> int:
         gates.update(_layout_direct_gates(results["layout_direct"]))
     results["gates"] = gates
     results["ok"] = all(gates.values())
+    # direct box-state evidence (VERDICT r13 #9): one snapshot at the
+    # artifact write (the probe is hours long; the sentinels carry the
+    # per-leg story, this anchors the endpoint)
+    from bench import _box_snapshot
+
+    results["box_end"] = _box_snapshot()
     with open(OUT_PATH, "w") as f:
         json.dump(results, f, indent=1, sort_keys=False)
         f.write("\n")

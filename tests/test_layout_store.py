@@ -386,3 +386,23 @@ def test_generic_writer_delegates_high_bucket_regime(spark, sf_dir, tmp_path):
     n_del = pruned_read(spark, p_del, RANGES).count()
     n_gen = pruned_read(spark, p_gen, RANGES).count()
     assert n_del == n_gen
+
+
+def test_delegation_rejects_non_default_manifest_mode(spark, sf_dir, tmp_path):
+    import pytest
+
+    """ADVICE r13: the direct writer builds its manifest in-pass, so a
+    caller pinning manifest_mode='scan'/'footer-variant' must get a loud
+    error when routed to it, not a silent strategy change."""
+    base = _scaled(spark, sf_dir)
+    curve = F.expr(_morton_sql("ok16", "pk16", "spark"))
+    with pytest.raises(ValueError, match="manifest_mode"):
+        write_curve_layout(
+            base, str(tmp_path / "x"), curve=curve, dims=["ok16", "pk16"],
+            n_buckets=64, manifest_mode="scan", direct_threshold=64,
+        )
+    # the same mode below the threshold still works
+    write_curve_layout(
+        base, str(tmp_path / "ok"), curve=curve, dims=["ok16", "pk16"],
+        n_buckets=8, manifest_mode="scan", direct_threshold=64,
+    )

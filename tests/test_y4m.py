@@ -82,3 +82,49 @@ def test_rejects_garbage_loudly():
         decode_y4m(good[:-1])
     with pytest.raises(ValueError, match="unknown Y4M header tag"):
         decode_y4m(b"YUV4MPEG2 W2 H2 Q9\nFRAME\n" + bytes(4))
+
+
+def test_c420_odd_dimensions_ceil_halved_planes():
+    """VERDICT r13 #4: real 4:2:0 chroma planes are ceil(w/2)*ceil(h/2)
+    each; 5x5 C420 frames carry 2*3*3 = 18 chroma bytes, not
+    2*(25//4) = 12. Parse must frame correctly, not drift."""
+    h = w = 5
+    rng = np.random.default_rng(9)
+    lumas = [
+        rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(2)
+    ]
+    chroma = bytes(2 * 3 * 3)
+    payload = f"YUV4MPEG2 W{w} H{h} F24:1 Ip A1:1 C420\n".encode()
+    for luma in lumas:
+        payload += b"FRAME\n" + luma.tobytes() + chroma
+    dec, _ = decode_y4m(payload)
+    assert dec.shape == (2, h, w)
+    assert np.array_equal(dec[0], lumas[0])
+    assert np.array_equal(dec[1], lumas[1])
+    # the OLD (floor-quarter) sizing would leave trailing bytes and the
+    # second marker misaligned: prove the stream is consumed exactly
+    with pytest.raises(ValueError):
+        decode_y4m(payload + b"x")
+
+
+def test_frame_marker_must_be_delimited():
+    """ADVICE r13: b'FRAMExyz' is not a FRAME marker — the 6th byte must
+    be newline or the space that starts frame parameters."""
+    luma = np.zeros((2, 2), dtype=np.uint8)
+    good = (
+        b"YUV4MPEG2 W2 H2 F24:1 Ip A1:1 Cmono\n"
+        + b"FRAME\n"
+        + luma.tobytes()
+    )
+    assert decode_y4m(good)[0].shape == (1, 2, 2)
+    # frame parameters after a space are legal per spec
+    spaced = good.replace(b"FRAME\n", b"FRAME Xtag\n")
+    assert decode_y4m(spaced)[0].shape == (1, 2, 2)
+    for bad_marker in (b"FRAMES\n", b"FRAMExyz\n", b"FRAM\n"):
+        bad = (
+            b"YUV4MPEG2 W2 H2 F24:1 Ip A1:1 Cmono\n"
+            + bad_marker
+            + luma.tobytes()
+        )
+        with pytest.raises(ValueError, match="FRAME marker"):
+            decode_y4m(bad)
