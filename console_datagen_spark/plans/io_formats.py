@@ -77,11 +77,19 @@ _DOC_SCHEMA = (
 _COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
-def _roundtrip(fmt: str):
+def _roundtrip(fmt: str, compression: str | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = register_views(spark, sf_dir, DOCS)["documents"].select(*_COLS)
-        path = f"{_ROUNDTRIP_ROOT}/{fmt}"
+        path = f"{_ROUNDTRIP_ROOT}/{fmt}" + (
+            f"_{compression}" if compression else ""
+        )
         w = docs.write.mode("overwrite").format(fmt)
+        if compression:
+            # real crawls arrive compressed (Common Crawl WET = gzip);
+            # the reader auto-detects by extension (.gz/.bz2), so the
+            # read side needs NO codec hint — that auto-detection is
+            # part of what the round-trip certifies
+            w = w.option("compression", compression)
         r = spark.read.format(fmt)
         if fmt == "csv":
             # full quoting discipline: header, quoted fields, escaped
@@ -131,5 +139,43 @@ for _fmt, _doc in (
         oracle=_ORACLE,
         tables=DOCS,
         tags=("io", "formats", _fmt, "sink", "source"),
+        doc=_doc,
+    )
+
+
+# Compressed-text ingest round-trips (VERDICT r13 #7): real crawls
+# arrive as gzip/bzip2 CSV/JSONL, not bare files. Same checksum, same
+# oracle — the checksum is format- and codec-independent; what these
+# add to the certified surface is the codec loop (splittable-vs-not
+# file handling, extension auto-detection on read). zstd-for-text is a
+# documented environment N/A here: Spark's text codecs in this
+# container are bzip2/deflate/gzip/lz4/snappy only (no native Hadoop
+# zstd); at 100 TB prefer bzip2 ONLY when splittability matters more
+# than CPU — gzip members are not splittable, so shard sizes must stay
+# executor-friendly (the write side here shards by partition anyway).
+for _fmt, _codec, _doc in (
+    (
+        "csv",
+        "gzip",
+        "gzip-compressed CSV sink+source round-trip (the Common Crawl "
+        "WET shape): full quoting discipline THROUGH the codec plus "
+        "extension auto-detection on read — per-lang content checksum "
+        "vs the straight-from-parquet oracle",
+    ),
+    (
+        "json",
+        "bzip2",
+        "bzip2-compressed JSON-lines sink+source round-trip: the "
+        "splittable-codec path (a 100 TB ingest can parallelize WITHIN "
+        "a .bz2 member, unlike gzip) — same checksum gate; zstd text "
+        "codec is a documented environment N/A in this container",
+    ),
+):
+    df_query(
+        f"io_{_fmt}_{_codec}_roundtrip",
+        _roundtrip(_fmt, _codec),
+        oracle=_ORACLE,
+        tables=DOCS,
+        tags=("io", "formats", _fmt, _codec, "sink", "source"),
         doc=_doc,
     )

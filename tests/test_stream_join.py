@@ -240,3 +240,89 @@ def test_explicit_delays_required(spark):
             left_delay="",
             right_delay="5 seconds",
         )
+
+
+# ---- r14: rightOuter / fullOuter (VERDICT r13 #8) ---------------------------
+
+
+def _run_stream_join_both_uids(spark, tmp_path, join_type):
+    """Like _run_stream_join but keeps BOTH sides' keys: outer rows
+    null one side, so the projection must not collapse them."""
+    imp_dir, clk_dir = tmp_path / "imps", tmp_path / "clks"
+    _rows(spark, IMP_SCHEMA, IMPS + IMP_SENTINEL).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(imp_dir))
+    _rows(spark, CLK_SCHEMA, CLKS + CLK_SENTINEL).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(clk_dir))
+    joined = interval_join_streams(
+        spark.readStream.schema(IMP_SCHEMA).parquet(str(imp_dir)),
+        spark.readStream.schema(CLK_SCHEMA).parquet(str(clk_dir)),
+        key="user_id",
+        within="10 seconds",
+        left_delay="5 seconds",
+        right_delay="5 seconds",
+        join_type=join_type,
+    ).selectExpr(
+        "l.user_id AS l_uid", "r.user_id AS r_uid", "imp_id", "clk_id"
+    )
+    out = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{join_type}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {(r.l_uid, r.r_uid, r.imp_id, r.clk_id) for r in out}
+
+
+def test_right_outer_emits_unmatched_clicks(spark, tmp_path):
+    got = _run_stream_join_both_uids(spark, tmp_path, "rightOuter")
+    # matched pairs are present...
+    assert (1, 1, 100, 900) in got and (1, 1, 101, 901) in got
+    # ...and every click the watermark proved unmatched null-extends the
+    # LEFT side: the gap click, the outside-window click, the
+    # never-impressed key
+    assert (None, 1, None, 902) in got
+    assert (None, 2, None, 903) in got
+    assert (None, 4, None, 904) in got
+    # unmatched impressions do NOT appear in a right outer join
+    assert not any(i == 200 for (_, _, i, _) in got)
+    assert not any(i == 300 for (_, _, i, _) in got)
+
+
+def test_full_outer_emits_both_sides(spark, tmp_path):
+    got = _run_stream_join_both_uids(spark, tmp_path, "fullOuter")
+    # matched pairs
+    assert (1, 1, 100, 900) in got and (1, 1, 101, 901) in got
+    # left-unmatched impressions, null-extended right
+    assert (2, None, 200, None) in got
+    assert (3, None, 300, None) in got
+    # right-unmatched clicks, null-extended left
+    assert (None, 1, None, 902) in got
+    assert (None, 2, None, 903) in got
+    assert (None, 4, None, 904) in got
+
+
+def test_full_outer_is_union_of_one_sided_outers(spark, tmp_path):
+    """Null-extension parity: fullOuter == leftOuter ∪ rightOuter on the
+    same fixed inputs (their inner cores coincide)."""
+    lo = _run_stream_join_both_uids(spark, tmp_path / "lo", "leftOuter")
+    ro = _run_stream_join_both_uids(spark, tmp_path / "ro", "rightOuter")
+    fo = _run_stream_join_both_uids(spark, tmp_path / "fo", "fullOuter")
+    assert fo == lo | ro
+
+
+def test_unknown_join_type_rejected(spark):
+    with pytest.raises(ValueError, match="unsupported join_type"):
+        interval_join_streams(
+            _rows(spark, IMP_SCHEMA, IMPS),
+            _rows(spark, CLK_SCHEMA, CLKS),
+            key="user_id",
+            within="10 seconds",
+            left_delay="5 seconds",
+            right_delay="5 seconds",
+            join_type="leftSemi",
+        )
