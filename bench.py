@@ -137,6 +137,11 @@ HEADLINE = [
     # localCheckpoint, then the gauge scan)
     "mm_audio_flac",
     "quality_classifier_rich_auc",
+    # r14: the stereo/LPC/multi-frame FLAC path (forced mid/side decode
+    # + left/side re-encode per doc) and the compressed-text ingest loop
+    # (gzip CSV write + auto-detected read + checksum)
+    "mm_audio_flac_stereo",
+    "io_csv_gzip_roundtrip",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry
