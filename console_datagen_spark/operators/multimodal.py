@@ -309,6 +309,63 @@ def flac_decimate_stats(media: DataFrame, factor: int = 2) -> DataFrame:
     return media.mapInPandas(kernel, schema=FLAC_STATS_SCHEMA)
 
 
+# ---- LPC FLAC (r14: the LPC FIR inside the hash-certified loop) -----------
+
+
+def flac_lpc_stats(documents: DataFrame, n_samples: int = 96) -> DataFrame:
+    """Decode-side LPC in the CERTIFIED loop: wrap each doc's md5-chain
+    int16 samples in an explicit-coefficient LPC stream (predictor
+    [2047, -1023]/shift 10 ~ 2x[i-1] - x[i-2], coefficients the
+    cost-driven encoder would never pick on noise), then fully decode —
+    the integer FIR reconstruction must reproduce the chain samples
+    exactly or the STREAMINFO MD5 check throws. Re-encode with the
+    cost-driven encoder and re-decode for the roundtrip pin. One Arrow
+    pass, same stats contract as mm_audio_flac (no decimation)."""
+    from .flac import craft_lpc_stream, decode_flac, encode_flac
+
+    raw = synth_media(documents, "audio", n_bytes=2 * n_samples)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                samples = np.frombuffer(bytes(content), dtype="<i2").astype(
+                    np.int64
+                )
+                stream = craft_lpc_stream(
+                    samples, [2047, -1023], shift=10, precision=12
+                )
+                dec, rate = decode_flac(stream)
+                rt, rt_rate = decode_flac(encode_flac(dec, rate))
+                ok = int(rt_rate == rate and np.array_equal(rt, dec))
+                s = dec.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        len(s),
+                        int((s * s).sum()),
+                        int(s.min()),
+                        int(s.max()),
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "rate",
+                    "n_samples",
+                    "sumsq",
+                    "min_s",
+                    "max_s",
+                    "roundtrip_ok",
+                ],
+            )
+
+    return raw.mapInPandas(kernel, schema=FLAC_STATS_SCHEMA)
+
+
 # ---- stereo FLAC (r14: decorrelation modes + multi-frame in the loop) -----
 
 FLAC_STEREO_SCHEMA = (

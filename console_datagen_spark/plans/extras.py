@@ -685,6 +685,52 @@ df_query(
 )
 
 
+def _mm_audio_flac_lpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return M.flac_lpc_stats(docs, n_samples=96).orderBy("doc_id")
+
+
+df_query(
+    "mm_audio_flac_lpc",
+    _mm_audio_flac_lpc,
+    oracle=(
+        # Same chain replay as mm_audio_flac, WITHOUT decimation: the
+        # payload is an explicit-coefficient LPC stream over the chain
+        # int16 samples, so the Spark side must run the integer-FIR
+        # reconstruction (acc += coef*prior; acc >> shift; + residual)
+        # sample-by-sample to reproduce them — any LPC slip breaks the
+        # STREAMINFO MD5 verify and the kernel throws. The oracle
+        # certifies the reconstructed values; roundtrip_ok pins the
+        # cost-driven re-encode of the decoded signal.
+        "WITH m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 384) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 11) AS t(i) "
+        "  GROUP BY doc_id), "
+        "smp AS (SELECT doc_id, "
+        "  ('0x' || substr(hx, 4 * i + 1, 2))::BIGINT "
+        "  + 256 * ('0x' || substr(hx, 4 * i + 3, 2))::BIGINT AS u "
+        "  FROM m, (SELECT unnest(generate_series(0, 95)) AS i) t), "
+        "sv AS (SELECT doc_id, "
+        "  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM smp) "
+        "SELECT doc_id, CAST(16000 AS INT) AS rate, "
+        "CAST(96 AS INT) AS n_samples, "
+        "CAST(SUM(v * v) AS BIGINT) AS sumsq, "
+        "CAST(MIN(v) AS INT) AS min_s, CAST(MAX(v) AS INT) AS max_s, "
+        "CAST(1 AS INT) AS roundtrip_ok "
+        "FROM sv GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "audio", "flac", "lpc", "pandas_udf"),
+    doc="decode-side LPC in the hash-certified loop: md5-chain int16 "
+    "samples wrapped in an explicit-coefficient LPC stream (predictor "
+    "[2047,-1023]/shift 10), fully decoded via the integer FIR (CRC-8/16 "
+    "+ sample-MD5 verified), cost-driven re-encode roundtrip pinned - "
+    "certified by the same SQL chain replay as the fixed-predictor twin",
+)
+
+
 def _mm_audio_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     docs = docs.repartition(spark.sparkContext.defaultParallelism)

@@ -577,3 +577,60 @@ sql_query(
     "Z-order arm - candidate buckets, post-pruning scan volume and scan "
     "amplification, hash-certified in both engines",
 )
+
+
+# ---- small-file compaction planner (r14) ------------------------------------
+#
+# The OTHER half of layout maintenance: Z-order/Hilbert decide WHERE rows
+# go; compaction decides WHICH small files to coalesce toward the target
+# file size (Delta OPTIMIZE / Iceberg rewrite_data_files bin-packing).
+# The planner is pure SQL: within each table partition, files roll into
+# bins by running-total DIV target, in cluster-key order — the ordering
+# preservation is the point (coalescing must not shuffle the curve
+# layout). A bin may overshoot by at most one file, exactly like the
+# greedy packer those engines ship. Scale shape: one window per
+# PARTITION (never a global sort) over the file MANIFEST — at 100 TB the
+# manifest is ~1e6 rows, not data; planning cost is independent of data
+# volume. File sizes here are synthesized deterministically from the
+# orders fixture (64 KiB..8 MiB via a Knuth-hash spread) so both engines
+# replay the identical manifest.
+
+_COMPACT_TARGET = 32 * 1024 * 1024  # bytes per output file
+
+
+def _compaction_sql(dialect: str) -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    return (
+        "WITH manifest AS (SELECT "
+        "  year(o_orderdate) * 100 + month(o_orderdate) AS pt, "
+        "  o_orderkey AS file_id, "
+        "  65536 + (o_orderkey * 2654435761) % 8323072 AS bytes "
+        "  FROM orders), "
+        "rolled AS (SELECT pt, file_id, bytes, "
+        "  COALESCE(SUM(bytes) OVER (PARTITION BY pt ORDER BY file_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"  {idiv} {_COMPACT_TARGET} AS bin FROM manifest) "
+        "SELECT pt, CAST(bin AS BIGINT) AS bin, "
+        "CAST(COUNT(*) AS BIGINT) AS n_files, "
+        "CAST(SUM(bytes) AS BIGINT) AS bin_bytes, "
+        "CAST(MIN(file_id) AS BIGINT) AS first_file, "
+        "CAST(MAX(file_id) AS BIGINT) AS last_file, "
+        f"CAST(SUM(bytes) * 1000 {idiv} {_COMPACT_TARGET} AS BIGINT) "
+        "  AS fill_permille "
+        "FROM rolled GROUP BY pt, bin ORDER BY pt, bin"
+    )
+
+
+sql_query(
+    "layout_compaction_plan",
+    _compaction_sql("spark"),
+    oracle=_compaction_sql("duck"),
+    tables=("orders",),
+    tags=("layout", "compaction", "binpack", "maintenance"),
+    doc="small-file compaction planner (Delta OPTIMIZE / Iceberg "
+    "rewrite_data_files shape): within each table partition, manifest "
+    "files roll into target-size bins by running-total in cluster-key "
+    "order (order-preserving greedy, overshoot bounded by one file) - "
+    "per-bin file count, bytes, id range and fill permille, planned "
+    "from the manifest alone so cost is independent of data volume",
+)

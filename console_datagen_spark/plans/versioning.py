@@ -239,3 +239,75 @@ sql_query(
     "permille — the bounded-memory cardinality column a 100 TB data "
     "card actually ships (exact COUNT DISTINCT certifies it at test SF)",
 )
+
+
+# ---- Merkle dataset fingerprint (r14) ---------------------------------------
+#
+# The provenance primitive a 100 TB corpus release ships: one root hash
+# that changes iff ANY byte of ANY document changes, plus per-source
+# sub-roots so a mismatch bisects to the source in O(1). An md5 chain
+# over ordered leaves is NOT arbitrarily mergeable, so the scalable
+# spelling is explicitly HIERARCHICAL: leaf = md5 of the row's content
+# string (distributed, embarrassingly parallel); shard root = md5 of
+# the ordered leaf concat within a deterministic doc_id range (each
+# shard is one bounded reduce); source root = md5 over ordered shard
+# roots; global root = md5 over ordered source roots. At 100 TB the
+# shard level is the parallel fold and the two top levels touch only
+# #shards + #sources rows — no global sort of the corpus, ever.
+
+_MERKLE_SHARD = 64  # docs per shard (fixture-sized; a deployment uses ~1e6)
+
+
+def _merkle_sql(dialect: str) -> str:
+    if dialect == "spark":
+        s = "CAST(doc_id AS STRING)"
+        n = "CAST(n_chars AS STRING)"
+        idiv = "DIV"
+
+        def ordered_md5(key: str, val: str) -> str:
+            return (
+                f"md5(array_join(transform(array_sort(collect_list("
+                f"struct({key}, {val}))), x -> x.{val}), ''))"
+            )
+
+    else:
+        s = "CAST(doc_id AS VARCHAR)"
+        n = "CAST(n_chars AS VARCHAR)"
+        idiv = "//"
+
+        def ordered_md5(key: str, val: str) -> str:
+            return f"md5(string_agg({val}, '' ORDER BY {key}))"
+
+    leaf = f"md5(concat_ws('|', {s}, lang, source, {n}, text))"
+    return (
+        f"WITH leaves AS (SELECT source, doc_id {idiv} {_MERKLE_SHARD} "
+        f"  AS shard, doc_id, {leaf} AS leaf FROM documents), "
+        "shards AS (SELECT source, shard, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"  {ordered_md5('doc_id', 'leaf')} AS shard_root "
+        "  FROM leaves GROUP BY source, shard), "
+        "sources AS (SELECT source, "
+        "  CAST(SUM(n_docs) AS BIGINT) AS n_docs, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_shards, "
+        f"  {ordered_md5('shard', 'shard_root')} AS source_root "
+        "  FROM shards GROUP BY source), "
+        "g AS (SELECT "
+        f"  {ordered_md5('source', 'source_root')} AS global_root "
+        "  FROM sources) "
+        "SELECT s.source, s.n_docs, s.n_shards, s.source_root, "
+        "g.global_root FROM sources s CROSS JOIN g ORDER BY s.source"
+    )
+
+
+sql_query(
+    "datasheet_merkle_root",
+    _merkle_sql("spark"),
+    oracle=_merkle_sql("duck"),
+    tables=DOCS,
+    tags=("versioning", "datasheet", "provenance", "merkle"),
+    doc="hierarchical Merkle fingerprint of the corpus (leaf = md5 of "
+    "the row content string, shard root = ordered fold per doc_id "
+    "range, source root, global root): the release-provenance hash a "
+    "data card ships — any byte change anywhere flips the root, and a "
+    "mismatch bisects source -> shard without rescanning the corpus",
+)
