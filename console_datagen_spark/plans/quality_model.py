@@ -498,3 +498,50 @@ df_query(
     "(partitioned ranking, NULL where a language's val slice is single-"
     "class) — the per-slice quality audit a curation report carries",
 )
+
+
+# ---- calibration / reliability diagram (r14) --------------------------------
+
+
+def _calibration_tail(fsrc: str, wsrc: str) -> str:
+    """Reliability-diagram rows over the held-out split: deciles of the
+    score (NTILE over z with doc_id tie-break -> deterministic), each
+    with observed positive rate and mean score. AUC says the ranking is
+    good; calibration says whether the SCORE VALUES can gate a keep/drop
+    threshold — the number a curation pipeline actually compares against
+    a cutoff. All-integer (z is micro fixed-point), so hash-exact."""
+    z = " + ".join(f"{w} * {x}" for w, x in zip(_RICH_W, _RICH_X))
+    return (
+        "scored AS (SELECT f.doc_id, f.y, "
+        + _fdiv(z, "1000")
+        + f" AS z FROM {fsrc} f CROSS JOIN {wsrc} WHERE f.split = 'val'), "
+        "binned AS (SELECT y, z, CAST(NTILE(10) OVER (ORDER BY z, doc_id) "
+        "AS INT) AS decile FROM scored) "
+        "SELECT decile, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(y) AS BIGINT) AS n_pos, "
+        + _fdiv("1000 * SUM(y)", "COUNT(*)")
+        + " AS pos_rate_permille, "
+        + _fdiv("SUM(z)", "COUNT(*)")
+        + " AS mean_z_micro, "
+        "CAST(MIN(z) AS BIGINT) AS z_lo, CAST(MAX(z) AS BIGINT) AS z_hi "
+        "FROM binned GROUP BY decile ORDER BY decile"
+    )
+
+
+def _calibration_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _spark_rich_weights(spark, sf_dir)
+    return spark.sql("WITH " + _calibration_tail(_QCF_VIEW, _QCF_W_VIEW))
+
+
+df_query(
+    "quality_classifier_calibration",
+    _calibration_spark,
+    oracle=_duck_rich_head() + _calibration_tail("feats", "wfinal"),
+    tables=DOCS,
+    tags=("text", "quality", "model", "gauge", "calibration"),
+    doc="reliability diagram of the rich-basis classifier on the "
+    "held-out split: score deciles (deterministic NTILE) with observed "
+    "positive rate, mean/min/max score per bin - certifies whether the "
+    "score VALUES support a keep/drop threshold, complementing the "
+    "rank-only AUC gauges",
+)

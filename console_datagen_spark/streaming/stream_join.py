@@ -56,7 +56,10 @@ def interval_join_streams(
     strings (e.g. ``"10 seconds"``). Delays are REQUIRED: they bound
     how long each side's state is retained and which late events are
     dropped — measure them with ``streaming.disorder`` exactly as for
-    ``cdc_compact``. ``join_type``: ``inner``, ``leftOuter``,
+    ``cdc_compact``, then add ONE tick: join state predicates are
+    boundary-INCLUSIVE (an event exactly at the watermark is late), so
+    the monitor's ``max_late_ms`` is the infimum, not a usable delay
+    (pinned in tests/test_stream_join.py's measure->configure loop). ``join_type``: ``inner``, ``leftOuter``,
     ``rightOuter`` or ``fullOuter`` (r14, VERDICT r13 #8 — Spark 4
     supports all four under the same state-bound rules: outer rows
     null-extend on the missing side once the watermark proves no match

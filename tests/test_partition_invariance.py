@@ -27,6 +27,12 @@ SAMPLE = [
     "agg_quantiles",
     "cdc_latest_state",
     "text_trigram_backoff_lm",
+    # r14: the new window-fold and multi-level-agg shapes (the Merkle
+    # ordered folds and the compaction running total are exactly the
+    # tie-break/ordering risk class this file exists for)
+    "datasheet_merkle_root",
+    "layout_compaction_plan",
+    "mm_audio_flac_stereo",
 ]
 
 

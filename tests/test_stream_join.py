@@ -326,3 +326,109 @@ def test_unknown_join_type_rejected(spark):
             right_delay="5 seconds",
             join_type="leftSemi",
         )
+
+
+def test_measure_then_configure_join_zero_drops(spark, tmp_path):
+    """The measure->configure loop for the JOIN surface (r13 proved it
+    for cdc_compact): DisorderMonitor measures the click stream's actual
+    disorder, its suggested delay feeds interval_join_streams'
+    right_delay, and the late click still attributes — while a
+    '0 seconds' control on the same stream LOSES the match, proving the
+    measurement is load-bearing for joins exactly as for compaction."""
+    import shutil
+
+    from console_datagen_spark.streaming.disorder import DisorderMonitor
+
+    imp_dir, clk_dir = tmp_path / "imps", tmp_path / "clks"
+    # imp sentinel at t=60 advances the LEFT watermark to 55: Spark's
+    # global watermark is the MIN across sides, so without it the
+    # undelayed control would never consider the late click late
+    IMPS_MC = [(1, 100, 0), (2, 200, 5), (97, 970, 60)]
+    _rows(spark, IMP_SCHEMA, IMPS_MC).coalesce(1).write.parquet(str(imp_dir))
+
+    # click batches: batch 1 pushes the right frontier to t=60; batch 2
+    # opens with a click 51 s BEHIND it (event time 9, matching imp
+    # 200's [5,15] window); batch 3 is a far sentinel that drains state
+    clk_batches = [
+        [(1, 900, 4), (5, 950, 60)],
+        [(2, 903, 9)],
+        [(98, 980, 500)],
+    ]
+
+    def replay_clicks(start, ckpt):
+        shutil.rmtree(str(clk_dir), ignore_errors=True)
+        for b in clk_batches:
+            _rows(spark, CLK_SCHEMA, b).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(clk_dir))
+            q = start(
+                spark.readStream.schema(CLK_SCHEMA).parquet(str(clk_dir)),
+                ckpt,
+            )
+            q.awaitTermination(120)
+
+    # ---- measure ----
+    mon = DisorderMonitor(ts_col="ts")
+    replay_clicks(
+        lambda s, ck: s.writeStream.foreachBatch(mon.update)
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start(),
+        tmp_path / "mon_ckpt",
+    )
+    rep = mon.report()
+    assert rep["max_late_ms"] == 51_000
+    # stream-stream join state predicates are boundary-INCLUSIVE (an
+    # event exactly AT the watermark is treated as late), unlike the
+    # session-TTL eviction the cdc demo configures — the measured
+    # max_late_ms is the infimum, so a join deployer adds one tick:
+    delay = f"{rep['max_late_ms'] + 1000} milliseconds"
+
+    # ---- configure ----
+    def run_join(right_delay, ckpt):
+        out = []
+
+        def start(clicks, ck):
+            joined = interval_join_streams(
+                spark.readStream.schema(IMP_SCHEMA).parquet(str(imp_dir)),
+                clicks,
+                key="user_id",
+                within="10 seconds",
+                left_delay="5 seconds",
+                right_delay=right_delay,
+            ).selectExpr("l.user_id AS user_id", "imp_id", "clk_id")
+            return (
+                joined.writeStream.foreachBatch(
+                    lambda df, _id: out.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", str(ck))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        replay_clicks(start, ckpt)
+        return {(r.user_id, r.imp_id, r.clk_id) for r in out}
+
+    # batch ground truth over the complete data
+    truth = {
+        (r.user_id, r.imp_id, r.clk_id)
+        for r in interval_join_streams(
+            _rows(spark, IMP_SCHEMA, IMPS_MC),
+            _rows(spark, CLK_SCHEMA, sum(clk_batches, [])),
+            key="user_id",
+            within="10 seconds",
+            left_delay="5 seconds",
+            right_delay="5 seconds",
+        )
+        .selectExpr("l.user_id AS user_id", "imp_id", "clk_id")
+        .collect()
+    }
+    assert (2, 200, 903) in truth  # the late click DOES match in batch
+
+    got = run_join(delay, tmp_path / "join_ckpt")
+    assert got == truth  # zero late-drops under the measured delay
+
+    control = run_join("0 seconds", tmp_path / "join_ckpt0")
+    assert (2, 200, 903) not in control  # the control provably loses it
+    assert (1, 100, 900) in control
