@@ -200,6 +200,57 @@ def lsh_candidate_pairs(
     )
 
 
+def prefix_filter_candidates(
+    documents: DataFrame,
+    threshold_permille: int = 350,
+    n: int = 3,
+    ids_df: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate pairs by PREFIX FILTERING (the PPJoin/AllPairs family):
+    order each doc's shingle ids by ascending global document frequency
+    (rarest first, tid tie-break), keep the first
+    ``sz - ceil(threshold*sz) + 1`` as the prefix, and join prefixes on
+    shared tid. The prefix-filter theorem guarantees COMPLETENESS: any
+    pair with Jaccard >= threshold shares at least one prefix token
+    under a common global order — so unlike banded LSH (probabilistic
+    recall), verify(prefix candidates) EQUALS the full exact-threshold
+    join. Scale shape: the prefix drops each doc's most COMMON tokens,
+    so the candidate equi-join fans out only on rare tokens — the hot
+    template shingle every doc shares never generates pairs; pruning
+    power grows with the threshold (short prefixes at theta >= 0.8)."""
+    d = ids_df if ids_df is not None else doc_shingle_ids(documents, n)
+    sizes = d.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = d.groupBy("tid").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tid")
+    prefix = (
+        d.join(freq, "tid")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("sz")
+            - F.expr(
+                f"CAST(({threshold_permille} * sz + 999) DIV 1000 AS INT)"
+            )
+            + F.lit(1)
+        )
+        .select("doc_id", "tid")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tid") == F.col("b.tid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def lsh_oversized_buckets(bands: DataFrame, bucket_cap: int) -> DataFrame:
     """(band, bh, bsz) for buckets whose membership exceeds ``bucket_cap``.
 

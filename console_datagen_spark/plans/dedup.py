@@ -176,6 +176,62 @@ df_query(
 )
 
 
+# ---- prefix-filter (PPJoin/AllPairs) exact-threshold join (r14) -------------
+
+
+def _prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, DOCS)["documents"]
+    ids = D.doc_shingle_ids(docs)
+    cand = D.prefix_filter_candidates(
+        docs, threshold_permille=_JACCARD_PERMILLE, ids_df=ids
+    )
+    return D.ngram_jaccard_pairs(
+        docs,
+        threshold_permille=_JACCARD_PERMILLE,
+        candidates=cand,
+        ids_df=ids,
+    ).orderBy("doc_a", "doc_b")
+
+
+df_query(
+    "dedup_prefix_filter_pairs",
+    _prefix_filter_pairs,
+    oracle=(
+        # COMPLETENESS is what this oracle certifies: the Spark side
+        # verifies only prefix-filtered candidates, while the oracle
+        # computes the ground truth with NO candidate filter at all
+        # (plain shared-shingle join at the same threshold). If prefix
+        # filtering dropped any true pair, the hash gate fails — the
+        # prefix-filter theorem, checked per fixture rather than taken
+        # on faith (banded LSH can never make this claim; its recall is
+        # probabilistic by design).
+        f"WITH {_DUCK_IDS}, "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "          COUNT(*) AS inter "
+        "          FROM ids a JOIN ids b ON a.tid = b.tid "
+        "          AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT i.doc_a, i.doc_b, "
+        "CAST(i.inter * 1000 // (sa.sz + sb.sz - i.inter) AS BIGINT) "
+        "  AS jaccard_permille "
+        "FROM inter i "
+        "JOIN sizes sa ON i.doc_a = sa.doc_id "
+        "JOIN sizes sb ON i.doc_b = sb.doc_id "
+        f"WHERE i.inter * 1000 // (sa.sz + sb.sz - i.inter) "
+        f"      >= {_JACCARD_PERMILLE} "
+        "ORDER BY doc_a, doc_b"
+    ),
+    tables=DOCS,
+    tags=("dedup", "prefix-filter", "ppjoin", "exact"),
+    doc="prefix-filter (PPJoin/AllPairs) exact Jaccard-threshold join: "
+    "each doc's rarest sz-ceil(t*sz)+1 shingles form the prefix, "
+    "candidates share a prefix shingle, then exact verify - the oracle "
+    "computes ground truth with NO filter, so the hash gate proves the "
+    "prefix-filter completeness theorem on the fixture (banded LSH's "
+    "recall is probabilistic; this join is exact and deterministic)",
+)
+
+
 _BUCKET_CAP = 2  # bites at sf0.01 (max observed bucket = 3) so the oracle
 # certifies the cap logic itself, not just the uncapped path
 
