@@ -142,6 +142,11 @@ HEADLINE = [
     # (gzip CSV write + auto-detected read + checksum)
     "mm_audio_flac_stereo",
     "io_csv_gzip_roundtrip",
+    # r14: the exact-threshold prefix-filter join (the PPJoin family —
+    # rare-token candidate fanout, completeness proven by its oracle)
+    # and the hierarchical Merkle corpus fingerprint
+    "dedup_prefix_filter_pairs",
+    "datasheet_merkle_root",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry
