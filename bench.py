@@ -147,6 +147,11 @@ HEADLINE = [
     # and the hierarchical Merkle corpus fingerprint
     "dedup_prefix_filter_pairs",
     "datasheet_merkle_root",
+    # r14 session 2: the lossy-but-replay-exact ADPCM walk, the LZW/
+    # interlace GIF path, and the seeded epoch-shuffle permutation
+    "mm_audio_adpcm",
+    "mm_image_gif",
+    "pipeline_epoch_shuffle",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry

@@ -1176,3 +1176,207 @@ def extract_features_permille(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         kernel, schema="doc_id BIGINT, n_bytes INT, feature_permille STRING"
     )
+
+
+# ---- IMA ADPCM (r14: a LOSSY codec inside the hash-certified loop) --------
+
+ADPCM_STATS_SCHEMA = (
+    "doc_id BIGINT, n_bytes INT, rate INT, n_samples INT, sumsq BIGINT, "
+    "min_s INT, max_s INT"
+)
+
+
+def synth_adpcm_media(
+    documents: DataFrame,
+    n_samples: int = 194,
+    rate: int = 16_000,
+    samples_per_block: int = 97,
+) -> DataFrame:
+    """Attach a VALID mono IMA-ADPCM WAV (format tag 0x11) per doc: the
+    md5-chain bytes read as little-endian int16 become the encoder INPUT.
+    Unlike the PCM/FLAC twins the payload samples are NOT the chain —
+    ADPCM is lossy — but the quantizer is a deterministic integer
+    recursion, so the downstream decode is still SQL-replayable (the
+    oracle re-runs encoder+decoder state from the chain). Default is two
+    full 97-sample blocks so the block walk itself sits in the hash gate."""
+    from .adpcm import encode_ima_adpcm
+
+    raw = synth_media(documents, "audio", n_bytes=2 * n_samples)
+
+    def _to_adpcm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_ima_adpcm(
+                    np.frombuffer(bytes(c), dtype="<i2"),
+                    rate,
+                    samples_per_block=samples_per_block,
+                )
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "fmt": "adpcm",
+                    "n_bytes": [len(c) for c in content],
+                    "content": content,
+                }
+            )
+
+    return raw.mapInPandas(_to_adpcm, schema=MEDIA_SCHEMA)
+
+
+def adpcm_reconstruction_stats(media: DataFrame) -> DataFrame:
+    """REAL lossy-audio pipeline, one Arrow-batched pass: decode the IMA
+    ADPCM payload (RIFF walk, fmt 0x11 validation, fact count, per-block
+    header + nibble state machine) and emit exact integer stats of the
+    RECONSTRUCTION. n_bytes re-certifies the container arithmetic (fixed
+    header framing + ceil-block data length). The oracle replays the
+    encoder+decoder recursion from the chain samples — certifying that a
+    lossy-but-integer-deterministic codec hash-replays end to end, which
+    pins the repo's media classification: the N/A wall is entropy coding,
+    not lossiness."""
+    from .adpcm import decode_ima_adpcm
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content, nb in zip(
+                pdf["doc_id"], pdf["content"], pdf["n_bytes"]
+            ):
+                recon, rate = decode_ima_adpcm(bytes(content))
+                s = recon.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        int(nb),
+                        rate,
+                        len(recon),
+                        int((s * s).sum()),
+                        int(s.min()),
+                        int(s.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "rate",
+                    "n_samples",
+                    "sumsq",
+                    "min_s",
+                    "max_s",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=ADPCM_STATS_SCHEMA)
+
+
+# ---- GIF (r14: dictionary-coded lossless image inside the hash gate) ------
+
+GIF_STATS_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, luma_sum BIGINT, "
+    "luma_posw BIGINT, luma_min INT, luma_max INT, roundtrip_ok INT"
+)
+
+# Permutation gray palette: entry i renders as gray (i*7+13) % 256 —
+# a bijection (gcd(7, 256) = 1) so the palette LOOKUP is in the hash
+# gate: an identity palette would let a decoder that skips the color
+# table pass anyway.
+_GIF_PAL_MUL, _GIF_PAL_ADD = 7, 13
+
+
+def synth_gif_media(
+    documents: DataFrame, width: int = 16, height: int = 16
+) -> DataFrame:
+    """Attach a VALID interlaced GIF89a per doc: md5-chain bytes are the
+    palette indices, the global color table is the permutation gray
+    palette, and the 4-pass interlace row order is ON — so LZW decode,
+    palette indirection AND de-interlacing all sit inside the certified
+    query's position-weighted checksum."""
+    from .gif import encode_gif
+
+    pal = np.array(
+        [[(i * _GIF_PAL_MUL + _GIF_PAL_ADD) % 256] * 3 for i in range(256)],
+        dtype=np.uint8,
+    )
+    raw = synth_media(documents, "image", n_bytes=width * height)
+
+    def _to_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_gif(
+                    np.frombuffer(bytes(c), dtype=np.uint8).reshape(
+                        height, width
+                    ),
+                    pal,
+                    interlace=True,
+                )
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "fmt": "gif",
+                    "n_bytes": [len(c) for c in content],
+                    "content": content,
+                }
+            )
+
+    return raw.mapInPandas(_to_gif, schema=MEDIA_SCHEMA)
+
+
+def gif_luma_stats(media: DataFrame) -> DataFrame:
+    """REAL dictionary-coded image pipeline, one Arrow-batched pass:
+    decode the GIF payload (LZW with late width change + mid-stream
+    dictionary resets, palette lookup, de-interlace), then emit exact
+    integer luma stats. luma_posw = Σ p * luma[p] over row-major pixel
+    position p is ORDER-SENSITIVE, so a decoder that mis-places
+    interlaced rows (or desynchronizes LZW at a width boundary) fails
+    the hash even when the pixel multiset is right. roundtrip_ok pins
+    the non-interlaced re-encode/re-decode identity."""
+    from .gif import decode_gif, encode_gif
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                rgb, pal = decode_gif(bytes(content))
+                luma = rgb[:, :, 0].astype(np.int64).ravel()
+                pos = np.arange(len(luma), dtype=np.int64)
+                # invert the permutation palette to recover indices for
+                # the re-encode (gray -> index is the inverse bijection)
+                inv = np.zeros(256, dtype=np.uint8)
+                inv[pal[:, 0]] = np.arange(256, dtype=np.uint8)
+                rt_rgb, _ = decode_gif(
+                    encode_gif(inv[rgb[:, :, 0]], pal, interlace=False)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        rgb.shape[1],
+                        rgb.shape[0],
+                        int(luma.sum()),
+                        int((pos * luma).sum()),
+                        int(luma.min()),
+                        int(luma.max()),
+                        int(np.array_equal(rt_rgb, rgb)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "luma_sum",
+                    "luma_posw",
+                    "luma_min",
+                    "luma_max",
+                    "roundtrip_ok",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=GIF_STATS_SCHEMA)

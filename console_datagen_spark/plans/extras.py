@@ -839,6 +839,160 @@ df_query(
 )
 
 
+_ADPCM_N = 194  # two full 97-sample IMA blocks — the block walk is in-gate
+_ADPCM_BLOCK = 97
+
+
+def _mm_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synth_adpcm_media(
+        docs, n_samples=_ADPCM_N, rate=16_000, samples_per_block=_ADPCM_BLOCK
+    )
+    return M.adpcm_reconstruction_stats(media).orderBy("doc_id")
+
+
+def _mm_audio_adpcm_oracle() -> str:
+    """Recursive-CTE replay of the IMA-ADPCM encoder+decoder recursion.
+
+    The payload is LOSSY, yet the whole encode->decode chain replays in
+    SQL because the quantizer is a deterministic integer recursion and
+    the encoder's predictor state IS the decoder's reconstruction
+    (operators/adpcm.py). Each recursion step reproduces one
+    _encode_nibble + _step_update pair: successive approximation of
+    |x - pred| against step, step/2, step/4, the reconstruction delta
+    step/8 + b2*step + b1*step/2 + b0*step/4, int16 clamping, and the
+    step-index walk; block-header samples (i % 97 == 0) pass through
+    verbatim with the index carried over, exactly like the container's
+    4-byte block headers. Any slip in either engine's 194-step walk
+    changes sumsq/min/max and fails the hash."""
+    from ..operators.adpcm import STEP_TABLE
+
+    steps_vals = ",".join(f"({i},{s})" for i, s in enumerate(STEP_TABLE))
+    ad = "ABS(n.x - d.pred)"
+    s4 = f"(CASE WHEN {ad} >= st.step THEN 1 ELSE 0 END)"
+    r4 = f"({ad} - {s4} * st.step)"
+    s2 = f"(CASE WHEN {r4} >= st.step // 2 THEN 1 ELSE 0 END)"
+    r2 = f"({r4} - {s2} * (st.step // 2))"
+    s1 = f"(CASE WHEN {r2} >= st.step // 4 THEN 1 ELSE 0 END)"
+    delta = (
+        f"(st.step // 8 + {s4} * st.step + {s2} * (st.step // 2) "
+        f"+ {s1} * (st.step // 4))"
+    )
+    step_pred = (
+        f"GREATEST(-32768, LEAST(32767, d.pred + "
+        f"CASE WHEN n.x < d.pred THEN -{delta} ELSE {delta} END))"
+    )
+    nmag = f"({s4} * 4 + {s2} * 2 + {s1})"
+    step_idx = (
+        f"GREATEST(0, LEAST(88, d.sidx + CASE {nmag} "
+        "WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8 "
+        "ELSE -1 END))"
+    )
+    blk = _ADPCM_BLOCK
+    pred2 = f"(CASE WHEN (d.i + 1) % {blk} = 0 THEN n.x ELSE {step_pred} END)"
+    idx2 = f"(CASE WHEN (d.i + 1) % {blk} = 0 THEN d.sidx ELSE {step_idx} END)"
+    n_hex = 4 * _ADPCM_N
+    n_md5 = (2 * _ADPCM_N + 15) // 16
+    n_bytes = 12 + 28 + 12 + 8 + 2 * (4 + (blk - 1) // 2)
+    return (
+        "WITH RECURSIVE m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        f"  '' ORDER BY i), 1, {n_hex}) AS hx "
+        f"  FROM documents CROSS JOIN generate_series(0, {n_md5 - 1}) AS t(i) "
+        "  GROUP BY doc_id), "
+        "smp AS (SELECT doc_id, i, "
+        "  CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS INT) AS x "
+        "  FROM (SELECT doc_id, i, "
+        "    ('0x' || substr(hx, 4 * i + 1, 2))::BIGINT "
+        "    + 256 * ('0x' || substr(hx, 4 * i + 3, 2))::BIGINT AS u "
+        f"    FROM m, (SELECT unnest(generate_series(0, {_ADPCM_N - 1})) "
+        "      AS i) t)), "
+        f"steps(sidx, step) AS (VALUES {steps_vals}), "
+        "dec AS ("
+        "  SELECT doc_id, 0 AS i, x AS pred, 0 AS sidx, "
+        "    CAST(x AS BIGINT) * x AS sumsq, x AS mn, x AS mx "
+        "  FROM smp WHERE i = 0 "
+        "  UNION ALL "
+        f"  SELECT d.doc_id, d.i + 1, {pred2}, {idx2}, "
+        f"    d.sumsq + CAST({pred2} AS BIGINT) * {pred2}, "
+        f"    LEAST(d.mn, {pred2}), GREATEST(d.mx, {pred2}) "
+        "  FROM dec d "
+        "  JOIN smp n ON n.doc_id = d.doc_id AND n.i = d.i + 1 "
+        "  JOIN steps st ON st.sidx = d.sidx) "
+        f"SELECT doc_id, CAST({n_bytes} AS INT) AS n_bytes, "
+        f"CAST(16000 AS INT) AS rate, CAST({_ADPCM_N} AS INT) AS n_samples, "
+        "sumsq, CAST(mn AS INT) AS min_s, CAST(mx AS INT) AS max_s "
+        f"FROM dec WHERE i = {_ADPCM_N - 1} ORDER BY doc_id"
+    )
+
+
+df_query(
+    "mm_audio_adpcm",
+    _mm_audio_adpcm,
+    oracle=_mm_audio_adpcm_oracle(),
+    tables=("documents",),
+    tags=("multimodal", "audio", "adpcm", "pandas_udf"),
+    doc="REAL lossy-audio path inside the hash gate (pure-stdlib IMA/"
+    "DVI4 ADPCM codec, WAV format tag 0x11): md5-chain int16 samples -> "
+    "4-bit adaptive-quantizer encode (two full 97-sample blocks) -> "
+    "container-validated decode -> exact reconstruction stats, certified "
+    "by a recursive-CTE SQL replay of the encoder+decoder state walk. "
+    "Sharpened classification the FLAC round left coarse: the hash-"
+    "replay wall is ENTROPY CODING (MP3/Vorbis), not lossiness — ADPCM "
+    "is lossy yet integer-deterministic, so decode(encode(x)) replays "
+    "bit-exactly in both engines",
+)
+
+
+def _mm_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synth_gif_media(docs, width=16, height=16)
+    return M.gif_luma_stats(media).orderBy("doc_id")
+
+
+df_query(
+    "mm_image_gif",
+    _mm_image_gif,
+    oracle=(
+        # Full SQL replay of the REAL dictionary-coded image path: each
+        # doc's interlaced GIF89a wraps a 16x16 index raster whose
+        # indices are the md5-chain bytes (256 bytes = 16 blocks = 512
+        # hex chars) under the permutation gray palette
+        # luma = (index*7 + 13) % 256. GIF's LZW is lossless, so the
+        # oracle computes the luma stats straight from the chain; the
+        # POSITION-weighted sum certifies LZW synchronization (late
+        # width change), mid-stream dictionary resets, palette lookup
+        # AND the 4-pass de-interlace row placement — any of those
+        # slipping reorders or remaps pixels and moves luma_posw.
+        "WITH m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 512) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 15) AS t(i) "
+        "  GROUP BY doc_id), "
+        "px AS (SELECT doc_id, p, "
+        "  (('0x' || substr(hx, 2 * p + 1, 2))::BIGINT * 7 + 13) % 256 AS b "
+        "  FROM m, (SELECT unnest(generate_series(0, 255)) AS p) t) "
+        "SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height, "
+        "CAST(SUM(b) AS BIGINT) AS luma_sum, "
+        "CAST(SUM(p * b) AS BIGINT) AS luma_posw, "
+        "CAST(MIN(b) AS INT) AS luma_min, CAST(MAX(b) AS INT) AS luma_max, "
+        "CAST(1 AS INT) AS roundtrip_ok "
+        "FROM px GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "image", "gif", "pandas_udf"),
+    doc="REAL dictionary-coded image path (pure-stdlib GIF89a codec: "
+    "12-bit LZW with late width change and mid-stream resets, global "
+    "color table, 4-pass interlace): md5-chain palette indices -> "
+    "interlaced encode -> full decode (LZW + palette + de-interlace) -> "
+    "exact position-weighted luma stats, certified by a SQL replay of "
+    "the permutation-palette arithmetic; completes the lossless image "
+    "tier (PPM/BMP/PNG/GIF) alongside lossy-exact JPEG",
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     media = M.synth_media(docs, "video", n_bytes=256)

@@ -292,3 +292,87 @@ sql_query(
     "rendering) with loss-mask accounting — trainable (assistant) vs "
     "masked token counts and permille share per conversation",
 )
+
+
+def _epoch_shuffle_sql(dialect: str) -> str:
+    """Deterministic epoch shuffle — the data-loading order a training
+    run consumes. Spark-first shape: shard = seeded-hash mod N is a
+    plain hash repartition, and the intra-shard order is a PARTITIONED
+    window sort (each shard sorts locally after one shuffle) — there is
+    NO global ORDER BY anywhere, so at 100 TB this is one exchange plus
+    embarrassingly-parallel per-shard sorts, never a single-reducer
+    total order. Three epochs run side by side from different seed
+    strings; order_fp = SUM((pos+1) * doc_id) is position-weighted, so
+    the hash gate certifies the PERMUTATION itself (any swap of two
+    docs within a shard moves the fingerprint), and differing fps
+    across epochs pin that reseeding actually re-shuffles."""
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substr(md5(concat('epoch', CAST(e AS STRING), ':', "
+            "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        epochs = "(SELECT explode(sequence(1, 3)) AS e)"
+    else:
+        h = (
+            "('0x' || substr(md5(concat('epoch', CAST(e AS VARCHAR), ':', "
+            "CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT"
+        )
+        epochs = "(SELECT unnest(generate_series(1, 3)) AS e)"
+    return (
+        f"WITH keyed AS (SELECT e, doc_id, {h} AS hkey "
+        f"FROM documents CROSS JOIN {epochs} t), "
+        "ordered AS (SELECT e, doc_id, hkey % 8 AS shard, "
+        "  ROW_NUMBER() OVER (PARTITION BY e, hkey % 8 "
+        "                     ORDER BY hkey, doc_id) - 1 AS pos "
+        "  FROM keyed) "
+        "SELECT CAST(e AS INT) AS epoch, CAST(shard AS INT) AS shard, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM((pos + 1) * doc_id) AS BIGINT) AS order_fp, "
+        "CAST(MIN(CASE WHEN pos = 0 THEN doc_id END) AS BIGINT) AS head_doc "
+        "FROM ordered GROUP BY e, shard ORDER BY epoch, shard"
+    )
+
+
+sql_query(
+    "pipeline_epoch_shuffle",
+    _epoch_shuffle_sql("spark"),
+    oracle=_epoch_shuffle_sql("duck"),
+    tables=("documents",),
+    tags=("pipeline", "sampling", "training"),
+    doc="seeded epoch shuffle for training data loading: shard by hash, "
+    "order within shard by seeded key — no global sort; the position-"
+    "weighted fingerprint certifies the exact permutation per epoch and "
+    "that different epochs yield different orders",
+)
+
+
+_K_ANON_SQL = (
+    # Privacy release gate: k-anonymity + l-diversity over the
+    # quasi-identifier (nation, market segment) with account-balance
+    # tier as the sensitive attribute. One hash-aggregate pass (partial
+    # map-side combine; QI cardinality is tiny vs rows, so the shuffle
+    # carries only group rows) — the shape a 100 TB release audit needs:
+    # never materialize per-row risk, only per-group counters.
+    "WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz, "
+    "  COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' "
+    "    WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END) AS l "
+    "  FROM customer GROUP BY c_nationkey, c_mktsegment) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, "
+    "CAST(MIN(sz) AS BIGINT) AS k_anonymity, "
+    "CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS groups_below_5, "
+    "CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) "
+    "  AS rows_at_risk, "
+    "CAST(MIN(l) AS BIGINT) AS l_diversity "
+    "FROM g"
+)
+
+sql_query(
+    "dq_k_anonymity",
+    _K_ANON_SQL,
+    tables=("customer",),
+    tags=("quality", "privacy"),
+    doc="privacy release gate: k-anonymity (min QI-group size), "
+    "suppression exposure (groups/rows under k=5) and l-diversity "
+    "(min distinct sensitive tiers per group) in one aggregate pass",
+)

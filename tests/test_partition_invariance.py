@@ -33,6 +33,12 @@ SAMPLE = [
     "datasheet_merkle_root",
     "layout_compaction_plan",
     "mm_audio_flac_stereo",
+    # r14 session 2: the epoch permutation's window tie-break is the
+    # canonical ordering risk; the two new codec paths ride mapInPandas
+    # over repartitioned inputs, so partition count must not leak
+    "pipeline_epoch_shuffle",
+    "mm_audio_adpcm",
+    "mm_image_gif",
 ]
 
 
