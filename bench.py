@@ -152,6 +152,10 @@ HEADLINE = [
     "mm_audio_adpcm",
     "mm_image_gif",
     "pipeline_epoch_shuffle",
+    # r14 session 2b: the compressed-video (animated GIF) frame-sample
+    # path and the crawl-frontier URL canonicalization pass
+    "mm_video_gif_anim",
+    "dedup_url_canonical",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry

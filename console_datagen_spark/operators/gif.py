@@ -246,3 +246,112 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, np.ndarray]:
         else:
             raise ValueError(f"unexpected GIF block {block:#x}")
     raise ValueError("GIF stream ended without an image descriptor")
+
+
+# ---- animated GIF (multi-frame streams; the video-tier entry point) -------
+
+
+def encode_gif_anim(
+    frames: np.ndarray, palette: np.ndarray, delay_cs: int = 4
+) -> bytes:
+    """Frame stack [n, h, w] (uint8 indices) + palette -> animated GIF89a.
+
+    Real-world shape: NETSCAPE2.0 loop extension, a graphic-control
+    extension (delay, no disposal) before every frame, one image
+    descriptor + LZW stream per frame. All frames are full-canvas (no
+    partial-frame compositing — decode rejects that loudly)."""
+    stack = np.asarray(frames)
+    if stack.ndim != 3 or stack.shape[0] < 1:
+        raise ValueError(f"encode_gif_anim needs [n, h, w], got {stack.shape}")
+    pal = np.asarray(palette)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 2 <= pal.shape[0] <= 256:
+        raise ValueError(f"palette must be [2..256, 3], got {pal.shape}")
+    if int(stack.max()) >= pal.shape[0]:
+        raise ValueError("index out of palette range")
+    n, h, w = stack.shape
+    gct_bits = max(1, int(pal.shape[0] - 1).bit_length())
+    gct_n = 1 << gct_bits
+    full_pal = np.zeros((gct_n, 3), dtype=np.uint8)
+    full_pal[: pal.shape[0]] = pal
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (7 << 4) | (gct_bits - 1), 0, 0)
+    out += full_pal.tobytes()
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code_size = max(2, gct_bits)
+    for f in range(n):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        coded = _lzw_encode(stack[f].astype(np.uint8).tobytes(), min_code_size)
+        out += bytes([min_code_size])
+        out += b"".join(
+            bytes([min(255, len(coded) - o)]) + coded[o : o + 255]
+            for o in range(0, len(coded), 255)
+        )
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(content: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Animated GIF bytes -> (rgb frame stack [n, h, w, 3], palette).
+
+    Every frame must be full-canvas and non-interlaced (partial-frame
+    compositing/disposal is rejected loudly — this decoder feeds exact
+    per-frame analytics, not a renderer). Extensions are skipped."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad magic)")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table is unsupported")
+    gct_n = 2 << (flags & 0x07)
+    pos = 13
+    palette = np.frombuffer(content[pos : pos + 3 * gct_n], dtype=np.uint8)
+    palette = palette.reshape(gct_n, 3).copy()
+    pos += 3 * gct_n
+    frames: list[np.ndarray] = []
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x21:
+            pos += 2
+            while content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", content[pos + 1 : pos + 10]
+            )
+            if (left, top, w, h) != (0, 0, sw, sh):
+                raise ValueError(
+                    "partial-canvas frames (disposal compositing) are "
+                    "unsupported"
+                )
+            if iflags & 0xC0:
+                raise ValueError(
+                    "local color tables / interlace unsupported in "
+                    "animation frames"
+                )
+            pos += 10
+            min_code_size = content[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 8:
+                raise ValueError(f"bad LZW min code size {min_code_size}")
+            coded = bytearray()
+            while content[pos]:
+                ln = content[pos]
+                coded += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            raw = _lzw_decode(bytes(coded), min_code_size, w * h)
+            idx = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+            if int(idx.max()) >= gct_n:
+                raise ValueError("pixel index beyond global color table")
+            frames.append(palette[idx])
+        elif block == 0x3B:
+            if not frames:
+                raise ValueError("GIF stream ended without an image")
+            return np.stack(frames), palette
+        else:
+            raise ValueError(f"unexpected GIF block {block:#x}")
+    raise ValueError("GIF stream ended without a trailer")

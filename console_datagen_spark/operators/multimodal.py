@@ -1380,3 +1380,113 @@ def gif_luma_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=GIF_STATS_SCHEMA)
+
+
+# ---- animated GIF (r14: LZW video-tier path — frame-sampled analytics) ----
+
+GIF_ANIM_SCHEMA = (
+    "doc_id BIGINT, n_frames INT, kept_frames INT, width INT, height INT, "
+    "luma_sum BIGINT, luma_posw BIGINT, luma_min INT, luma_max INT, "
+    "roundtrip_ok INT"
+)
+
+
+def synth_gif_anim_media(
+    documents: DataFrame, n_frames: int = 8, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Attach a VALID animated GIF89a per doc (NETSCAPE loop extension,
+    per-frame graphic-control blocks): frame k's palette indices are
+    chain bytes [k*w*h, (k+1)*w*h) under the permutation gray palette —
+    the LZW twin of the Y4M raw-video path."""
+    from .gif import encode_gif_anim
+
+    pal = np.array(
+        [[(i * _GIF_PAL_MUL + _GIF_PAL_ADD) % 256] * 3 for i in range(256)],
+        dtype=np.uint8,
+    )
+    raw = synth_media(documents, "video", n_bytes=n_frames * width * height)
+
+    def _to_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                encode_gif_anim(
+                    np.frombuffer(bytes(c), dtype=np.uint8).reshape(
+                        n_frames, height, width
+                    ),
+                    pal,
+                )
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "fmt": "gif",
+                    "n_bytes": [len(c) for c in content],
+                    "content": content,
+                }
+            )
+
+    return raw.mapInPandas(_to_gif, schema=MEDIA_SCHEMA)
+
+
+def gif_anim_frame_stats(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame-sampled animated-GIF analytics, one Arrow pass: decode ALL
+    frames (per-frame LZW streams, extension skips, full-canvas check),
+    keep every ``stride``-th, and emit exact luma stats over the kept
+    frames. luma_posw weights each pixel by its ORIGINAL position in the
+    full frame stack (frame k pixel j -> k*w*h + j), so both frame
+    selection and in-frame pixel order are inside the hash. roundtrip_ok
+    re-encodes the kept stack and re-decodes it."""
+    from .gif import decode_gif_frames, encode_gif_anim
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                frames, pal = decode_gif_frames(bytes(content))
+                n, h, w, _ = frames.shape
+                kept = frames[::stride]
+                luma = kept[:, :, :, 0].astype(np.int64)
+                k_idx = np.arange(0, n, stride, dtype=np.int64)
+                pos = (
+                    k_idx[:, None] * (h * w)
+                    + np.arange(h * w, dtype=np.int64)[None, :]
+                )
+                flat = luma.reshape(len(k_idx), h * w)
+                inv = np.zeros(256, dtype=np.uint8)
+                inv[pal[:, 0]] = np.arange(256, dtype=np.uint8)
+                rt, _ = decode_gif_frames(
+                    encode_gif_anim(inv[kept[:, :, :, 0]], pal)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        n,
+                        len(k_idx),
+                        w,
+                        h,
+                        int(flat.sum()),
+                        int((pos * flat).sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                        int(np.array_equal(rt, kept)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "kept_frames",
+                    "width",
+                    "height",
+                    "luma_sum",
+                    "luma_posw",
+                    "luma_min",
+                    "luma_max",
+                    "roundtrip_ok",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=GIF_ANIM_SCHEMA)

@@ -993,6 +993,56 @@ df_query(
 )
 
 
+def _mm_video_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synth_gif_anim_media(docs, n_frames=8, width=8, height=8)
+    return M.gif_anim_frame_stats(media, stride=2).orderBy("doc_id")
+
+
+df_query(
+    "mm_video_gif_anim",
+    _mm_video_gif_anim,
+    oracle=(
+        # Full SQL replay of the COMPRESSED video path (the Y4M query's
+        # LZW twin): each doc's animated GIF wraps 8 mono 8x8 frames
+        # whose indices are the md5-chain bytes (512 bytes = 32 blocks)
+        # under the permutation gray palette luma = (b*7+13) % 256;
+        # frame k covers positions [64k, 64(k+1)), stride-2 keeps even
+        # k. LZW is lossless, so the oracle computes the kept frames'
+        # position-weighted luma stats straight from the chain —
+        # certifying per-frame LZW decode, the multi-image block walk
+        # (GCE + NETSCAPE extensions skipped), palette lookup AND frame
+        # selection; roundtrip_ok pins the kept-stack re-encode.
+        "WITH m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 1024) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 31) AS t(i) "
+        "  GROUP BY doc_id), "
+        "px AS (SELECT doc_id, p, "
+        "  (('0x' || substr(hx, 2 * p + 1, 2))::BIGINT * 7 + 13) % 256 AS b "
+        "  FROM m, (SELECT unnest(generate_series(0, 511)) AS p) t "
+        "  WHERE (p // 64) % 2 = 0) "
+        "SELECT doc_id, CAST(8 AS INT) AS n_frames, "
+        "CAST(4 AS INT) AS kept_frames, "
+        "CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
+        "CAST(SUM(b) AS BIGINT) AS luma_sum, "
+        "CAST(SUM(p * b) AS BIGINT) AS luma_posw, "
+        "CAST(MIN(b) AS INT) AS luma_min, CAST(MAX(b) AS INT) AS luma_max, "
+        "CAST(1 AS INT) AS roundtrip_ok "
+        "FROM px GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tables=("documents",),
+    tags=("multimodal", "video", "gif", "pandas_udf"),
+    doc="REAL compressed-video path (animated GIF89a: per-frame 12-bit "
+    "LZW streams, graphic-control + NETSCAPE loop extensions, full-"
+    "canvas frame walk): md5-chain indices -> 8-frame animated encode "
+    "-> full multi-frame decode -> stride-2 frame sampling -> exact "
+    "position-weighted luma stats + kept-stack re-encode roundtrip, "
+    "certified by a SQL replay of the permutation-palette arithmetic",
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     media = M.synth_media(docs, "video", n_bytes=256)

@@ -376,3 +376,90 @@ sql_query(
     "suppression exposure (groups/rows under k=5) and l-diversity "
     "(min distinct sensitive tiers per group) in one aggregate pass",
 )
+
+
+def _url_canon_sql(dialect: str) -> str:
+    """Crawl-frontier URL canonicalization — the dedup stage that runs
+    BEFORE any content fetch in a real pipeline (a canonical-URL
+    collision skips the fetch entirely, so at crawl scale this one
+    string pass saves more compute than any content-level dedup).
+
+    Spec-correct per RFC 3986: scheme and host are case-INsensitive and
+    are lowercased; the path/query is case-sensitive and is preserved.
+    Also unified: http->https, `www.` strip, default-port strip
+    (:80/:443), fragment strip, utm_* tracking-param removal with
+    separator repair, and trailing-slash normalization. Deterministic
+    messy URLs are synthesized per doc (case noise, optional www/port/
+    params/fragment), so the oracle certifies every rule: a wrong or
+    missing rewrite changes the collision histogram.
+
+    Dialect traps pinned here: DuckDB regexp_replace is FIRST-match
+    without the 'g' flag (Spark is always global), replacement group
+    syntax is $1 vs \\1, and backslash escaping differs in string
+    literals — the `rr` helper owns all three."""
+    spark = dialect == "spark"
+    s = "STRING" if spark else "VARCHAR"
+    g1 = "$1" if spark else "\\1"
+    bs = "\\\\" if spark else "\\"
+
+    def rr(expr: str, pat: str, rep: str) -> str:
+        if spark:
+            return f"regexp_replace({expr}, '{pat}', '{rep}')"
+        return f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+
+    raw = (
+        "concat('HTTP', CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END, "
+        "'://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END, "
+        f"'Site', CAST(doc_id % 5 AS {s}), '.Example.COM', "
+        "CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 2 THEN ':80' "
+        "ELSE '' END, "
+        f"'/Docs/', CAST(doc_id % 10 AS {s}), "
+        "CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END, "
+        "CASE WHEN doc_id % 3 = 1 THEN "
+        f"concat('?utm_source=feed&utm_id=', CAST(doc_id % 4 AS {s}), "
+        f"'&id=', CAST(doc_id % 10 AS {s})) "
+        "WHEN doc_id % 3 = 2 THEN "
+        f"concat('?id=', CAST(doc_id % 10 AS {s})) ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 4 THEN '#Frag' ELSE '' END)"
+    )
+    sh0 = "regexp_extract(u, '^[A-Za-z]+://[^/?#]*', 0)"
+    sh_canon = rr(
+        rr(rr(f"lower({sh0})", "^http://", "https://"),
+           f"^(https://)www{bs}.", g1),
+        ":(443|80)$",
+        "",
+    )
+    r = f"substr(u, length({sh0}) + 1)"
+    r = rr(r, "#.*", "")  # fragment
+    r = rr(r, "utm_[a-z]+=[^&#]*", "")  # tracking params
+    r = rr(r, "&&+", "&")  # doubled separators left by removal
+    r = rr(r, f"{bs}?&", "?")  # leading param was removed
+    r = rr(r, "[?&]+$", "")  # dangling separators
+    r = rr(r, f"/{bs}?", "?")  # path trailing slash before query
+    rest_canon = rr(r, "/$", "")  # path trailing slash at end
+    return (
+        f"WITH urls AS (SELECT doc_id, {raw} AS u FROM documents), "
+        f"canon AS (SELECT doc_id, u, concat({sh_canon}, {rest_canon}) AS cu "
+        "FROM urls), "
+        "grp AS (SELECT cu, COUNT(*) AS n_variants, "
+        "COUNT(DISTINCT u) AS n_distinct_raw, MIN(doc_id) AS keeper "
+        "FROM canon GROUP BY cu) "
+        "SELECT CAST(n_variants AS INT) AS variants_per_canonical, "
+        "CAST(COUNT(*) AS BIGINT) AS n_canonicals, "
+        "CAST(SUM(n_distinct_raw) AS BIGINT) AS raw_urls, "
+        "CAST(SUM(keeper) AS BIGINT) AS keeper_sum "
+        "FROM grp GROUP BY n_variants ORDER BY variants_per_canonical"
+    )
+
+
+sql_query(
+    "dedup_url_canonical",
+    _url_canon_sql("spark"),
+    oracle=_url_canon_sql("duck"),
+    tables=("documents",),
+    tags=("dedup", "pipeline", "crawl"),
+    doc="crawl-frontier URL canonicalization (RFC 3986 case rules, "
+    "http->https, www/default-port/fragment/utm strip, separator "
+    "repair, trailing-slash normalization) with a collision histogram "
+    "certifying every rewrite rule",
+)

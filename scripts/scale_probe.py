@@ -128,6 +128,12 @@ REGISTRY_QUERIES = [
     "pipeline_dsir_select",
     "sim_power_direction",
     "pipeline_select_compose",
+    # r14 session 2: the two new codec paths (pure mapInPandas — the
+    # gate pins that the Arrow kernel tier really is shuffle-free and
+    # linear) and the epoch permutation (one exchange + per-shard sort)
+    "mm_audio_adpcm",
+    "mm_image_gif",
+    "pipeline_epoch_shuffle",
 ]
 
 # containment probe df cap: the boilerplate family's shingles have

@@ -136,3 +136,53 @@ def test_rejects_bad_streams():
         encode_gif(idx, np.zeros((300, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="index out of palette"):
         encode_gif(np.full((2, 2), 5, dtype=np.uint8), pal)
+
+
+def test_anim_roundtrip_and_frame_count():
+    from console_datagen_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    rng = np.random.default_rng(4)
+    stack = rng.integers(0, 256, size=(5, 8, 8)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    frames, got_pal = decode_gif_frames(encode_gif_anim(stack, pal))
+    assert frames.shape == (5, 8, 8, 3)
+    assert np.array_equal(frames, pal[stack])
+    assert np.array_equal(got_pal, pal)
+
+
+def test_anim_rejects_partial_frames_and_single_image_api():
+    from console_datagen_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    stack = np.zeros((2, 4, 4), dtype=np.uint8)
+    content = bytearray(encode_gif_anim(stack, pal))
+    # shrink the second frame's width in its descriptor -> partial canvas
+    second = content.index(b"\x2c", content.index(b"\x2c") + 1)
+    content[second + 5] = 2
+    content[second + 6] = 0
+    with pytest.raises(ValueError, match="partial-canvas"):
+        decode_gif_frames(bytes(content))
+    # the single-image decoder refuses multi-image streams (no silent
+    # first-frame-only reads of an animation)
+    with pytest.raises(ValueError, match="trailer"):
+        decode_gif(encode_gif_anim(stack, pal))
+
+
+def test_anim_single_frame_equals_still():
+    from console_datagen_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, 256, size=(1, 8, 8)).astype(np.uint8)
+    pal = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+    frames, _ = decode_gif_frames(encode_gif_anim(idx, pal))
+    still, _ = decode_gif(encode_gif(idx[0], pal))
+    assert np.array_equal(frames[0], still)
