@@ -177,6 +177,8 @@ def decode_ima_adpcm(content: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + ln + (ln & 1)
     if fmt_body is None or data is None:
         raise ValueError("WAV stream missing fmt/data chunk")
+    if len(fmt_body) < 16:
+        raise ValueError(f"truncated fmt chunk ({len(fmt_body)} bytes)")
     tag, n_ch, rate, _, block_align, bits = struct.unpack(
         "<HHIIHH", fmt_body[:16]
     )

@@ -155,17 +155,47 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
     return bytes(out)
 
 
+def _skip_extension(content: bytes, pos: int) -> int:
+    """Skip a 0x21 extension block (label + length-prefixed sub-blocks),
+    bounds-checked so a truncated external stream raises loudly instead
+    of IndexError."""
+    pos += 2
+    while True:
+        if pos >= len(content):
+            raise ValueError("truncated GIF extension block")
+        ln = content[pos]
+        if ln == 0:
+            return pos + 1
+        pos += 1 + ln
+
+
+def _read_subblocks(content: bytes, pos: int) -> tuple[bytes, int]:
+    """Collect length-prefixed data sub-blocks up to the 0 terminator,
+    bounds-checked."""
+    coded = bytearray()
+    while True:
+        if pos >= len(content):
+            raise ValueError("truncated GIF data sub-blocks")
+        ln = content[pos]
+        if ln == 0:
+            return bytes(coded), pos + 1
+        if pos + 1 + ln > len(content):
+            raise ValueError("truncated GIF data sub-blocks")
+        coded += content[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+
+
 def encode_gif(
     indices: np.ndarray, palette: np.ndarray, interlace: bool = False
 ) -> bytes:
     """Index raster [h, w] (uint8) + palette [n, 3] -> GIF89a bytes."""
     idx = np.asarray(indices)
     pal = np.asarray(palette)
-    if idx.ndim != 2:
+    if idx.ndim != 2 or idx.size == 0:
         raise ValueError(f"encode_gif needs [h, w] indices, got {idx.shape}")
     if pal.ndim != 2 or pal.shape[1] != 3 or not 2 <= pal.shape[0] <= 256:
         raise ValueError(f"palette must be [2..256, 3], got {pal.shape}")
-    if int(idx.max()) >= pal.shape[0]:
+    if int(idx.max()) >= pal.shape[0] or int(idx.min()) < 0:
         raise ValueError("index out of palette range")
     h, w = idx.shape
     gct_bits = max(1, int(pal.shape[0] - 1).bit_length())
@@ -211,11 +241,10 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, np.ndarray]:
     while pos < len(content):
         block = content[pos]
         if block == 0x21:  # extension: label + sub-blocks, skipped
-            pos += 2
-            while content[pos]:
-                pos += 1 + content[pos]
-            pos += 1
+            pos = _skip_extension(content, pos)
         elif block == 0x2C:
+            if pos + 10 > len(content):
+                raise ValueError("truncated GIF image descriptor")
             left, top, w, h, iflags = struct.unpack(
                 "<HHHHB", content[pos + 1 : pos + 10]
             )
@@ -226,12 +255,7 @@ def decode_gif(content: bytes) -> tuple[np.ndarray, np.ndarray]:
             pos += 1
             if not 2 <= min_code_size <= 8:
                 raise ValueError(f"bad LZW min code size {min_code_size}")
-            coded = bytearray()
-            while content[pos]:
-                ln = content[pos]
-                coded += content[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
+            coded, pos = _read_subblocks(content, pos)
             if content[pos : pos + 1] != b"\x3b":
                 raise ValueError("missing GIF trailer after image data")
             raw = _lzw_decode(bytes(coded), min_code_size, w * h)
@@ -261,12 +285,12 @@ def encode_gif_anim(
     descriptor + LZW stream per frame. All frames are full-canvas (no
     partial-frame compositing — decode rejects that loudly)."""
     stack = np.asarray(frames)
-    if stack.ndim != 3 or stack.shape[0] < 1:
+    if stack.ndim != 3 or stack.size == 0:
         raise ValueError(f"encode_gif_anim needs [n, h, w], got {stack.shape}")
     pal = np.asarray(palette)
     if pal.ndim != 2 or pal.shape[1] != 3 or not 2 <= pal.shape[0] <= 256:
         raise ValueError(f"palette must be [2..256, 3], got {pal.shape}")
-    if int(stack.max()) >= pal.shape[0]:
+    if int(stack.max()) >= pal.shape[0] or int(stack.min()) < 0:
         raise ValueError("index out of palette range")
     n, h, w = stack.shape
     gct_bits = max(1, int(pal.shape[0] - 1).bit_length())
@@ -314,11 +338,10 @@ def decode_gif_frames(content: bytes) -> tuple[np.ndarray, np.ndarray]:
     while pos < len(content):
         block = content[pos]
         if block == 0x21:
-            pos += 2
-            while content[pos]:
-                pos += 1 + content[pos]
-            pos += 1
+            pos = _skip_extension(content, pos)
         elif block == 0x2C:
+            if pos + 10 > len(content):
+                raise ValueError("truncated GIF image descriptor")
             left, top, w, h, iflags = struct.unpack(
                 "<HHHHB", content[pos + 1 : pos + 10]
             )
@@ -337,13 +360,8 @@ def decode_gif_frames(content: bytes) -> tuple[np.ndarray, np.ndarray]:
             pos += 1
             if not 2 <= min_code_size <= 8:
                 raise ValueError(f"bad LZW min code size {min_code_size}")
-            coded = bytearray()
-            while content[pos]:
-                ln = content[pos]
-                coded += content[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
-            raw = _lzw_decode(bytes(coded), min_code_size, w * h)
+            coded, pos = _read_subblocks(content, pos)
+            raw = _lzw_decode(coded, min_code_size, w * h)
             idx = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
             if int(idx.max()) >= gct_n:
                 raise ValueError("pixel index beyond global color table")

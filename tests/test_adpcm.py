@@ -164,3 +164,59 @@ def test_encoder_rejects_bad_inputs():
         encode_ima_adpcm(np.zeros(0, dtype=np.int16))
     with pytest.raises(ValueError, match="int16"):
         encode_ima_adpcm(np.array([40000]))
+
+
+def test_truncated_containers_raise_loud_valueerrors():
+    x = np.zeros(97, dtype=np.int16)
+    good = encode_ima_adpcm(x)
+    # a well-formed chunk list whose fmt body is too short for the
+    # 16-byte base header -> loud ValueError, not struct.error
+    short_fmt = (
+        b"RIFF" + (4 + 8 + 10 + 8).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (10).to_bytes(4, "little") + b"\x00" * 10
+        + b"data" + (0).to_bytes(4, "little")
+    )
+    with pytest.raises(ValueError, match="truncated fmt"):
+        decode_ima_adpcm(short_fmt)
+    # a data chunk cut mid-block-header
+    data_at = good.index(b"data")
+    with pytest.raises(ValueError, match="truncated ADPCM block"):
+        decode_ima_adpcm(
+            good[: data_at + 4]
+            + (3).to_bytes(4, "little")
+            + good[data_at + 8 : data_at + 11]
+        )
+    # derailing the chunk walk (bad declared fmt length) must still
+    # surface as a ValueError, whatever the walk concludes
+    bad = bytearray(good)
+    bad[good.index(b"fmt ") + 4] = 10
+    with pytest.raises(ValueError):
+        decode_ima_adpcm(bytes(bad))
+
+
+def test_adpcm_property_roundtrip_matches_reference():
+    """Hypothesis sweep: any int16 signal, any legal block size — the
+    codec's reconstruction must equal the independent reference walk."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.data())
+    def check(data):
+        spb = data.draw(st.sampled_from([9, 17, 97]))
+        n = data.draw(st.integers(min_value=1, max_value=3 * spb + 5))
+        x = np.array(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=-32768, max_value=32767),
+                    min_size=n,
+                    max_size=n,
+                )
+            ),
+            dtype=np.int16,
+        )
+        recon, _ = decode_ima_adpcm(
+            encode_ima_adpcm(x, samples_per_block=spb)
+        )
+        assert np.array_equal(recon, ref_reconstruction(x, spb))
+
+    check()

@@ -186,3 +186,63 @@ def test_anim_single_frame_equals_still():
     frames, _ = decode_gif_frames(encode_gif_anim(idx, pal))
     still, _ = decode_gif(encode_gif(idx[0], pal))
     assert np.array_equal(frames[0], still)
+
+
+def test_truncated_streams_raise_loud_valueerrors():
+    """External truncated files must raise ValueError with a clear
+    message, never IndexError/struct.error from a raw slice."""
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    good = encode_gif(idx, pal)
+    # cut mid-descriptor, mid-subblocks, and mid-extension
+    desc_at = good.index(b"\x2c")
+    with pytest.raises(ValueError, match="truncated GIF image descriptor"):
+        decode_gif(good[: desc_at + 4])
+    with pytest.raises(ValueError, match="truncated GIF data sub-blocks"):
+        decode_gif(good[: desc_at + 14])
+    gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    spliced = good[:desc_at] + gce
+    with pytest.raises(ValueError, match="truncated GIF extension"):
+        decode_gif(spliced[:-3])
+    with pytest.raises(ValueError, match="index out of palette"):
+        encode_gif(np.full((2, 2), -1, dtype=np.int64), pal)
+    with pytest.raises(ValueError, match="needs"):
+        encode_gif(np.zeros((0, 4), dtype=np.uint8), pal)
+
+
+def test_lzw_property_roundtrip():
+    """Hypothesis sweep over the raw LZW layer: arbitrary index streams
+    (including long runs -> KwKwK chains, and tiny alphabets -> early
+    width bumps) must round-trip for every legal min code size."""
+    from hypothesis import given, settings, strategies as st
+
+    from console_datagen_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=8),
+        st.data(),
+    )
+    def check(mcs, data):
+        n = data.draw(st.integers(min_value=1, max_value=600))
+        idx = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        )
+        assert _lzw_decode(_lzw_encode(idx, mcs), mcs, len(idx)) == idx
+
+    check()
+
+
+def test_lzw_kwkwk_run():
+    # the classic KwKwK pathology: a long single-symbol run makes the
+    # decoder receive just-assigned codes repeatedly
+    from console_datagen_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    idx = b"\x01" * 5000
+    assert _lzw_decode(_lzw_encode(idx, 2), 2, len(idx)) == idx
