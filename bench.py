@@ -156,6 +156,8 @@ HEADLINE = [
     # path and the crawl-frontier URL canonicalization pass
     "mm_video_gif_anim",
     "dedup_url_canonical",
+    # r14 session 2c: the WebDataset tar-shard build+verify loop
+    "io_tar_shards_roundtrip",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry

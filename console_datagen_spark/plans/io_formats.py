@@ -179,3 +179,93 @@ for _fmt, _codec, _doc in (
         tags=("io", "formats", _fmt, _codec, "sink", "source"),
         doc=_doc,
     )
+
+
+# ---- WebDataset tar shards (r14: the LLM training-data storage format) ----
+
+_TAR_ROW_SPARK = "concat_ws('|', CAST(doc_id AS STRING), lang, text)"
+_TAR_ROW_DUCK = "concat_ws('|', CAST(doc_id AS VARCHAR), lang, text)"
+_TAR_DOCS_PER_SHARD = 64
+
+
+def _io_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> WebDataset tar shards -> unpack -> corpus checksum.
+
+    One shard = one ``applyInPandas`` group (doc_id // 64): each task
+    builds a REAL POSIX tar (operators/tar_shards.py — stdlib tarfile,
+    pinned metadata so shards are content-addressable), a second Arrow
+    kernel re-opens every shard and re-emits its samples, and the
+    checksum aggregate must equal the oracle's straight-from-parquet
+    sum — proving pack -> unpack is the identity across the member
+    naming convention, UTF-8 payloads and the sidecar metadata member.
+    At 100 TB this is the exact write path a multimodal training-data
+    build runs: shards are embarrassingly parallel, sequential-read
+    friendly, and the checksum algebra re-sums across shards."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.tar_shards import pack_shard, unpack_shard
+
+    docs = register_views(spark, sf_dir, DOCS)["documents"].select(
+        "doc_id", "text", "lang"
+    )
+    sharded = docs.withColumn(
+        "shard", F.floor(F.col("doc_id") / _TAR_DOCS_PER_SHARD)
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        content = pack_shard(
+            [
+                (int(d), str(t), str(lg))
+                for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+            ]
+        )
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "content": [content]}
+        )
+
+    shards = sharded.groupBy("shard").applyInPandas(
+        _pack, schema="shard BIGINT, content BINARY"
+    )
+
+    def _unpack(batches):
+        for pdf in batches:
+            out_d, out_t, out_l = [], [], []
+            for content in pdf["content"]:
+                for doc_id, text, lang in unpack_shard(bytes(content)):
+                    out_d.append(doc_id)
+                    out_t.append(text)
+                    out_l.append(lang)
+            yield pd.DataFrame(
+                {"doc_id": out_d, "text": out_t, "lang": out_l}
+            )
+
+    rt = shards.mapInPandas(
+        _unpack, schema="doc_id BIGINT, text STRING, lang STRING"
+    )
+    rt.createOrReplaceTempView("tar_rt")
+    return spark.sql(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(CAST(conv(substr(md5({_TAR_ROW_SPARK}), 1, 15), 16, 10) "
+        "AS BIGINT) % 1000000007) AS BIGINT) AS content_sum "
+        "FROM tar_rt GROUP BY lang ORDER BY lang"
+    )
+
+
+df_query(
+    "io_tar_shards_roundtrip",
+    _io_tar_shards,
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(('0x' || substr(md5({_TAR_ROW_DUCK}), 1, 15))::BIGINT "
+        "% 1000000007) AS BIGINT) AS content_sum "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    tables=DOCS,
+    tags=("io", "formats", "tar", "webdataset", "pandas_udf"),
+    doc="WebDataset-style tar shards (stdlib tarfile, pinned metadata "
+    "=> content-addressable bytes): pack one shard per applyInPandas "
+    "group -> re-open and re-emit every sample -> order-free corpus "
+    "checksum equals the oracle's straight-from-parquet sum; the "
+    "storage format multimodal training runs actually read",
+)
