@@ -156,8 +156,11 @@ HEADLINE = [
     # path and the crawl-frontier URL canonicalization pass
     "mm_video_gif_anim",
     "dedup_url_canonical",
-    # r14 session 2c: the WebDataset tar-shard build+verify loop
+    # r14 session 2c: the WebDataset tar-shard build+verify loop, and
+    # the JVM-HOF ADPCM twin benched NEXT TO its mapInPandas spelling so
+    # the Python-vs-Catalyst cost of the same recursion is a tracked pair
     "io_tar_shards_roundtrip",
+    "mm_audio_adpcm_jvm",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry

@@ -852,7 +852,7 @@ def _mm_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.adpcm_reconstruction_stats(media).orderBy("doc_id")
 
 
-def _mm_audio_adpcm_oracle() -> str:
+def _mm_audio_adpcm_oracle(with_bytes: bool = True) -> str:
     """Recursive-CTE replay of the IMA-ADPCM encoder+decoder recursion.
 
     The payload is LOSSY, yet the whole encode->decode chain replays in
@@ -920,11 +920,100 @@ def _mm_audio_adpcm_oracle() -> str:
         "  FROM dec d "
         "  JOIN smp n ON n.doc_id = d.doc_id AND n.i = d.i + 1 "
         "  JOIN steps st ON st.sidx = d.sidx) "
-        f"SELECT doc_id, CAST({n_bytes} AS INT) AS n_bytes, "
-        f"CAST(16000 AS INT) AS rate, CAST({_ADPCM_N} AS INT) AS n_samples, "
+        "SELECT doc_id, "
+        + (f"CAST({n_bytes} AS INT) AS n_bytes, " if with_bytes else "")
+        + f"CAST(16000 AS INT) AS rate, CAST({_ADPCM_N} AS INT) AS n_samples, "
         "sumsq, CAST(mn AS INT) AS min_s, CAST(mx AS INT) AS max_s "
         f"FROM dec WHERE i = {_ADPCM_N - 1} ORDER BY doc_id"
     )
+
+
+def _mm_audio_adpcm_jvm_sql() -> str:
+    """The ADPCM recursion as a pure Spark SQL ``aggregate`` higher-order
+    function — zero Python workers, zero Arrow transfer. The same
+    194-step state walk the codec runs in numpy (and the oracle replays
+    as a recursive CTE) is folded JVM-side over the per-doc sample array
+    with a struct accumulator; the step table rides along as a 1-row
+    broadcast array column so the lambda's 89-entry lookups stay short.
+    Together the three spellings triangulate the recursion across three
+    execution engines. Dialect/type trap pinned here: Spark's DIV always
+    returns BIGINT, so the new predictor must be CAST back to INT or the
+    CASE branches' struct types diverge and analysis fails."""
+    from ..operators.adpcm import STEP_TABLE
+
+    steps = ",".join(str(s) for s in STEP_TABLE)
+    n_md5 = (2 * _ADPCM_N + 15) // 16
+    hexlen = 4 * _ADPCM_N
+    s_ = "element_at(st, a.idx + 1)"
+    ad = "ABS(x - a.pred)"
+    s4 = f"IF({ad} >= {s_}, 1, 0)"
+    r4 = f"({ad} - {s4} * {s_})"
+    s2 = f"IF({r4} >= {s_} DIV 2, 1, 0)"
+    r2 = f"({r4} - {s2} * ({s_} DIV 2))"
+    s1 = f"IF({r2} >= {s_} DIV 4, 1, 0)"
+    delta = (
+        f"({s_} DIV 8 + {s4} * {s_} + {s2} * ({s_} DIV 2) "
+        f"+ {s1} * ({s_} DIV 4))"
+    )
+    pred2 = (
+        "CAST(GREATEST(-32768, LEAST(32767, "
+        f"a.pred + IF(x < a.pred, -{delta}, {delta}))) AS INT)"
+    )
+    idx2 = (
+        f"GREATEST(0, LEAST(88, a.idx + element_at("
+        f"array(-1,-1,-1,-1,2,4,6,8), {s4} * 4 + {s2} * 2 + {s1} + 1)))"
+    )
+    step_struct = (
+        f"named_struct('pred', {pred2}, 'idx', {idx2}, 'n', a.n + 1, "
+        f"'sumsq', a.sumsq + CAST({pred2} AS BIGINT) * {pred2}, "
+        f"'mn', LEAST(a.mn, {pred2}), 'mx', GREATEST(a.mx, {pred2}))"
+    )
+    header_struct = (
+        "named_struct('pred', x, 'idx', a.idx, 'n', a.n + 1, "
+        "'sumsq', a.sumsq + CAST(x AS BIGINT) * x, "
+        "'mn', LEAST(a.mn, x), 'mx', GREATEST(a.mx, x))"
+    )
+    return (
+        "WITH m AS (SELECT doc_id, "
+        f"substr(concat_ws('', transform(sequence(0, {n_md5 - 1}), "
+        "i -> md5(concat(CAST(doc_id AS STRING), ':', "
+        f"CAST(i AS STRING))))), 1, {hexlen}) AS hx FROM documents), "
+        f"sm AS (SELECT doc_id, transform(sequence(0, {_ADPCM_N - 1}), i -> "
+        "CAST((CAST(conv(substr(hx, 4 * i + 1, 2), 16, 10) AS BIGINT) "
+        "+ 256 * CAST(conv(substr(hx, 4 * i + 3, 2), 16, 10) AS BIGINT) "
+        "+ 32768) % 65536 - 32768 AS INT)) AS s FROM m), "
+        "w AS (SELECT doc_id, aggregate("
+        f"slice(s, 2, {_ADPCM_N - 1}), "
+        "named_struct('pred', element_at(s, 1), 'idx', 0, 'n', 1, "
+        "'sumsq', CAST(element_at(s, 1) AS BIGINT) * element_at(s, 1), "
+        "'mn', element_at(s, 1), 'mx', element_at(s, 1)), "
+        f"(a, x) -> CASE WHEN a.n % {_ADPCM_BLOCK} = 0 "
+        f"THEN {header_struct} ELSE {step_struct} END) AS agg "
+        f"FROM sm CROSS JOIN (SELECT array({steps}) AS st)) "
+        "SELECT doc_id, CAST(16000 AS INT) AS rate, "
+        f"CAST({_ADPCM_N} AS INT) AS n_samples, agg.sumsq AS sumsq, "
+        "agg.mn AS min_s, agg.mx AS max_s FROM w ORDER BY doc_id"
+    )
+
+
+def _mm_audio_adpcm_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_mm_audio_adpcm_jvm_sql())
+
+
+df_query(
+    "mm_audio_adpcm_jvm",
+    _mm_audio_adpcm_jvm,
+    oracle=_mm_audio_adpcm_oracle(with_bytes=False),
+    tables=("documents",),
+    tags=("multimodal", "audio", "adpcm", "hof", "jvm"),
+    doc="the ADPCM encode->decode recursion as a pure JVM aggregate "
+    "higher-order function (struct accumulator over the per-doc sample "
+    "array, broadcast step-table column, no Python/Arrow) -- the 'stay "
+    "JVM-side' twin of mm_audio_adpcm; three engines (numpy codec, "
+    "Catalyst HOF, DuckDB recursive CTE) triangulate the same 194-step "
+    "integer state walk",
+)
 
 
 df_query(
