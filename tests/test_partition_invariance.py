@@ -39,6 +39,10 @@ SAMPLE = [
     "pipeline_epoch_shuffle",
     "mm_audio_adpcm",
     "mm_image_gif",
+    # r14 session 2c: shard grouping (applyInPandas) and multi-frame
+    # explode shapes must not leak partition count either
+    "io_tar_shards_roundtrip",
+    "mm_video_gif_anim",
 ]
 
 
