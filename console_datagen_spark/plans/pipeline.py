@@ -364,7 +364,9 @@ _K_ANON_SQL = (
     "CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) "
     "  AS rows_at_risk, "
     "CAST(MIN(l) AS BIGINT) AS l_diversity "
-    "FROM g"
+    # single-row global aggregate; the ORDER BY is vacuous but keeps the
+    # static total-order guard (test_every_query_has_total_order) simple
+    "FROM g ORDER BY n_groups"
 )
 
 sql_query(
