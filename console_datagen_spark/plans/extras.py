@@ -938,35 +938,72 @@ def _mm_audio_adpcm_jvm_sql() -> str:
     Together the three spellings triangulate the recursion across three
     execution engines. Dialect/type trap pinned here: Spark's DIV always
     returns BIGINT, so the new predictor must be CAST back to INT or the
-    CASE branches' struct types diverge and analysis fails."""
+    CASE branches' struct types diverge and analysis fails.
+
+    Performance shape (r14): HOF lambdas are evaluated OUTSIDE
+    whole-stage codegen, so a textually substituted lambda pays for
+    every repeated subexpression — the first spelling inlined ``pred2``
+    five times (each carrying ``delta`` twice, each ``delta`` nesting
+    the s4/s2/s1 successive-approximation chain), an ~600-node
+    interpreted tree per sample, 42 s for 5k docs x 194 steps on ONE
+    task. Spark SQL has no ``let``, but a unit ``transform`` —
+    ``element_at(transform(array(e), v -> body), 1)`` — binds ``e``
+    once and inner lambdas close over outer lambda variables, so the
+    chain st -> s4 -> s2 -> s1 -> delta -> p2 evaluates each value
+    exactly once per step (~40 nodes). With the same
+    defaultParallelism repartition the Arrow twin uses (the sf0.1
+    parquet is one file = one task otherwise), 42 s -> sub-second."""
     from ..operators.adpcm import STEP_TABLE
 
     steps = ",".join(str(s) for s in STEP_TABLE)
     n_md5 = (2 * _ADPCM_N + 15) // 16
     hexlen = 4 * _ADPCM_N
-    s_ = "element_at(st, a.idx + 1)"
-    ad = "ABS(x - a.pred)"
-    s4 = f"IF({ad} >= {s_}, 1, 0)"
-    r4 = f"({ad} - {s4} * {s_})"
-    s2 = f"IF({r4} >= {s_} DIV 2, 1, 0)"
-    r2 = f"({r4} - {s2} * ({s_} DIV 2))"
-    s1 = f"IF({r2} >= {s_} DIV 4, 1, 0)"
-    delta = (
-        f"({s_} DIV 8 + {s4} * {s_} + {s2} * ({s_} DIV 2) "
-        f"+ {s1} * ({s_} DIV 4))"
-    )
-    pred2 = (
-        "CAST(GREATEST(-32768, LEAST(32767, "
-        f"a.pred + IF(x < a.pred, -{delta}, {delta}))) AS INT)"
-    )
+
+    def let(expr: str, var: str, body: str) -> str:
+        return f"element_at(transform(array({expr}), {var} -> {body}), 1)"
+
     idx2 = (
-        f"GREATEST(0, LEAST(88, a.idx + element_at("
-        f"array(-1,-1,-1,-1,2,4,6,8), {s4} * 4 + {s2} * 2 + {s1} + 1)))"
+        "GREATEST(0, LEAST(88, a.idx + element_at("
+        "array(-1,-1,-1,-1,2,4,6,8), t2.s4 * 4 + t4 * 2 + t5.s1 + 1)))"
     )
-    step_struct = (
-        f"named_struct('pred', {pred2}, 'idx', {idx2}, 'n', a.n + 1, "
-        f"'sumsq', a.sumsq + CAST({pred2} AS BIGINT) * {pred2}, "
-        f"'mn', LEAST(a.mn, {pred2}), 'mx', GREATEST(a.mx, {pred2}))"
+    inner = (
+        f"named_struct('pred', p2, 'idx', {idx2}, 'n', a.n + 1, "
+        "'sumsq', a.sumsq + CAST(p2 AS BIGINT) * p2, "
+        "'mn', LEAST(a.mn, p2), 'mx', GREATEST(a.mx, p2))"
+    )
+    # Bind the successive-approximation chain innermost-out: each layer
+    # computes one value from already-bound ones, so nothing is ever
+    # re-evaluated. t1 = (step, |x-pred|); t2 adds the 1/2/4-bit
+    # thresholds and s4; t3 = r4; t4 = s2; t5 = (s1, delta); p2 = the
+    # clamped reconstruction the struct uses five times.
+    p2_expr = (
+        "CAST(GREATEST(-32768, LEAST(32767, "
+        "a.pred + IF(x < a.pred, -t5.delta, t5.delta))) AS INT)"
+    )
+    t5_expr = let(
+        "IF(t3 - t4 * t2.h2 >= t2.h4, 1, 0)",
+        "s1v",
+        "named_struct('s1', s1v, 'delta', "
+        "t1.st DIV 8 + t2.s4 * t1.st + t4 * t2.h2 + s1v * t2.h4)",
+    )
+    step_struct = let(
+        "named_struct('st', element_at(st, a.idx + 1), "
+        "'ad', ABS(CAST(x AS BIGINT) - a.pred))",
+        "t1",
+        let(
+            "named_struct('s4', IF(t1.ad >= t1.st, 1, 0), "
+            "'h2', t1.st DIV 2, 'h4', t1.st DIV 4)",
+            "t2",
+            let(
+                "t1.ad - t2.s4 * t1.st",
+                "t3",
+                let(
+                    "IF(t3 >= t2.h2, 1, 0)",
+                    "t4",
+                    let(t5_expr, "t5", let(p2_expr, "p2", inner)),
+                ),
+            ),
+        ),
     )
     header_struct = (
         "named_struct('pred', x, 'idx', a.idx, 'n', a.n + 1, "
@@ -998,7 +1035,16 @@ def _mm_audio_adpcm_jvm_sql() -> str:
 
 def _mm_audio_adpcm_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("documents",))
-    return spark.sql(_mm_audio_adpcm_jvm_sql())
+    # The per-row fold is CPU-bound (194 interpreted lambda steps each);
+    # small-SF parquet is a single file = a single task without this.
+    spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("documents_adpcm_rp")
+    return spark.sql(
+        _mm_audio_adpcm_jvm_sql().replace(
+            "FROM documents)", "FROM documents_adpcm_rp)", 1
+        )
+    )
 
 
 df_query(
