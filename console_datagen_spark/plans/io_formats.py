@@ -269,3 +269,88 @@ df_query(
     "checksum equals the oracle's straight-from-parquet sum; the "
     "storage format multimodal training runs actually read",
 )
+
+
+# ---- ZIP shards (random-access counterpart to the tar path) ----------------
+
+
+def _io_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> STORED ZIP shards -> per-member directory reads ->
+    corpus checksum.
+
+    Same harness as the tar path, different access contract: ZIP's
+    central directory gives sample-addressed loaders two-ranged-read
+    random access. The unpack kernel reads every member INDIVIDUALLY
+    through the directory (operators/zip_shards.py), so the checksum
+    gate certifies every recorded member offset, not just a sequential
+    stream. Shards are STORED with pinned DOS metadata — deterministic
+    bytes (content-addressable) and exact ranged member reads."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.zip_shards import pack_zip_shard, unpack_zip_shard
+
+    docs = register_views(spark, sf_dir, DOCS)["documents"].select(
+        "doc_id", "text", "lang"
+    )
+    sharded = docs.withColumn(
+        "shard", F.floor(F.col("doc_id") / _TAR_DOCS_PER_SHARD)
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        content = pack_zip_shard(
+            [
+                (int(d), str(t), str(lg))
+                for d, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+            ]
+        )
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "content": [content]}
+        )
+
+    shards = sharded.groupBy("shard").applyInPandas(
+        _pack, schema="shard BIGINT, content BINARY"
+    )
+
+    def _unpack(batches):
+        for pdf in batches:
+            out_d, out_t, out_l = [], [], []
+            for content in pdf["content"]:
+                for doc_id, text, lang in unpack_zip_shard(bytes(content)):
+                    out_d.append(doc_id)
+                    out_t.append(text)
+                    out_l.append(lang)
+            yield pd.DataFrame(
+                {"doc_id": out_d, "text": out_t, "lang": out_l}
+            )
+
+    rt = shards.mapInPandas(
+        _unpack, schema="doc_id BIGINT, text STRING, lang STRING"
+    )
+    rt.createOrReplaceTempView("zip_rt")
+    return spark.sql(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(CAST(conv(substr(md5({_TAR_ROW_SPARK}), 1, 15), 16, 10) "
+        "AS BIGINT) % 1000000007) AS BIGINT) AS content_sum "
+        "FROM zip_rt GROUP BY lang ORDER BY lang"
+    )
+
+
+df_query(
+    "io_zip_shards_roundtrip",
+    _io_zip_shards,
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(('0x' || substr(md5({_TAR_ROW_DUCK}), 1, 15))::BIGINT "
+        "% 1000000007) AS BIGINT) AS content_sum "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    tables=DOCS,
+    tags=("io", "formats", "zip", "random-access", "pandas_udf"),
+    doc="ZIP training shards (stdlib zipfile, STORED members, pinned DOS "
+    "metadata => deterministic content-addressable bytes): pack one "
+    "shard per applyInPandas group -> re-read EVERY member via the "
+    "central-directory seek path -> order-free corpus checksum equals "
+    "the parquet oracle; the random-access shard shape dataset hubs "
+    "ship and sample-addressed loaders read",
+)

@@ -465,3 +465,73 @@ sql_query(
     "repair, trailing-slash normalization) with a collision histogram "
     "certifying every rewrite rule",
 )
+
+
+# ---- differentially-private histogram release -------------------------------
+
+# The release mechanism the k-anonymity gate above gauges exposure FOR:
+# an eps-DP discrete-Laplace (two-sided geometric) noisy count release
+# over the same (nation, market segment) quasi-identifier histogram.
+# With alpha = exp(-eps) = 1/2 (eps = ln 2, sensitivity 1: each customer
+# lands in exactly one group), the two-sided geometric pmf is
+#   P(Z=0) = 1/3,  P(Z=+-k) = (1/3) * (1/2)^k
+# and every inverse-CDF boundary is a DYADIC rational over 3, so with
+# the seeded 60-bit uniform U = md5('dp1:'||key)[:15 hex] the exact
+# integer comparisons  3U < 2^(61-k)  decide the tail depth with no
+# floats anywhere:  P(Z <= -k) = (1/3)(1/2)^(k-1)  <=>  3U < 2^(61-k),
+# so |negative tail| = #{k in 1..60 : 3U < 2^(61-k)} = max(0, 61 -
+# bitlen(3U)) — one LENGTH(bin(.)) per group, the positive side by the
+# reflection U -> 2^60-1-U (the two sides are provably exclusive:
+# both nonzero would need 3U < 2^60 AND 3U > 2^61-3). Determinism IS
+# the certification here: the seeded mechanism replays bit-identically
+# on both engines, while a production release would swap the md5 seed
+# for a fresh secret draw — the mechanism's DP guarantee is a property
+# of the distribution, which the seeded replay shares. Scale shape: one
+# hash aggregate to the group frame (tiny vs rows), then per-GROUP
+# scalar noise — no per-row work, no join, no window; the 100 TB
+# release costs exactly the histogram aggregate.
+
+_DP_U = (
+    "CAST(conv(substr(md5(concat('dp1:', CAST(c_nationkey AS STRING), "
+    "':', c_mktsegment)), 1, 15), 16, 10) AS BIGINT)"
+)
+_DP_U_DUCK = (
+    "('0x' || substr(md5('dp1:' || CAST(c_nationkey AS VARCHAR) || "
+    "':' || c_mktsegment), 1, 15))::BIGINT"
+)
+
+
+def _dp_release_sql(dialect: str) -> str:
+    u = _DP_U if dialect == "spark" else _DP_U_DUCK
+    two60 = str(1 << 60)
+    return (
+        "WITH g AS (SELECT c_nationkey, c_mktsegment, "
+        "  COUNT(*) AS n_true FROM customer "
+        "  GROUP BY c_nationkey, c_mktsegment), "
+        f"seeded AS (SELECT c_nationkey, c_mktsegment, n_true, {u} AS u "
+        "  FROM g), "
+        "noised AS (SELECT c_nationkey, c_mktsegment, n_true, "
+        "  LEAST(60, GREATEST(0, 61 - LENGTH(bin("
+        f"    3 * ({two60} - 1 - u))))) "
+        "  - LEAST(60, GREATEST(0, 61 - LENGTH(bin(3 * u)))) AS z "
+        "  FROM seeded) "
+        "SELECT CAST(c_nationkey AS INT) AS c_nationkey, c_mktsegment, "
+        "CAST(n_true AS BIGINT) AS n_true, CAST(z AS BIGINT) AS noise, "
+        "CAST(GREATEST(n_true + z, 0) AS BIGINT) AS n_released, "
+        "CAST(ABS(z) AS BIGINT) AS abs_err "
+        "FROM noised ORDER BY c_nationkey, c_mktsegment"
+    )
+
+
+sql_query(
+    "dq_dp_noisy_release",
+    _dp_release_sql("spark"),
+    oracle=_dp_release_sql("duck"),
+    tables=("customer",),
+    tags=("quality", "privacy", "dp"),
+    doc="eps-DP (eps=ln 2) discrete-Laplace noisy release of the "
+    "(nation, segment) QI histogram: seeded 60-bit uniform per group, "
+    "exact integer inverse-CDF (dyadic-over-3 boundaries decided by "
+    "3U < 2^(61-k) bit-length comparisons), clamped post-processing — "
+    "the release mechanism paired with the dq_k_anonymity exposure gate",
+)

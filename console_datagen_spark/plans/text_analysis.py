@@ -903,6 +903,117 @@ sql_query(
 )
 
 
+# ---- per-document Kneser-Ney cross-entropy (held-out) -----------------------
+
+# The measure side the CCNet tier below consumes, under the PRINCIPLED
+# estimator: fit the KN bigram model on the train hash-split, score each
+# VAL document's bigram stream, and report cross-entropy in exact
+# fixed-point milli-bits per bigram. log2 of the KN rational num/den
+# (the same single-fraction clearing as text_kneser_ney_bigrams) is
+# lg_fp(den) - lg_fp(num) via the digit-by-digit integer log
+# (functions/intlog.py) — both engines compute bit-identical values, so
+# the per-doc score AND the head/middle/tail tercile are hash-exact
+# where a float log-sum could flip a bucket boundary. Backoff
+# conventions, pinned identically on both engines: context never seen
+# in train -> one quantum of the uniform-ish floor 1/(4*Nt); seen
+# context with a zero numerator (pair unseen AND w never a continuation
+# anywhere) -> one quantum of that context's denominator 1/(4*c(v.)*Nt).
+# Scale shape: count frames are hash aggregates over train bigrams and
+# broadcast into the val scoring join; the log chain runs over the
+# DISTINCT (num, den) value frame only (counts repeat massively, so the
+# frame is far smaller than the stream); per-doc reduce is one hash
+# agg; the tercile is a window over doc-level rows. BIGINT domain:
+# num <= 4*c*Nt + 3*n1v*n1w needs c*Nt < 2^61 — per-shard counts at
+# 100 TB take the same shard-then-merge treatment as the KN top-k.
+
+
+def _kn_perplexity_sql(dialect: str) -> str:
+    from ..functions.intlog import log2_fp_ctes
+
+    if dialect == "spark":
+        idiv = "DIV"
+        toks = (
+            "SELECT doc_id, split(text, ' ') AS l, "
+            "CASE WHEN (CAST(conv(substr(md5(concat('v1:', "
+            "CAST(doc_id AS STRING))),1,15),16,10) AS BIGINT) % 1000) < 800 "
+            "THEN 'train' ELSE 'val' END AS split "
+            "FROM (SELECT /*+ REPARTITION(32) */ * FROM documents) "
+            "WHERE size(split(text, ' ')) >= 2"
+        )
+        bg = (
+            "SELECT doc_id, split, element_at(l, i) AS v, "
+            "element_at(l, i + 1) AS w "
+            "FROM (SELECT doc_id, split, l, "
+            "      explode(sequence(1, size(l) - 1)) AS i FROM toks) x"
+        )
+    else:
+        idiv = "//"
+        toks = (
+            "SELECT doc_id, string_split(text, ' ') AS l, "
+            "CASE WHEN (('0x' || substr(md5('v1:' || "
+            "CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000) < 800 "
+            "THEN 'train' ELSE 'val' END AS split "
+            "FROM documents WHERE len(string_split(text, ' ')) >= 2"
+        )
+        bg = (
+            "SELECT doc_id, split, l[i] AS v, l[i + 1] AS w "
+            "FROM (SELECT doc_id, split, l, "
+            "      unnest(generate_series(1, len(l) - 1)) AS i FROM toks) x"
+        )
+    return (
+        f"WITH toks AS ({toks}), "
+        f"bg AS ({bg}), "
+        "c2 AS (SELECT v, w, COUNT(*) AS c FROM bg "
+        "       WHERE split = 'train' GROUP BY v, w), "
+        "cv AS (SELECT v, SUM(c) AS cv, COUNT(*) AS n1v FROM c2 GROUP BY v), "
+        "cw AS (SELECT w, COUNT(*) AS n1w FROM c2 GROUP BY w), "
+        "nt AS (SELECT COUNT(*) AS nt FROM c2), "
+        "sc AS (SELECT b.doc_id, "
+        "  CASE WHEN cv.v IS NULL THEN CAST(1 AS BIGINT) "
+        "  ELSE GREATEST("
+        "    GREATEST(4 * COALESCE(c2.c, 0) - 3, 0) * nt.nt "
+        "    + 3 * cv.n1v * COALESCE(cw.n1w, 0), CAST(1 AS BIGINT)) "
+        "  END AS num, "
+        "  CASE WHEN cv.v IS NULL THEN 4 * nt.nt "
+        "  ELSE 4 * cv.cv * nt.nt END AS den "
+        "  FROM bg b "
+        "  LEFT JOIN cv ON cv.v = b.v "
+        "  LEFT JOIN c2 ON c2.v = b.v AND c2.w = b.w "
+        "  LEFT JOIN cw ON cw.w = b.w "
+        "  CROSS JOIN nt WHERE b.split = 'val'), "
+        "vals AS (SELECT num AS vv FROM sc UNION SELECT den FROM sc), "
+        + log2_fp_ctes("vals", "vv", "vv", "1", dialect, out="lg")
+        + ", doc AS (SELECT sc.doc_id, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "  SUM(ld.lg_fp - ln_.lg_fp) AS bits_fp "
+        "  FROM sc JOIN lg ld ON ld.vv = sc.den "
+        "  JOIN lg ln_ ON ln_.vv = sc.num GROUP BY sc.doc_id), "
+        "scored AS (SELECT doc_id, n_bigrams, "
+        f"  CAST((bits_fp * 1000) {idiv} (1024 * n_bigrams) AS BIGINT) "
+        "  AS ce_mbits, "
+        "  NTILE(3) OVER (ORDER BY (bits_fp * 1000) "
+        f"    {idiv} (1024 * n_bigrams), doc_id) AS tier FROM doc) "
+        "SELECT doc_id, n_bigrams, ce_mbits, "
+        "CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+        "ELSE 'tail' END AS bucket "
+        "FROM scored ORDER BY doc_id"
+    )
+
+
+sql_query(
+    "text_perplexity_kn",
+    _kn_perplexity_sql("spark"),
+    oracle=_kn_perplexity_sql("duck"),
+    tables=DOCS,
+    tags=("text", "lm", "kneser-ney", "perplexity", "quality"),
+    doc="held-out per-document cross-entropy (milli-bits/bigram) under "
+    "the train-split Kneser-Ney bigram model, log2 of the exact KN "
+    "rational via the digit-by-digit integer log — the CCNet measure "
+    "side under the principled estimator, with hash-exact "
+    "head/middle/tail terciles",
+)
+
+
 # ---- CCNet-style perplexity buckets + per-bucket sampling -------------------
 
 # The CCNet curation recipe (Wenzek et al. 2020): score every doc with an
