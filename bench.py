@@ -161,6 +161,10 @@ HEADLINE = [
     # the Python-vs-Catalyst cost of the same recursion is a tracked pair
     "io_tar_shards_roundtrip",
     "mm_audio_adpcm_jvm",
+    "text_perplexity_kn",
+    "dq_dp_noisy_release",
+    "io_zip_shards_roundtrip",
+    "sim_maxsim_late_interaction",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry

@@ -1924,3 +1924,89 @@ sql_query(
     "with a separability ranking - embedding feature diagnostics over a "
     "constant-width dims*classes aggregate",
 )
+
+
+# ---- late-interaction (ColBERT-style) MaxSim retrieval ----------------------
+
+# ColBERT (Khattab & Zaharia 2020) keeps PER-TOKEN embeddings and scores
+#   score(q, d) = sum_i max_j <q_i, d_j>
+# — "late interaction": each query token independently finds its best
+# document token. Restated over the fixture embeddings: each 64-d vector
+# is treated as 8 token slots x 8 dims (a deterministic reshape — the
+# real pipeline would carry a genuine array<array<float>> column of the
+# same shape), elements floor-quantized at 1e3 into BIGINT so every dot
+# product, max and sum is exact integer arithmetic and the SCORE ITSELF
+# hash-certifies (DuckDB's double list_inner_product over integer-valued
+# inputs is exact below 2^53 and is cast back to BIGINT). Scale shape:
+# the 8-query frame broadcasts into a scan over candidates (same join
+# geometry as sim_topk_brute); at 100 TB the production composition is
+# LSH/IVF candidate generation first, MaxSim as the rerank kernel over
+# the survivors — this query certifies that kernel exactly.
+
+_MAXSIM_T = 8  # token slots
+_MAXSIM_D = 8  # dims per token
+_MAXSIM_NQ = 8  # query vectors: vec_id < 8
+_MAXSIM_K = 5
+
+
+def _maxsim_sql(dialect: str) -> str:
+    t, d, nq, k = _MAXSIM_T, _MAXSIM_D, _MAXSIM_NQ, _MAXSIM_K
+    if dialect == "spark":
+        toks = (
+            f"transform(sequence(0, {t - 1}), tt -> "
+            f"transform(slice(embedding, tt * {d} + 1, {d}), x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)))"
+        )
+        maxsim = (
+            "aggregate(q.qt, CAST(0 AS BIGINT), (acc, qi) -> acc + "
+            "array_max(transform(c.toks, dj -> "
+            "aggregate(zip_with(qi, dj, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (s, v) -> s + v))))"
+        )
+    else:
+        toks = (
+            f"list_transform(range(0, {t}), tt -> "
+            f"list_transform((embedding::DOUBLE[])"
+            f"[tt * {d} + 1 : tt * {d} + {d}], x -> "
+            "CAST(FLOOR(x * 1000) AS BIGINT)))"
+        )
+        maxsim = (
+            "list_sum(list_transform(q.qt, qi -> "
+            "list_max(list_transform(c.toks, dj -> "
+            "CAST(list_inner_product(qi::DOUBLE[], dj::DOUBLE[]) "
+            "AS BIGINT)))))"
+        )
+    src = (
+        # the per-pair HOF kernel is CPU-bound and small-SF parquet is a
+        # single file = a single task without the repartition
+        "(SELECT /*+ REPARTITION(32) */ * FROM embeddings)"
+        if dialect == "spark"
+        else "embeddings"
+    )
+    return (
+        f"WITH e AS (SELECT vec_id, {toks} AS toks FROM {src}), "
+        f"q AS (SELECT vec_id AS query_id, toks AS qt FROM e "
+        f"      WHERE vec_id < {nq}), "
+        f"scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+        f"  CAST({maxsim} AS BIGINT) AS maxsim "
+        "  FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id), "
+        "r AS (SELECT query_id, neighbor_id, maxsim, "
+        "  ROW_NUMBER() OVER (PARTITION BY query_id "
+        "  ORDER BY maxsim DESC, neighbor_id) AS rnk FROM scored) "
+        "SELECT query_id, neighbor_id, maxsim, CAST(rnk AS INT) AS rnk "
+        f"FROM r WHERE rnk <= {k} ORDER BY query_id, rnk"
+    )
+
+
+sql_query(
+    "sim_maxsim_late_interaction",
+    _maxsim_sql("spark"),
+    oracle=_maxsim_sql("duck"),
+    tables=EMB,
+    tags=("similarity", "colbert", "maxsim", "rerank", "topk"),
+    doc="ColBERT-style late-interaction MaxSim top-5: per-token integer "
+    "dot products (floor-quantized at 1e3), max over document tokens, "
+    "summed over query tokens — the exact rerank kernel an IVF/LSH "
+    "candidate stage feeds at scale; scores are integers so the ranking "
+    "AND the score hash-certify",
+)
