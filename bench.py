@@ -165,6 +165,9 @@ HEADLINE = [
     "dq_dp_noisy_release",
     "io_zip_shards_roundtrip",
     "sim_maxsim_late_interaction",
+    "mm_audio_ulaw",
+    "mm_image_qoi",
+    "pipeline_alpha_mix",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry

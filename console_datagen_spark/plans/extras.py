@@ -1553,3 +1553,281 @@ sql_query(
     doc="Spark 4 collations: UTF8_LCASE equality/prefix/ordering vs "
     "lowercased oracle",
 )
+
+
+# ---- G.711 mu-law companding in pure SQL ------------------------------------
+
+# The telephony codec (ITU-T G.711, WAV format tag 0x07): logarithmic
+# 8-bit companding of 16-bit PCM. Like IMA-ADPCM it is LOSSY, and like
+# it the loss comes from a deterministic integer quantizer with NO
+# entropy coding — but mu-law is MEMORYLESS (one sample in, one byte
+# out), so where ADPCM needed a recursive CTE, the whole encode ->
+# decode -> error-analysis chain is a single row-wise projection that
+# stays inside whole-stage codegen on Spark and vectorizes on DuckDB:
+# the cheapest possible spelling of a real codec in the hash gate.
+# Encode per G.711: clip |x| to 32635, bias by 132, exponent = bit
+# length - 8 (segment 0..7), 4-bit mantissa, one's-complement the
+# packed byte (spelled 255 - v; the fields cannot overlap). Decode is
+# the segment-midpoint reconstruction m = (2*mant + 33) << (e + 2)
+# minus the bias. Certified per doc over the same md5-chain sample
+# stream the ADPCM family uses: reconstruction energy, total squared
+# error, worst-case error, and the used code-alphabet size — all exact
+# integers. Scale shape: project + one hash aggregate; nothing else.
+
+
+def _mm_audio_ulaw_sql(dialect: str) -> str:
+    from ..operators.adpcm import STEP_TABLE  # noqa: F401  (family doc link)
+
+    n = _ADPCM_N
+    n_md5 = (2 * n + 15) // 16
+    hexlen = 4 * n
+    if dialect == "spark":
+        idiv = "DIV"
+
+        def shl(e: str) -> str:
+            return f"shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))"
+
+        m_cte = (
+            "SELECT doc_id, "
+            f"substr(concat_ws('', transform(sequence(0, {n_md5 - 1}), "
+            "i -> md5(concat(CAST(doc_id AS STRING), ':', "
+            f"CAST(i AS STRING))))), 1, {hexlen}) AS hx FROM documents"
+        )
+        smp = (
+            "SELECT doc_id, i, "
+            "CAST((CAST(conv(substr(hx, 4 * i + 1, 2), 16, 10) AS BIGINT) "
+            "+ 256 * CAST(conv(substr(hx, 4 * i + 3, 2), 16, 10) AS BIGINT) "
+            "+ 32768) % 65536 - 32768 AS INT) AS x "
+            f"FROM m CROSS JOIN (SELECT explode(sequence(0, {n - 1})) AS i) t"
+        )
+    else:
+        idiv = "//"
+
+        def shl(e: str) -> str:
+            return f"(CAST(1 AS BIGINT) << CAST({e} AS INT))"
+
+        m_cte = (
+            "SELECT doc_id, substr(string_agg("
+            "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+            f"  '' ORDER BY i), 1, {hexlen}) AS hx "
+            f"FROM documents CROSS JOIN generate_series(0, {n_md5 - 1}) "
+            "AS t(i) GROUP BY doc_id"
+        )
+        smp = (
+            "SELECT doc_id, i, "
+            "CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS INT) AS x "
+            "FROM (SELECT doc_id, i, "
+            "  ('0x' || substr(hx, 4 * i + 1, 2))::BIGINT "
+            "  + 256 * ('0x' || substr(hx, 4 * i + 3, 2))::BIGINT AS u "
+            f"  FROM m, (SELECT unnest(generate_series(0, {n - 1})) AS i) t)"
+        )
+    # encode fields from the biased magnitude
+    return (
+        f"WITH m AS ({m_cte}), "
+        f"smp AS ({smp}), "
+        "enc AS (SELECT doc_id, x, sgn, e, "
+        f"  (mb {idiv} {shl('e + 3')}) % 16 AS mant "
+        "  FROM (SELECT doc_id, x, "
+        "    CASE WHEN x < 0 THEN 1 ELSE 0 END AS sgn, "
+        "    LENGTH(bin(LEAST(ABS(CAST(x AS BIGINT)), 32635) + 132)) - 8 "
+        "      AS e, "
+        "    LEAST(ABS(CAST(x AS BIGINT)), 32635) + 132 AS mb FROM smp) b), "
+        "dec AS (SELECT doc_id, x, "
+        "  255 - (sgn * 128 + e * 16 + mant) AS code, "
+        f"  (1 - 2 * sgn) * ((2 * mant + 33) * {shl('e + 2')} - 132) "
+        "    AS xhat FROM enc) "
+        "SELECT doc_id, "
+        f"CAST({n} AS INT) AS n_samples, "
+        "CAST(SUM(xhat * xhat) AS BIGINT) AS sumsq_dec, "
+        "CAST(SUM(CAST(xhat - x AS BIGINT) * (xhat - x)) AS BIGINT) AS sse, "
+        "CAST(MAX(ABS(xhat - x)) AS INT) AS max_abs_err, "
+        "CAST(COUNT(DISTINCT code) AS INT) AS n_codes "
+        "FROM dec GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+sql_query(
+    "mm_audio_ulaw",
+    _mm_audio_ulaw_sql("spark"),
+    oracle=_mm_audio_ulaw_sql("duck"),
+    tables=("documents",),
+    tags=("multimodal", "audio", "ulaw", "g711", "codec"),
+    doc="G.711 mu-law companding encode->decode->error analysis as one "
+    "row-wise integer projection (no recursion — the codec is "
+    "memoryless): per-doc reconstruction energy, exact squared error, "
+    "worst-case error and code-alphabet usage over the md5-chain sample "
+    "stream; the third lossy-but-deterministic codec in the hash gate",
+)
+
+
+# ---- QOI image codec (mm_image_qoi) -----------------------------------------
+
+# The modern lossless raster format (qoiformat.org 2022): byte-oriented,
+# no entropy coder, six chunk ops against a previous-pixel + 64-slot
+# running index. Unlike the GIF gate (random indices — LZW eats
+# anything), QOI's interesting ops need SPATIAL structure, so the
+# synthetic image is a segment-wise random walk: every 16th pixel jumps
+# to a 4-color palette anchor (drives RGB + INDEX), and in between the
+# md5-chain byte picks zero deltas (RUN), small DIFF-range deltas, or
+# LUMA-range deltas, accumulated per 16-pixel segment with mod-256
+# wraparound. Both engines derive the pixels from the SAME chain —
+# DuckDB via segment-partitioned window prefix sums, Spark inside the
+# Arrow kernel via numpy cumsum — and the Spark side pushes them
+# through a full encode -> decode (operators/qoi.py) before computing
+# the stats, so the position-weighted checksum certifies every decoded
+# pixel and therefore the whole op ladder: a slipped run length,
+# mis-biased diff, wrong luma second byte or stale index slot moves it.
+
+_QOI_PALETTE = ((200, 40, 40), (40, 200, 40), (40, 40, 200), (200, 200, 40))
+
+
+def _qoi_synth_px(doc_id: int):
+    """numpy mirror of the oracle's pixel derivation (16x16 RGB)."""
+    import hashlib
+
+    import numpy as np
+
+    hx = "".join(
+        hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest() for i in range(16)
+    )[:512]
+    bs = np.array(
+        [int(hx[2 * p : 2 * p + 2], 16) for p in range(256)], dtype=np.int64
+    )
+    deltas = np.zeros((256, 3), dtype=np.int64)
+    for p in range(256):
+        b = int(bs[p])
+        if p % 16 == 0:
+            deltas[p] = _QOI_PALETTE[(p // 16) % 4]
+        elif b >= 192:
+            deltas[p] = (0, 0, 0)
+        elif b >= 128:
+            dg = (b % 16) - 8
+            deltas[p] = (
+                dg + ((b // 16) % 4) - 2,
+                dg,
+                dg + ((b // 32) % 4) - 2,
+            )
+        else:
+            deltas[p] = ((b % 4) - 2, ((b // 4) % 4) - 2, ((b // 16) % 4) - 2)
+    out = np.zeros((256, 3), dtype=np.int64)
+    for g in range(16):
+        seg = deltas[g * 16 : (g + 1) * 16]
+        out[g * 16 : (g + 1) * 16] = np.cumsum(seg, axis=0) % 256
+    return out.reshape(16, 16, 3).astype(np.uint8)
+
+
+def _mm_image_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id"
+    )
+
+    def _kernel(batches):
+        import numpy as np
+
+        from ..operators.qoi import decode_qoi, encode_qoi
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                src = _qoi_synth_px(int(doc_id))
+                decoded, meta = decode_qoi(encode_qoi(src))
+                ok = int(np.array_equal(decoded, src))
+                px = decoded.reshape(-1, 3).astype(np.int64)
+                p = np.arange(256, dtype=np.int64)
+                packed = px[:, 0] * 65536 + px[:, 1] * 256 + px[:, 2]
+                rows.append(
+                    (
+                        int(doc_id),
+                        meta["width"],
+                        meta["height"],
+                        int((p * packed).sum()),
+                        int(px[:, 0].sum()),
+                        int(px[:, 1].sum()),
+                        int(px[:, 2].sum()),
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "px_posw",
+                    "r_sum",
+                    "g_sum",
+                    "b_sum",
+                    "roundtrip_ok",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        _kernel,
+        schema=(
+            "doc_id BIGINT, width INT, height INT, px_posw BIGINT, "
+            "r_sum BIGINT, g_sum BIGINT, b_sum BIGINT, roundtrip_ok INT"
+        ),
+    )
+    return out.orderBy("doc_id")
+
+
+def _qoi_oracle() -> str:
+    pal_r = "CASE (p // 16) % 4 WHEN 0 THEN 200 WHEN 1 THEN 40 WHEN 2 THEN 40 ELSE 200 END"
+    pal_g = "CASE (p // 16) % 4 WHEN 0 THEN 40 WHEN 1 THEN 200 WHEN 2 THEN 40 ELSE 200 END"
+    pal_b = "CASE (p // 16) % 4 WHEN 0 THEN 40 WHEN 1 THEN 40 WHEN 2 THEN 200 ELSE 40 END"
+
+    def chan(pal: str, luma: str, diff: str) -> str:
+        return (
+            f"CASE WHEN p % 16 = 0 THEN {pal} "
+            "WHEN b >= 192 THEN 0 "
+            f"WHEN b >= 128 THEN {luma} "
+            f"ELSE {diff} END"
+        )
+
+    rd = chan(pal_r, "(b % 16) - 8 + ((b // 16) % 4) - 2", "(b % 4) - 2")
+    gd = chan(pal_g, "(b % 16) - 8", "((b // 4) % 4) - 2")
+    bd = chan(pal_b, "(b % 16) - 8 + ((b // 32) % 4) - 2", "((b // 16) % 4) - 2")
+    return (
+        "WITH m AS (SELECT doc_id, substr(string_agg("
+        "  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), "
+        "  '' ORDER BY i), 1, 512) AS hx "
+        "  FROM documents CROSS JOIN generate_series(0, 15) AS t(i) "
+        "  GROUP BY doc_id), "
+        "raw AS (SELECT doc_id, p, "
+        "  ('0x' || substr(hx, 2 * p + 1, 2))::BIGINT AS b "
+        "  FROM m, (SELECT unnest(generate_series(0, 255)) AS p) t), "
+        f"d AS (SELECT doc_id, p, p // 16 AS grp, {rd} AS rd, {gd} AS gd, "
+        f"  {bd} AS bd FROM raw), "
+        "px AS (SELECT doc_id, p, "
+        "  ((SUM(rd) OVER w) % 256 + 256) % 256 AS r, "
+        "  ((SUM(gd) OVER w) % 256 + 256) % 256 AS g, "
+        "  ((SUM(bd) OVER w) % 256 + 256) % 256 AS b "
+        "  FROM d WINDOW w AS (PARTITION BY doc_id, grp ORDER BY p)) "
+        "SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height, "
+        "CAST(SUM(p * (r * 65536 + g * 256 + b)) AS BIGINT) AS px_posw, "
+        "CAST(SUM(r) AS BIGINT) AS r_sum, "
+        "CAST(SUM(g) AS BIGINT) AS g_sum, "
+        "CAST(SUM(b) AS BIGINT) AS b_sum, "
+        "CAST(1 AS INT) AS roundtrip_ok "
+        "FROM px GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+df_query(
+    "mm_image_qoi",
+    _mm_image_qoi,
+    oracle=_qoi_oracle(),
+    tables=("documents",),
+    tags=("multimodal", "image", "qoi", "codec", "pandas_udf"),
+    doc="REAL byte-oriented lossless image path (pure-numpy QOI codec, "
+    "full qoiformat.org spec: RUN/INDEX/DIFF/LUMA/RGB/RGBA against the "
+    "64-slot running index): segment-wise random-walk pixels (palette "
+    "anchors + DIFF/LUMA-range deltas from the md5 chain, so the "
+    "certified stream exercises the whole op ladder) -> encode -> "
+    "decode -> position-weighted pixel checksum vs a window-prefix-sum "
+    "SQL replay of the walk; extends the raster family with the format "
+    "modern asset pipelines use for memcpy-speed lossless storage",
+)

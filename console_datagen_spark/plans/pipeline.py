@@ -535,3 +535,63 @@ sql_query(
     "3U < 2^(61-k) bit-length comparisons), clamped post-processing — "
     "the release mechanism paired with the dq_k_anonymity exposure gate",
 )
+
+
+# ---- general-alpha temperature mix (the alpha=0.3 sampling law) ------------
+
+# pipeline_temperature_mix reaches T=0.5 because sqrt is the ONE power
+# IEEE guarantees correctly rounded; the published multilingual law
+# (Conneau et al. 2020, XLM-R: p_l ~ n_l^alpha with alpha = 0.3) needs
+# an arbitrary rational exponent. n^(3/10) = exp2(3*log2(n)/10) runs
+# entirely in the fixed-point integer log/exp pair
+# (functions/intlog.py + functions/intexp.py): log2 by digit-by-digit
+# squaring, the exponent scaled by the exact rational 3/10 in
+# fixed-point, exp2 by per-bit constant multiplies — every step BIGINT,
+# bit-identical on both engines, so the ppm shares hash-certify where a
+# libm POW(n, 0.3) could flip a floor on one engine. Scale shape: one
+# hash aggregate to the per-source count frame, the log/exp chains run
+# over its DISTINCT counts (a handful of rows), one order-free integer
+# SUM for the normalizer — the 100 TB cost is the count aggregate.
+
+
+def _alpha_mix_sql(dialect: str) -> str:
+    from ..functions.intexp import exp2_fp_ctes
+    from ..functions.intlog import log2_fp_ctes
+
+    idiv = "DIV" if dialect == "spark" else "//"
+    ntok = (
+        "size(split(text, ' '))"
+        if dialect == "spark"
+        else "len(string_split(text, ' '))"
+    )
+    return (
+        # n_l = per-language TOKEN totals (what the published law
+        # weighs), skewed en-heavy in the fixture like real crawls
+        f"WITH c AS (SELECT lang, CAST(SUM({ntok}) AS BIGINT) AS n_tokens "
+        "           FROM documents GROUP BY lang), "
+        "vals AS (SELECT DISTINCT n_tokens AS nv FROM c), "
+        + log2_fp_ctes("vals", "nv", "nv", "1", dialect, out="lg")
+        + ", sc AS (SELECT nv, (lg_fp * 3) " + idiv + " 10 AS axfp FROM lg), "
+        + exp2_fp_ctes("sc", "nv", "axfp", dialect, out="ex")
+        + ", w AS (SELECT c.lang, c.n_tokens, ex.ex_fp AS wt "
+        "  FROM c JOIN ex ON ex.nv = c.n_tokens), "
+        "t AS (SELECT lang, n_tokens, wt, SUM(wt) OVER () AS sw, "
+        "      SUM(n_tokens) OVER () AS tot FROM w) "
+        "SELECT lang, n_tokens, CAST(wt AS BIGINT) AS weight_fp, "
+        f"CAST((n_tokens * 1000000) {idiv} tot AS BIGINT) AS raw_ppm, "
+        f"CAST((wt * 1000000) {idiv} sw AS BIGINT) AS sample_ppm "
+        "FROM t ORDER BY lang"
+    )
+
+
+sql_query(
+    "pipeline_alpha_mix",
+    _alpha_mix_sql("spark"),
+    oracle=_alpha_mix_sql("duck"),
+    tables=("documents",),
+    tags=("pipeline", "mix", "temperature", "alpha"),
+    doc="general-alpha temperature sampling weights (alpha=0.3, the "
+    "XLM-R multilingual law): n^0.3 = exp2(0.3*log2 n) via the paired "
+    "fixed-point integer log/exp chains — hash-exact ppm shares where "
+    "libm POW could flip a floor; sqrt only ever reaches alpha=1/2",
+)
