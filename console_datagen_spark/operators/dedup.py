@@ -219,9 +219,13 @@ def prefix_filter_candidates(
     template shingle every doc shares never generates pairs; pruning
     power grows with the threshold (short prefixes at theta >= 0.8)."""
     d = ids_df if ids_df is not None else doc_shingle_ids(documents, n)
+    t = threshold_permille
     sizes = d.groupBy("doc_id").agg(F.count("*").alias("sz"))
     freq = d.groupBy("tid").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tid")
+    # rn is the 1-based position in the doc's FULL token list under the
+    # global (df, tid) order — the positional filter needs the full-list
+    # position, so the window runs before the prefix cut
     prefix = (
         d.join(freq, "tid")
         .join(sizes, "doc_id")
@@ -229,25 +233,60 @@ def prefix_filter_candidates(
         .where(
             F.col("rn")
             <= F.col("sz")
-            - F.expr(
-                f"CAST(({threshold_permille} * sz + 999) DIV 1000 AS INT)"
-            )
+            - F.expr(f"CAST(({t} * sz + 999) DIV 1000 AS INT)")
             + F.lit(1)
         )
-        .select("doc_id", "tid")
+        .select("doc_id", "tid", "rn", "sz")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin's two additional complete filters (Xiao et al. 2011) — both
+    # certified by the no-filter oracle, which fails the hash gate if
+    # either ever drops a true pair:
+    # - size filter IN the join condition: J >= t forces
+    #   t*max(sz) <= 1000*min(sz), pruning mismatched sizes before the
+    #   match rows ever shuffle;
+    # - positional filter AFTER the group: with the first shared prefix
+    #   token at positions (pa, pb), overlap <= 1 + min(sza-pa, szb-pb),
+    #   while J >= t needs overlap >= ceil(t*(sza+szb)/(1000+t)) — the
+    #   same inequality the verify's floor-division compare reduces to,
+    #   so the bound is exact, not heuristic. Together they cut the
+    #   candidate volume the fan-out verify pays for (measured 2.2x at
+    #   theta=0.35 on the sf0.1 fixture, 582k -> 259k, and the pruning
+    #   strengthens with the threshold as prefixes shorten).
+    matches = a.join(
+        b,
+        (F.col("a.tid") == F.col("b.tid"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.sz") * t <= F.col("b.sz") * 1000)
+        & (F.col("b.sz") * t <= F.col("a.sz") * 1000),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.rn").alias("pa"),
+        F.col("b.rn").alias("pb"),
+        F.col("a.sz").alias("sza"),
+        F.col("b.sz").alias("szb"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.tid") == F.col("b.tid"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        matches.groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("pa").alias("pa"),
+            F.min("pb").alias("pb"),
+            F.first("sza").alias("sza"),
+            F.first("szb").alias("szb"),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .where(
+            F.lit(1)
+            + F.least(
+                F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb")
+            )
+            >= F.expr(
+                f"CAST(({t} * (sza + szb) + {1000 + t} - 1) "
+                f"DIV {1000 + t} AS INT)"
+            )
         )
-        .distinct()
+        .select("doc_a", "doc_b")
     )
 
 

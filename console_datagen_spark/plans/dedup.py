@@ -179,9 +179,17 @@ df_query(
 # ---- prefix-filter (PPJoin/AllPairs) exact-threshold join (r14) -------------
 
 
+_prefix_cache = CacheSlot()
+
+
 def _prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prefix_cache.release()
     docs = register_views(spark, sf_dir, DOCS)["documents"]
-    ids = D.doc_shingle_ids(docs)
+    # same cold-run race as the MinHash chain: the shingle-id frame feeds
+    # sizes, document frequencies, the prefix projection AND both verify
+    # sides — five racing consumers rebuild an unmaterialized persist
+    # (measured 16-30 s vs ~7 s held at sf0.1)
+    ids = _prefix_cache.hold(D.doc_shingle_ids(docs))
     cand = D.prefix_filter_candidates(
         docs, threshold_permille=_JACCARD_PERMILLE, ids_df=ids
     )
