@@ -168,6 +168,7 @@ HEADLINE = [
     "mm_audio_ulaw",
     "mm_image_qoi",
     "pipeline_alpha_mix",
+    "ts_gorilla_roundtrip",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry

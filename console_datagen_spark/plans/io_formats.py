@@ -354,3 +354,145 @@ df_query(
     "the parquet oracle; the random-access shard shape dataset hubs "
     "ship and sample-addressed loaders read",
 )
+
+
+# ---- Gorilla-style timestamp compression (time-series block codec) ---------
+
+
+def _ts_gorilla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> per-user delta-of-delta varint streams -> decode ->
+    per-series stats, with the COMPRESSED SIZE certified by the oracle.
+
+    The kernel (operators/ts_codec.py) encodes each user's sorted
+    timestamp series as zigzag(delta-of-delta) LEB128 varints — the
+    Gorilla/Prometheus block codec — decodes it back, asserts the
+    decoded stream equals the input, and emits stats from the DECODED
+    values plus the real byte length of the stream it built. The oracle
+    recomputes everything from raw events: the byte count falls out of
+    pure bit-length arithmetic (varint length = max(1,
+    ceil(bitlen(zigzag(v))/7))), so a single slipped delta, zigzag sign
+    or continuation bit moves n_bytes or the position-weighted checksum
+    and fails the hash gate."""
+    import pandas as pd
+
+    from ..operators.ts_codec import decode_ts_stream, encode_ts_stream
+
+    ev = register_views(spark, sf_dir, ("events",))["events"].select(
+        "user_id", "event_id", "ts"
+    )
+
+    def _series_row(user_id: int, ts_us) -> tuple:
+        epochs = [int(t) for t in ts_us]
+        blob = encode_ts_stream(epochs)
+        decoded = decode_ts_stream(blob)
+        assert decoded == epochs  # lossless or die loudly
+        n = len(decoded)
+        checksum = (
+            sum((i + 1) * t for i, t in enumerate(decoded)) % 1_000_000_007
+        )
+        return (user_id, n, len(blob), 8 * n, checksum, decoded[0], decoded[-1])
+
+    _COLS = [
+        "user_id",
+        "n_events",
+        "n_bytes",
+        "raw_bytes",
+        "ts_checksum",
+        "ts_min",
+        "ts_max",
+    ]
+
+    def per_partition(batches):
+        # Sorted-partition streaming group walk: series keys are many and
+        # small, so per-group applyInPandas pays one Arrow invocation per
+        # key (measured 10+ s for 1.5k users at sf0.1); here the sort is
+        # done by Spark, and ONE Python call per partition walks the key
+        # boundaries. Arrow may split a key across batches, so the tail
+        # key of each batch is carried into the next.
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            uid = pdf["user_id"].to_numpy()
+            ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            # boundaries of complete keys: everything before the last key
+            # is complete inside this (carry + batch) frame
+            last = uid[-1]
+            cut = int((uid != last).sum()) if (uid != last).any() else 0
+            rows = []
+            if cut:
+                head_uid, head_ts = uid[:cut], ts_us[:cut]
+                starts = [0] + [
+                    i
+                    for i in range(1, cut)
+                    if head_uid[i] != head_uid[i - 1]
+                ] + [cut]
+                for a, b in zip(starts[:-1], starts[1:]):
+                    rows.append(_series_row(int(head_uid[a]), head_ts[a:b]))
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            if rows:
+                yield pd.DataFrame(rows, columns=_COLS)
+        if carry is not None and len(carry):
+            uid = carry["user_id"].to_numpy()
+            ts_us = (
+                carry["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            yield pd.DataFrame(
+                [_series_row(int(uid[0]), ts_us)], columns=_COLS
+            )
+
+    out = (
+        ev.repartition(32, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            per_partition,
+            schema=(
+                "user_id BIGINT, n_events BIGINT, n_bytes BIGINT, "
+                "raw_bytes BIGINT, ts_checksum BIGINT, ts_min BIGINT, "
+                "ts_max BIGINT"
+            ),
+        )
+    )
+    return out.orderBy("user_id")
+
+
+df_query(
+    "ts_gorilla_roundtrip",
+    _ts_gorilla,
+    oracle=(
+        # epoch_us + LAG windows replay the value sequence (v1 = first
+        # epoch, v2 = first delta, then delta-of-delta), zigzag is a
+        # CASE, and the varint byte length is bit-length arithmetic —
+        # the exact compressed size with no codec in sight
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS t, "
+        "  ROW_NUMBER() OVER w AS rn, "
+        "  epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS delta "
+        "  FROM events "
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        # dod needs LAG over delta, which is itself a LAG — two window
+        # passes (engines reject nested window calls)
+        "d2 AS (SELECT user_id, t, rn, delta, "
+        "  delta - LAG(delta) OVER (PARTITION BY user_id ORDER BY rn) "
+        "    AS dod FROM e), "
+        "v AS (SELECT user_id, t, rn, "
+        "  CASE WHEN rn = 1 THEN t WHEN rn = 2 THEN delta ELSE dod END AS val "
+        "  FROM d2), "
+        "z AS (SELECT user_id, t, rn, "
+        "  CASE WHEN val >= 0 THEN 2 * val ELSE -2 * val - 1 END AS zz "
+        "  FROM v) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(GREATEST(1, (LENGTH(bin(zz)) + 6) // 7)) AS BIGINT) "
+        "  AS n_bytes, "
+        "CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes, "
+        "CAST(SUM(rn * t) % 1000000007 AS BIGINT) AS ts_checksum, "
+        "CAST(MIN(t) AS BIGINT) AS ts_min, CAST(MAX(t) AS BIGINT) AS ts_max "
+        "FROM z GROUP BY user_id ORDER BY user_id"
+    ),
+    tables=("events",),
+    tags=("io", "timeseries", "gorilla", "codec", "pandas_udf"),
+    doc="Gorilla-style timestamp compression (delta-of-delta + zigzag + "
+    "LEB128 varint, the Prometheus TSDB block codec): per-user encode -> "
+    "decode -> stats from the decoded stream, with the EXACT compressed "
+    "byte count certified by the oracle's bit-length arithmetic and the "
+    "decode identity by the position-weighted checksum",
+)
