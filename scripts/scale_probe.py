@@ -72,6 +72,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 SMOKE = os.environ.get("SPARK_GRAFT_PROBE_SMOKE") == "1"
 BASE_DOCS = 500 if SMOKE else 5_000  # sf0.1 documents row count
 BASE_EMB = 200 if SMOKE else 2_000  # sf0.1 embeddings row count
+BASE_EVENTS = 2_000 if SMOKE else 100_000  # sf0.1 events row count
 # r10 (VERDICT r9 #2): a 100x top leg under the SAME fixed 16g heap —
 # 30x peaked at ~14.2 GiB of 16, so 100x deliberately runs where the
 # working set exceeds RAM and execution memory must spill. The gate
@@ -86,7 +87,7 @@ SCALES = [1, 2] if SMOKE else [1, 3, 10, 30, 100]
 # the control's known curve at prohibitive cost. Its production twin
 # (dedup_keepers_capped) runs at every scale.
 CONTROL_MAX_SCALE = 2 if SMOKE else 10
-UNCAPPED_CONTROL = {"dedup_components_lss"}
+UNCAPPED_CONTROL = {"dedup_components_lss", "dedup_prefix_filter_pairs"}
 # The cand_uncapped SECTION (the raw-pair-count control demonstrating
 # the ~2.0 exponent the cap removes) runs further than the registry
 # control — its exponent evidence needs >= 3 legs — but not to the top:
@@ -134,6 +135,17 @@ REGISTRY_QUERIES = [
     "mm_audio_adpcm",
     "mm_image_gif",
     "pipeline_epoch_shuffle",
+    # r14 session 3: the pure-SQL companding projection, the QOI Arrow
+    # kernel, the sorted-partition series codec (series COUNT grows with
+    # scale — exactly the regime the streaming group walk exists for),
+    # and the PPJoin exact join as an uncapped-control leg (exact
+    # threshold joins are output-bound; the boilerplate family's true
+    # pair volume is quadratic BY CONSTRUCTION, so it runs to the
+    # control ceiling like the other uncapped path)
+    "mm_audio_ulaw",
+    "mm_image_qoi",
+    "ts_gorilla_roundtrip",
+    "dedup_prefix_filter_pairs",
 ]
 
 # containment probe df cap: the boilerplate family's shingles have
@@ -208,6 +220,25 @@ def gen_embeddings(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
+def gen_events(spark: SparkSession, n: int) -> DataFrame:
+    """Fixture-shaped events (event_id, ts, user_id, event_type, value,
+    props). Series COUNT scales with n at the fixture's ~67 events/user
+    ratio — the regime the sorted-partition series codec exists for —
+    and per-user timestamps are irregular (hash gaps), the codec's
+    worst case. Pure SQL, deterministic at any n."""
+    n_users = max(15, n // 67)
+    return spark.range(n).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(1700000000000000 + id * 1000 "
+        "+ pmod(hash('g', id), 1000000000)) AS ts",
+        f"pmod(hash('u', id), {n_users}) AS user_id",
+        "element_at(array('view','click','buy','scroll'), "
+        "1 + CAST(pmod(hash('e', id), 4) AS INT)) AS event_type",
+        "CAST(pmod(hash('v', id), 10000) / 100.0 AS DOUBLE) AS value",
+        "concat('{\"k\":', pmod(hash('p', id), 100), '}') AS props",
+    )
+
+
 def materialize(spark: SparkSession, scale: int) -> str:
     sf_dir = f"{PROBE_DIR}/x{scale}"
     gen_documents(spark, BASE_DOCS * scale).write.mode("overwrite").parquet(
@@ -215,6 +246,9 @@ def materialize(spark: SparkSession, scale: int) -> str:
     )
     gen_embeddings(spark, BASE_EMB * scale).write.mode("overwrite").parquet(
         f"{sf_dir}/embeddings.parquet"
+    )
+    gen_events(spark, BASE_EVENTS * scale).write.mode("overwrite").parquet(
+        f"{sf_dir}/events.parquet"
     )
     return sf_dir
 
