@@ -169,6 +169,7 @@ HEADLINE = [
     "mm_image_qoi",
     "pipeline_alpha_mix",
     "ts_gorilla_roundtrip",
+    "io_tar_qoi_shards_roundtrip",
 ]
 
 # names special-cased in _run_once rather than resolved from the registry

@@ -90,3 +90,56 @@ def unpack_shard(content: bytes) -> list[tuple[int, str, str]]:
             )
         rows.append((key, parts["txt"], parts["lang"]))
     return rows
+
+
+def pack_media_shard(rows: list[tuple[int, bytes]], ext: str = "qoi") -> bytes:
+    """[(doc_id, payload_bytes)] -> deterministic tar bytes.
+
+    The BINARY-member variant of ``pack_shard``: multimodal WebDataset
+    shards carry encoded media (``{key}.jpg``/``.flac``/``.qoi``), not
+    UTF-8 text, and tar stores payloads verbatim — this path certifies
+    that no text-mode translation, padding slip or size-field error
+    touches the bytes. Same pinned metadata, same sorted-key layout."""
+    if not rows:
+        raise ValueError("empty shard")
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for doc_id, payload in sorted(rows):
+            info = tarfile.TarInfo(name=f"{doc_id:012d}.{ext}")
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def unpack_media_shard(
+    content: bytes, ext: str = "qoi"
+) -> list[tuple[int, bytes]]:
+    """Tar bytes -> [(doc_id, payload_bytes)], validating the convention
+    (regular files only, ``{12 digits}.{ext}`` names, sorted keys)."""
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(content), mode="r:")
+    except tarfile.TarError as e:
+        raise ValueError(f"not a tar shard: {e}") from e
+    rows = []
+    last_key = -1
+    with tf:
+        for member in tf:
+            if not member.isreg():
+                raise ValueError(f"non-file member {member.name!r}")
+            stem, dot, mext = member.name.partition(".")
+            if not dot or mext != ext or not (
+                len(stem) == 12 and stem.isdigit()
+            ):
+                raise ValueError(f"unexpected member name {member.name!r}")
+            key = int(stem)
+            if key <= last_key:
+                raise ValueError(
+                    f"member {member.name!r} out of key order or duplicated"
+                )
+            last_key = key
+            rows.append((key, tf.extractfile(member).read()))
+    return rows

@@ -1588,10 +1588,13 @@ def _mm_audio_ulaw_sql(dialect: str) -> str:
             return f"shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))"
 
         m_cte = (
+            # repartition BEFORE the fan-out: the md5 chain + per-sample
+            # hex parsing is ~1M string ops at sf0.1, one task otherwise
             "SELECT doc_id, "
             f"substr(concat_ws('', transform(sequence(0, {n_md5 - 1}), "
             "i -> md5(concat(CAST(doc_id AS STRING), ':', "
-            f"CAST(i AS STRING))))), 1, {hexlen}) AS hx FROM documents"
+            f"CAST(i AS STRING))))), 1, {hexlen}) AS hx "
+            "FROM (SELECT /*+ REPARTITION(32) */ * FROM documents)"
         )
         smp = (
             "SELECT doc_id, i, "

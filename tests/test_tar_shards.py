@@ -67,3 +67,60 @@ def test_rejects_bad_shards():
             tf.addfile(info, io.BytesIO(b"x"))
     with pytest.raises(ValueError, match="out of key order"):
         unpack_shard(buf.getvalue())
+
+
+def test_media_shard_binary_roundtrip():
+    """Binary members survive byte-verbatim (the multimodal payload
+    claim the text path cannot make): arbitrary bytes incl. NUL, 0xFF,
+    tar-block-boundary sizes."""
+    from console_datagen_spark.operators.tar_shards import (
+        pack_media_shard,
+        unpack_media_shard,
+    )
+
+    rows = [
+        (3, b"\x00\xff" * 300),
+        (1, b"qoif" + bytes(range(256))),
+        (9, b"x" * 512),  # exactly one tar data block
+        (10, b""),
+    ]
+    assert unpack_media_shard(pack_media_shard(rows)) == sorted(rows)
+    # deterministic bytes regardless of input order
+    assert pack_media_shard(rows) == pack_media_shard(list(reversed(rows)))
+
+
+def test_media_shard_rejects_bad_members():
+    import io
+    import tarfile
+
+    import pytest
+
+    from console_datagen_spark.operators.tar_shards import (
+        pack_media_shard,
+        unpack_media_shard,
+    )
+
+    with pytest.raises(ValueError, match="empty shard"):
+        pack_media_shard([])
+
+    def craft(names):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name in names:
+                info = tarfile.TarInfo(name=name)
+                info.size = 1
+                tf.addfile(info, io.BytesIO(b"x"))
+        return buf.getvalue()
+
+    with pytest.raises(ValueError, match="unexpected member name"):
+        unpack_media_shard(craft(["000000000001.txt"]))  # wrong ext
+    with pytest.raises(ValueError, match="out of key order"):
+        unpack_media_shard(
+            craft(["000000000002.qoi", "000000000001.qoi"])
+        )
+    with pytest.raises(ValueError, match="duplicated|out of key order"):
+        unpack_media_shard(
+            craft(["000000000002.qoi", "000000000002.qoi"])
+        )
+    with pytest.raises(ValueError, match="not a tar"):
+        unpack_media_shard(b"definitely not a tar archive")
