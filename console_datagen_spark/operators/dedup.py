@@ -200,11 +200,55 @@ def lsh_candidate_pairs(
     )
 
 
+def prefix_tokens(
+    documents: DataFrame,
+    threshold_permille: int = 350,
+    n: int = 3,
+    ids_df: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, tid, rn, sz) prefix projection under the global (df, tid)
+    order — each doc's rarest ``sz - ceil(t*sz) + 1`` shingle ids with
+    their 1-based full-list position ``rn`` and full set size ``sz``.
+
+    Split out of ``prefix_filter_candidates`` (r14 opt) so the caller can
+    persist it ONCE: the candidate self-join consumes this frame on BOTH
+    sides, and without a held copy the window sort ran twice (visible as
+    two full Window subtrees in the r14 before-plan). ``sz`` is computed
+    as a second window over the SAME doc_id partitioning instead of a
+    groupBy+join (guide §2.4: two operations keyed the same way share one
+    exchange) — one shuffle of the id frame total, no sizes join.
+    """
+    t = threshold_permille
+    d = ids_df if ids_df is not None else doc_shingle_ids(documents, n)
+    freq = d.groupBy("tid").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tid")
+    wsz = Window.partitionBy("doc_id")
+    # rn is the 1-based position in the doc's FULL token list under the
+    # global (df, tid) order — the positional filter needs the full-list
+    # position, so the window runs before the prefix cut
+    return (
+        d.join(freq, "tid")
+        .select(
+            "doc_id",
+            "tid",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wsz).alias("sz"),
+        )
+        .where(
+            F.col("rn")
+            <= F.col("sz")
+            - F.expr(f"CAST(({t} * sz + 999) DIV 1000 AS INT)")
+            + F.lit(1)
+        )
+    )
+
+
 def prefix_filter_candidates(
     documents: DataFrame,
     threshold_permille: int = 350,
     n: int = 3,
     ids_df: DataFrame | None = None,
+    prefix_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs by PREFIX FILTERING (the PPJoin/AllPairs family):
     order each doc's shingle ids by ascending global document frequency
@@ -218,25 +262,11 @@ def prefix_filter_candidates(
     so the candidate equi-join fans out only on rare tokens — the hot
     template shingle every doc shares never generates pairs; pruning
     power grows with the threshold (short prefixes at theta >= 0.8)."""
-    d = ids_df if ids_df is not None else doc_shingle_ids(documents, n)
     t = threshold_permille
-    sizes = d.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    freq = d.groupBy("tid").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "tid")
-    # rn is the 1-based position in the doc's FULL token list under the
-    # global (df, tid) order — the positional filter needs the full-list
-    # position, so the window runs before the prefix cut
     prefix = (
-        d.join(freq, "tid")
-        .join(sizes, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .where(
-            F.col("rn")
-            <= F.col("sz")
-            - F.expr(f"CAST(({t} * sz + 999) DIV 1000 AS INT)")
-            + F.lit(1)
-        )
-        .select("doc_id", "tid", "rn", "sz")
+        prefix_df
+        if prefix_df is not None
+        else prefix_tokens(documents, threshold_permille, n, ids_df)
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -445,23 +475,30 @@ def containment_pairs(
     all-pairs stage.
     """
     ids = ids_df if ids_df is not None else doc_shingle_ids(documents, n)
-    sizes = ids.groupBy("doc_id").agg(F.count("*").alias("sz"))
     cand = containment_candidates(documents, max_df, n, ids_df=ids)
-    inter = (
-        cand.join(ids.select(F.col("doc_id").alias("doc_a"), "tid"), "doc_a")
-        .join(ids.select(F.col("doc_id").alias("doc_b"), "tid"), ["doc_b", "tid"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_sz"))
-    )
+    # r14 opt: packed-array verify, same kernel as ngram_jaccard_pairs —
+    # one collect_list per doc, one join per candidate side, intersection
+    # and both sizes evaluated from the arrays in the JVM (two rows move
+    # per pair instead of a per-shingle fanout; the inter >= 1 guard
+    # reproduces the fan join's implicit zero-overlap drop).
+    packed = ids.groupBy("doc_id").agg(F.collect_list("tid").alias("_ts"))
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+        cand.join(
+            packed.select(F.col("doc_id").alias("doc_a"), F.col("_ts").alias("_ta")),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            packed.select(F.col("doc_id").alias("doc_b"), F.col("_ts").alias("_tb")),
             "doc_b",
         )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("inter_sz"),
+            F.size("_ta").alias("sz_a"),
+            F.size("_tb").alias("sz_b"),
+        )
+        .where(F.col("inter_sz") >= 1)
         .withColumn(
             "cont_permille",
             F.expr("inter_sz * 1000 DIV least(sz_a, sz_b)").cast("long"),
@@ -500,28 +537,58 @@ def ngram_jaccard_pairs(
         )
     else:
         d = doc_shingle_ids(documents, n)
-    sizes = d.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is not None:
-        # candidate-driven verify: intersections are computed PER CANDIDATE
-        # PAIR — candidates fan out to (doc_a, doc_b, tid) over doc_a's
-        # shingles, then an equi-join on (doc_b, tid) keeps exactly the
-        # shared ids. The co-shingle pair explosion (a hot shingle shared
-        # by k docs → k²/2 rows) never happens; cost is
-        # Σ|shingles(doc_a)| over candidates, i.e. candidate volume — not
-        # corpus overlap — drives the verify. This is what makes LSH +
-        # verify scale. No broadcast hint: candidate volume is unbounded
-        # (hot buckets are quadratic in bucket size), so let AQE pick the
-        # strategy from the measured candidate size at runtime.
-        fan = candidates.select("doc_a", "doc_b").join(
-            d.select(F.col("doc_id").alias("doc_a"), "tid"), "doc_a"
-        )
-        pairs = (
-            fan.join(
-                d.select(F.col("doc_id").alias("doc_b"), "tid"),
-                ["doc_b", "tid"],
+        # candidate-driven verify over PACKED per-doc id arrays (r14 opt,
+        # guide §2.3 "shuffle fewer bytes"/"aggregate before you shuffle"):
+        # one collect_list packs each doc's distinct ids into a single
+        # array row, the candidate pair joins once per side, and the
+        # intersection is size(array_intersect(...)) evaluated in the JVM.
+        # Per candidate pair this moves TWO array rows (~8·sz bytes)
+        # instead of fanning doc_a's whole shingle list through a second
+        # equi-join and a pair-keyed hash agg (~24·sz bytes and sz rows a
+        # pair) — the row volume entering the verify drops from
+        # Σ|shingles(doc_a)| to 2·|candidates|, and the sizes come free as
+        # size(array) instead of two more joins. Results are bit-identical:
+        # ids are distinct per doc, array_intersect is set intersection,
+        # and the inter >= 1 guard reproduces the fan join's implicit
+        # drop of zero-overlap candidates (load-bearing at threshold 0,
+        # e.g. the minhash-accuracy gauge). A/B at sf0.1 + the oracle's
+        # no-filter ground truth certify the rewrite. No broadcast hint:
+        # candidate volume is unbounded, let AQE pick from measured sizes.
+        # Giant-doc caveat: one row per doc means a pathological 1M-shingle
+        # doc is one ~8 MB row; AQE's skew split handles oversized
+        # partitions, and corpus chunking upstream bounds doc size anyway.
+        packed = d.groupBy("doc_id").agg(F.collect_list("tid").alias("_ts"))
+        return (
+            candidates.select("doc_a", "doc_b")
+            .join(
+                packed.select(
+                    F.col("doc_id").alias("doc_a"), F.col("_ts").alias("_ta")
+                ),
+                "doc_a",
             )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
+            .join(
+                packed.select(
+                    F.col("doc_id").alias("doc_b"), F.col("_ts").alias("_tb")
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("_ta", "_tb")).alias("inter"),
+                F.size("_ta").alias("sza"),
+                F.size("_tb").alias("szb"),
+            )
+            .where(F.col("inter") >= 1)
+            .select(
+                "doc_a",
+                "doc_b",
+                F.expr(
+                    "CAST(inter * 1000 DIV (sza + szb - inter) AS BIGINT)"
+                ).alias("jaccard_permille"),
+            )
+            .where(F.col("jaccard_permille") >= threshold_permille)
         )
     else:
         # no candidate set: the shared-shingle equi-join bounds the pair
@@ -540,6 +607,7 @@ def ngram_jaccard_pairs(
         )
     # sizes is one row per document — unbounded at corpus scale, so no
     # broadcast hint here either; AQE broadcasts it when it measures small
+    sizes = d.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (
@@ -853,24 +921,28 @@ def flag_incoming_candidates(
     """Exact-Jaccard verify + per-doc flag roll-up over a candidate set.
 
     The shared back half of the ingest-dedup path (in-memory and
-    persisted-index variants): candidate-driven verify (same kernel as
-    ngram_jaccard_pairs — fan incoming shingles over candidates, equi-join
-    the corpus side on (doc_old, tid), no co-shingle pair explosion), then
-    best-match selection and the (doc_id, is_dup, match_id,
-    match_permille) roll-up over the full incoming batch.
+    persisted-index variants): candidate-driven verify over packed per-doc
+    id arrays (same r14 kernel as ngram_jaccard_pairs — one collect_list
+    per side, one join per side, intersection as
+    size(array_intersect(...)) in the JVM; sizes come free as
+    size(array), and the inter >= 1 guard reproduces the earlier fan
+    join's implicit drop of zero-overlap candidates), then best-match
+    selection and the (doc_id, is_dup, match_id, match_permille) roll-up
+    over the full incoming batch.
     """
-    fan = cand.join(ids_i.select(F.col("doc_id").alias("doc_new"), "tid"), "doc_new")
-    inter = (
-        fan.join(ids_c.select(F.col("doc_id").alias("doc_old"), "tid"),
-                 ["doc_old", "tid"])
-        .groupBy("doc_new", "doc_old")
-        .agg(F.count("*").alias("inter"))
-    )
-    sz_i = ids_i.groupBy("doc_id").agg(F.count("*").alias("sz_new"))
-    sz_c = ids_c.groupBy("doc_id").agg(F.count("*").alias("sz_old"))
+    pk_i = ids_i.groupBy("doc_id").agg(F.collect_list("tid").alias("_ti"))
+    pk_c = ids_c.groupBy("doc_id").agg(F.collect_list("tid").alias("_tc"))
     matched = (
-        inter.join(sz_i.select(F.col("doc_id").alias("doc_new"), "sz_new"), "doc_new")
-        .join(sz_c.select(F.col("doc_id").alias("doc_old"), "sz_old"), "doc_old")
+        cand.join(pk_i.select(F.col("doc_id").alias("doc_new"), "_ti"), "doc_new")
+        .join(pk_c.select(F.col("doc_id").alias("doc_old"), "_tc"), "doc_old")
+        .select(
+            "doc_new",
+            "doc_old",
+            F.size(F.array_intersect("_ti", "_tc")).alias("inter"),
+            F.size("_ti").alias("sz_new"),
+            F.size("_tc").alias("sz_old"),
+        )
+        .where(F.col("inter") >= 1)
         .select(
             "doc_new",
             "doc_old",

@@ -113,19 +113,23 @@ df_query(
 )
 
 
-_minhash_cache = CacheSlot()
-
-
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _minhash_cache.release()
+def _minhash_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH→verify pair pipeline WITHOUT the presentation sort — what
+    every aggregating consumer (components, keepers, pagerank, triangles,
+    split leakage) composes over. r14 opt: those consumers eagerly
+    checkpoint/hold the pair frame, which used to materialize the
+    registered query's global ORDER BY (an Exchange+Sort none of them
+    needs — the checkpoint boundary stops EliminateSorts from pruning it).
+    Pair VALUES are identical; only the row order of this internal frame
+    differs, and every consumer is order-insensitive (joins/aggregates)."""
     docs = register_views(spark, sf_dir, DOCS)["documents"]
-    # persist AND materialize the integer shingle-id set: signatures, sizes
-    # and the per-pair verify are parallel stages of the downstream job, and
-    # racing stages rebuild an unmaterialized persist on a cold run (measured
-    # ~2x cold-run cost lazy vs eager at sf0.1; warm runs converge, which is
-    # how the earlier "lazy is faster" reading went wrong). Candidates stay
-    # unheld — consumed exactly once by the verify fanout.
-    ids = _minhash_cache.hold(D.doc_shingle_ids(docs))
+    # r14: ids back to UNHELD. The r12 eager hold paid off when the fan
+    # verify scanned the id frame four ways (fan a-side, b-side, sizes,
+    # bands); the packed-array verify leaves only two consumers (bands +
+    # collect_list) and the interleaved A/B (scripts/ab_holds.py, same
+    # session) measured no-hold 2.39 s vs hold 4.75 s — the blocking
+    # count plus InMemoryRelation scan now cost more than one recompute.
+    ids = D.doc_shingle_ids(docs)
     cand = D.lsh_candidate_pairs(
         docs, k=_K, rows_per_band=_ROWS_PER_BAND, ids_df=ids
     )
@@ -134,7 +138,11 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_permille=_JACCARD_PERMILLE,
         candidates=cand,
         ids_df=ids,
-    ).orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs_raw(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # the full LSH→verify pipeline as a CTE chain ending in ``pairs`` — the
@@ -185,13 +193,19 @@ _prefix_cache = CacheSlot()
 def _prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prefix_cache.release()
     docs = register_views(spark, sf_dir, DOCS)["documents"]
-    # same cold-run race as the MinHash chain: the shingle-id frame feeds
-    # sizes, document frequencies, the prefix projection AND both verify
-    # sides — five racing consumers rebuild an unmaterialized persist
-    # (measured 16-30 s vs ~7 s held at sf0.1)
-    ids = _prefix_cache.hold(D.doc_shingle_ids(docs))
+    # r14: ids UNHELD (the array verify leaves it 3 consumers — freq,
+    # window join, packed arrays — and the interleaved A/B measured
+    # ids+prefix held == prefix-only held, so the ids hold buys nothing);
+    # the PREFIX projection is the load-bearing hold: it feeds BOTH sides
+    # of the candidate self-join, and held once the window shuffle+sort
+    # runs once instead of twice (A/B: no-holds 8.6 s vs prefix-held
+    # 5.7 s, same session, scripts/ab_holds.py).
+    ids = D.doc_shingle_ids(docs)
+    prefix = _prefix_cache.hold(
+        D.prefix_tokens(docs, threshold_permille=_JACCARD_PERMILLE, ids_df=ids)
+    )
     cand = D.prefix_filter_candidates(
-        docs, threshold_permille=_JACCARD_PERMILLE, ids_df=ids
+        docs, threshold_permille=_JACCARD_PERMILLE, ids_df=ids, prefix_df=prefix
     )
     return D.ngram_jaccard_pairs(
         docs,
@@ -244,7 +258,15 @@ _BUCKET_CAP = 2  # bites at sf0.01 (max observed bucket = 3) so the oracle
 # certifies the cap logic itself, not just the uncapped path
 
 
-def _minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs_capped_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted capped-pair pipeline — see _minhash_pairs_raw for why the
+    aggregating consumers skip the registered query's presentation sort.
+
+    ids stays UNHELD here: the r14 interleaved A/B (scripts/ab_keepers.py,
+    1.45 s shuffle sentinel) measured hold 10.3 s vs no-hold 4.7 s for the
+    composed keepers pipeline — with the packed-array verify the id frame
+    has only two consumers and the eager count + InMemoryRelation scan
+    cost more than the recompute."""
     docs = register_views(spark, sf_dir, DOCS)["documents"]
     ids = D.doc_shingle_ids(docs)
     cand = D.lsh_candidate_pairs_capped(
@@ -259,7 +281,11 @@ def _minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_permille=_JACCARD_PERMILLE,
         candidates=cand,
         ids_df=ids,
-    ).orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs_capped_raw(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # same CTE chain as _DUCK_PAIRS but candidates come only from buckets with
@@ -309,7 +335,7 @@ df_query(
 
 
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _minhash_pairs(spark, sf_dir)
+    pairs = _minhash_pairs_raw(spark, sf_dir)
     return D.dup_components(pairs).orderBy("doc_id")
 
 
@@ -516,7 +542,7 @@ df_query(
 
 
 def _components_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _minhash_pairs(spark, sf_dir)
+    pairs = _minhash_pairs_raw(spark, sf_dir)
     return D.dup_component_stats(pairs).orderBy("csize")
 
 
@@ -549,7 +575,7 @@ df_query(
 
 def _keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, DOCS)["documents"]
-    pairs = _minhash_pairs(spark, sf_dir)
+    pairs = _minhash_pairs_raw(spark, sf_dir)
     labels = D.dup_components(pairs)
     # the drop list: every clustered doc that is not its cluster's keeper
     drops = labels.where(F.col("doc_id") != F.col("component")).select("doc_id")
@@ -654,6 +680,8 @@ df_query(
 
 def _keepers_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, DOCS)["documents"]
+    # UNHELD ids on purpose: see _minhash_pairs_capped_raw (A/B: hold
+    # 10.3 s vs no-hold 4.7 s for this exact pipeline)
     ids = D.doc_shingle_ids(docs)
     cand = D.lsh_candidate_pairs_capped(
         docs,
@@ -796,7 +824,7 @@ def _split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), "doc_id",
         {"train": 800, "val": 100, "test": 100},
     )
-    pairs = _minhash_pairs(spark, sf_dir)
+    pairs = _minhash_pairs_raw(spark, sf_dir)
     sa = labeled.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
     sb = labeled.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
     crossed = pairs.join(sa, "doc_a").join(sb, "doc_b")
@@ -867,7 +895,7 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint-loop shape with checkpoints).
     """
     _pr_cache.release()
-    pairs = _minhash_pairs(spark, sf_dir)
+    pairs = _minhash_pairs_raw(spark, sf_dir)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     # every PR round references the edge list; without the eager hold the
@@ -875,11 +903,16 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 34 s -> ~4 s at sf0.1 for 3 rounds)
     edges = _pr_cache.hold(fwd.union(rev))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # r14 opt (guide §2.4/§3): deg is a per-source constant — attach it to
+    # the held edge list ONCE instead of re-joining it every round. Each
+    # round is then a single equi-join + hash agg (was two joins); the
+    # held frame carries one extra BIGINT per edge. Built off the cached
+    # edges, so the upstream pair pipeline still runs exactly once.
+    edeg = _pr_cache.hold(edges.join(deg, "src"))
     pr = deg.select(F.col("src").alias("id"), F.lit(1000).cast("long").alias("pr"))
     for _ in range(_PR_ROUNDS):
         contrib = (
-            edges.join(pr, edges["src"] == pr["id"])
-            .join(deg, "src")
+            edeg.join(pr, edeg["src"] == pr["id"])
             .select("dst", F.expr("pr DIV deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
@@ -1045,7 +1078,7 @@ def _triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # five plan branches (e1/e2/e3 + both degree unions) read the edge
     # list; without the eager hold each branch re-executes the whole
     # upstream LSH pair pipeline (measured 13.5 s -> ~3 s at sf0.1)
-    pairs = _tri_cache.hold(_minhash_pairs(spark, sf_dir))
+    pairs = _tri_cache.hold(_minhash_pairs_raw(spark, sf_dir))
     e = pairs.select("doc_a", "doc_b")
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
@@ -1461,7 +1494,7 @@ def _keepers_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = register_views(spark, sf_dir, DOCS)["documents"]
-    pairs = _minhash_pairs(spark, sf_dir)
+    pairs = _minhash_pairs_raw(spark, sf_dir)
     labels = D.dup_components(pairs)
     member_q = labels.join(
         docs.select("doc_id", F.expr(_QK_QUALITY_SPARK).alias("q")), "doc_id"
@@ -1541,7 +1574,7 @@ def _size_bucket_case(col: str) -> str:
 
 def _cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = register_views(spark, sf_dir, DOCS)["documents"]
-    comp = D.dup_components(_minhash_pairs(spark, sf_dir))
+    comp = D.dup_components(_minhash_pairs_raw(spark, sf_dir))
     sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
     hist = (
         sizes.groupBy(F.expr(_size_bucket_case("sz")).cast("int").alias("size_bucket"))

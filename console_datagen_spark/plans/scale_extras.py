@@ -39,8 +39,8 @@ from ..catalog import register_views
 from .dedup import (
     _DUCK_PAIRS,
     _DUCK_PAIRS_CAPPED,
-    _minhash_pairs,
-    _minhash_pairs_capped,
+    _minhash_pairs_capped_raw,
+    _minhash_pairs_raw,
 )
 from .registry import df_query, sql_query
 
@@ -227,7 +227,7 @@ df_query(
 def _components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components_lss import dup_components_lss
 
-    pairs = _minhash_pairs(spark, sf_dir)
+    pairs = _minhash_pairs_raw(spark, sf_dir)
     return dup_components_lss(pairs)
 
 
@@ -265,7 +265,7 @@ df_query(
 def _components_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components_lss import dup_components_lss
 
-    pairs = _minhash_pairs_capped(spark, sf_dir)
+    pairs = _minhash_pairs_capped_raw(spark, sf_dir)
     return dup_components_lss(pairs)
 
 

@@ -1655,14 +1655,23 @@ def _kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seed = q.orderBy("vec_id").first()
     centers = [(seed["vec_id"], list(seed["q"]))]
-    for _ in range(1, _KC_K):
-        ds = [_d2q(F.col("q"), lit_vec(cq)) for _, cq in centers]
-        mind = ds[0] if len(ds) == 1 else F.least(*ds)
-        nxt = (
-            q.select("vec_id", "q", mind.alias("mind"))
-            .orderBy(F.col("mind").desc(), "vec_id")
-            .first()
+    # r14 opt: carry the running min-distance column (the classic Gonzalez
+    # distance array) instead of re-evaluating every prior center each
+    # round. Round i then evaluates ONE zip_with/aggregate distance per row
+    # (was i of them — O(k) total evals instead of O(k²)) and each round's
+    # plan stays constant-size (the literal-center expression trees
+    # dominated planning+codegen time at bench scale). The lazily-held
+    # frame is materialized by the round's own top-1 job; mind values are
+    # bit-identical (least() over the same exact integers), so the argmax
+    # chain — and therefore every downstream value — is unchanged.
+    cur = q
+    for i in range(1, _KC_K):
+        d_new = _d2q(F.col("q"), lit_vec(centers[-1][1]))
+        mind = d_new if i == 1 else F.least(F.col("mind"), d_new)
+        cur = _kc_cache.hold(
+            cur.select("vec_id", "q", mind.alias("mind")), materialize=False
         )
+        nxt = cur.orderBy(F.col("mind").desc(), "vec_id").first()
         centers.append((nxt["vec_id"], list(nxt["q"])))
 
     dcols = [
