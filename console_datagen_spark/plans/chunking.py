@@ -240,9 +240,9 @@ WITH keepers AS (
   SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
 base AS (
-  -- REPARTITION(32): same tiny-scan parallelism guard as _MIX_SPARK
+  -- REPARTITION(__PAR__): same tiny-scan parallelism guard as _MIX_SPARK
   SELECT d.doc_id, d.lang, d.source, split(d.text, ' ') AS l
-  FROM (SELECT /*+ REPARTITION(32) */ * FROM documents) d
+  FROM (SELECT /*+ REPARTITION(__PAR__) */ * FROM documents) d
   JOIN keepers k ON d.doc_id = k.doc_id
 ),
 quality AS (

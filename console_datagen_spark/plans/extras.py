@@ -1594,7 +1594,7 @@ def _mm_audio_ulaw_sql(dialect: str) -> str:
             f"substr(concat_ws('', transform(sequence(0, {n_md5 - 1}), "
             "i -> md5(concat(CAST(doc_id AS STRING), ':', "
             f"CAST(i AS STRING))))), 1, {hexlen}) AS hx "
-            "FROM (SELECT /*+ REPARTITION(32) */ * FROM documents)"
+            "FROM (SELECT /*+ REPARTITION(__PAR__) */ * FROM documents)"
         )
         smp = (
             "SELECT doc_id, i, "

@@ -97,11 +97,11 @@ WITH keepers AS (
   SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
 base AS (
-  -- REPARTITION(32): the 8-gram shingle/md5 stage below is fed by this
+  -- REPARTITION(__PAR__): the 8-gram shingle/md5 stage below is fed by this
   -- scan; a single-file corpus would pin it to one task and AQE cannot
   -- widen a tiny-byte/huge-CPU stage (it sizes by bytes)
   SELECT d.doc_id, d.lang, split(d.text, ' ') AS l
-  FROM (SELECT /*+ REPARTITION(32) */ * FROM documents) d
+  FROM (SELECT /*+ REPARTITION(__PAR__) */ * FROM documents) d
   JOIN keepers k ON d.doc_id = k.doc_id
 ),
 quality AS (

@@ -35,7 +35,7 @@ def _rag_sql(dialect: str) -> str:
         # without the hint the whole md5-featurization chain runs on a
         # single core (measured 7 s -> 1.2 s at sf0.1 on local[32]). At
         # real scale the scan has many splits and the hint is harmless.
-        hint = "/*+ REPARTITION(32) */ "
+        hint = "/*+ REPARTITION(__PAR__) */ "
         split_ = "split(text, ' ')"
         nchunks = f"CAST(ceil(size(toks) / CAST({_W} AS DOUBLE)) AS INT)"
         chunk = f"slice(toks, (i - 1) * {_W} + 1, {_W})"

@@ -62,7 +62,17 @@ def sql_query(
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir, tables)
-        return spark.sql(spark_sql)
+        # __PAR__ = session core count, substituted at RUN time: fixed
+        # REPARTITION(32) hints were tuned to the local box and would cap
+        # a real cluster's scan fan-out at 32 (and skew the driver's
+        # lower-core-count scaling runs); the hint must track the session
+        # (r14 opt, guide §2: make partitioning scale-adaptive)
+        sql = spark_sql
+        if "__PAR__" in sql:
+            sql = sql.replace(
+                "__PAR__", str(spark.sparkContext.defaultParallelism)
+            )
+        return spark.sql(sql)
 
     run.__doc__ = doc or spark_sql
     return register(

@@ -1988,7 +1988,7 @@ def _maxsim_sql(dialect: str) -> str:
     src = (
         # the per-pair HOF kernel is CPU-bound and small-SF parquet is a
         # single file = a single task without the repartition
-        "(SELECT /*+ REPARTITION(32) */ * FROM embeddings)"
+        "(SELECT /*+ REPARTITION(__PAR__) */ * FROM embeddings)"
         if dialect == "spark"
         else "embeddings"
     )

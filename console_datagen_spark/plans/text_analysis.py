@@ -549,7 +549,7 @@ def _langid_ngram_sql(dialect: str) -> str:
     equi-join on the trigram string. No per-row Python anywhere.
     """
     if dialect == "spark":
-        # REPARTITION(32): the corpus scan is one task at bench file sizes
+        # REPARTITION(__PAR__): the corpus scan is one task at bench file sizes
         # and AQE coalesces tiny-byte/huge-CPU stages back to 1 partition
         # (it sizes by bytes) — the explicit width keeps the trigram
         # explode parallel (measured 3.96 s -> 2.74 s at sf0.1); on a real
@@ -557,7 +557,7 @@ def _langid_ngram_sql(dialect: str) -> str:
         tri = (
             "SELECT doc_id, lang, explode(transform("
             "sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS t "
-            "FROM (SELECT /*+ REPARTITION(32) */ * FROM documents) "
+            "FROM (SELECT /*+ REPARTITION(__PAR__) */ * FROM documents) "
             "WHERE length(text) >= 3"
         )
     else:
@@ -761,7 +761,7 @@ def _trigram_lm_sql(dialect: str) -> str:
             "CASE WHEN (CAST(conv(substr(md5(concat('v1:', "
             "CAST(doc_id AS STRING))),1,15),16,10) AS BIGINT) % 1000) < 800 "
             "THEN 'train' ELSE 'val' END AS split "
-            "FROM (SELECT /*+ REPARTITION(32) */ * FROM documents) "
+            "FROM (SELECT /*+ REPARTITION(__PAR__) */ * FROM documents) "
             "WHERE size(split(text, ' ')) >= 3"
         )
         tg = (
@@ -937,7 +937,7 @@ def _kn_perplexity_sql(dialect: str) -> str:
             "CASE WHEN (CAST(conv(substr(md5(concat('v1:', "
             "CAST(doc_id AS STRING))),1,15),16,10) AS BIGINT) % 1000) < 800 "
             "THEN 'train' ELSE 'val' END AS split "
-            "FROM (SELECT /*+ REPARTITION(32) */ * FROM documents) "
+            "FROM (SELECT /*+ REPARTITION(__PAR__) */ * FROM documents) "
             "WHERE size(split(text, ' ')) >= 2"
         )
         bg = (
@@ -1000,9 +1000,114 @@ def _kn_perplexity_sql(dialect: str) -> str:
     )
 
 
-sql_query(
+_kn_ppx_cache = CacheSlot()
+
+
+def _kn_perplexity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-frame spelling of the one-shot SQL (r14 opt).
+
+    Spark inlines multiply-referenced CTEs, so the single-statement form
+    re-planned the tokenize+explode subtree once per reference — the
+    before-plan (plans/r14/text_perplexity_kn_before.txt) shows 42
+    parquet scans / 42 Generates / 144 Exchanges for ONE query. The CTE
+    text below is byte-identical to _kn_perplexity_sql('spark'); the only
+    change is that the three multiply-consumed frames are persisted temp
+    views, so each is computed once:
+      kn_ppx_c2 — train bigram counts (was re-derived 4x: cv, cw, nt and
+                  the val-scoring join);
+      kn_ppx_sc — per-val-bigram (num, den) rationals (was re-derived 3x:
+                  both vals arms + the doc roll-up); lazily held — the lg
+                  materialization below fills it in-flight;
+      kn_ppx_lg — the digit-by-digit log2 frame over DISTINCT rationals
+                  (was re-derived 2x: the ld and ln_ joins).
+    Three driver actions instead of one 42-scan job; values bit-identical
+    (same fragments, same integer arithmetic, same NTILE ordering)."""
+    from ..functions.intlog import log2_fp_ctes
+
+    _kn_ppx_cache.release()
+    register_views(spark, sf_dir, DOCS)
+    par = spark.sparkContext.defaultParallelism
+    # CTE-free nesting throughout: Spark 4.1's InlineCTE rule rejects
+    # (PLAN_VALIDATION_FAILED_RULE_IN_BATCH) persisting a plan whose CTEs
+    # nest a temp view over another lazily-persisted CTE plan, so the
+    # shared frames are spelled as plain subqueries and each view is
+    # referenced exactly ONCE downstream (the num/den unpivot below).
+    toks = (
+        "SELECT doc_id, split(text, ' ') AS l, "
+        "CASE WHEN (CAST(conv(substr(md5(concat('v1:', "
+        "CAST(doc_id AS STRING))),1,15),16,10) AS BIGINT) % 1000) < 800 "
+        "THEN 'train' ELSE 'val' END AS split "
+        f"FROM (SELECT /*+ REPARTITION({par}) */ * FROM documents) "
+        "WHERE size(split(text, ' ')) >= 2"
+    )
+    bg = (
+        "SELECT doc_id, split, element_at(l, i) AS v, "
+        "element_at(l, i + 1) AS w "
+        "FROM (SELECT doc_id, split, l, "
+        f"      explode(sequence(1, size(l) - 1)) AS i FROM ({toks})) x"
+    )
+    c2 = spark.sql(
+        f"SELECT v, w, COUNT(*) AS c FROM ({bg}) "
+        "WHERE split = 'train' GROUP BY v, w"
+    )
+    _kn_ppx_cache.hold(c2)  # eager: 4 racing consumers in the sc build
+    c2.createOrReplaceTempView("kn_ppx_c2")
+    sc = spark.sql(
+        "SELECT b.doc_id, "
+        "  CASE WHEN cv.v IS NULL THEN CAST(1 AS BIGINT) "
+        "  ELSE GREATEST("
+        "    GREATEST(4 * COALESCE(c2.c, 0) - 3, 0) * nt.nt "
+        "    + 3 * cv.n1v * COALESCE(cw.n1w, 0), CAST(1 AS BIGINT)) "
+        "  END AS num, "
+        "  CASE WHEN cv.v IS NULL THEN 4 * nt.nt "
+        "  ELSE 4 * cv.cv * nt.nt END AS den "
+        f"  FROM ({bg}) b "
+        "  LEFT JOIN (SELECT v, SUM(c) AS cv, COUNT(*) AS n1v "
+        "             FROM kn_ppx_c2 GROUP BY v) cv ON cv.v = b.v "
+        "  LEFT JOIN kn_ppx_c2 c2 ON c2.v = b.v AND c2.w = b.w "
+        "  LEFT JOIN (SELECT w, COUNT(*) AS n1w FROM kn_ppx_c2 "
+        "             GROUP BY w) cw ON cw.w = b.w "
+        "  CROSS JOIN (SELECT COUNT(*) AS nt FROM kn_ppx_c2) nt "
+        "  WHERE b.split = 'val'"
+    )
+    _kn_ppx_cache.hold(sc, materialize=False)  # filled by the lg action
+    sc.createOrReplaceTempView("kn_ppx_sc")
+    # DISTINCT over an unpivot == the original num-UNION-den (set union)
+    lg = spark.sql(
+        "WITH vals AS (SELECT DISTINCT vv FROM "
+        "  (SELECT explode(array(num, den)) AS vv FROM kn_ppx_sc)), "
+        + log2_fp_ctes("vals", "vv", "vv", "1", "spark", out="lg")
+        + " SELECT vv, lg_fp FROM lg"
+    )
+    _kn_ppx_cache.hold(lg)
+    lg.createOrReplaceTempView("kn_ppx_lg")
+    # unpivot each val bigram to (den,+1),(num,-1) so the log frame is
+    # joined ONCE: SUM(s*lg_fp) == SUM(lg(den) - lg(num)) and every
+    # num/den value joins by construction, so COUNT(*) DIV 2 == the
+    # original per-doc bigram count — bit-identical, one join not two.
+    return spark.sql(
+        "WITH un AS (SELECT doc_id, e.s AS s, e.vv AS vv FROM "
+        "  (SELECT doc_id, explode(array(named_struct('s', 1, 'vv', den), "
+        "   named_struct('s', -1, 'vv', num))) AS e FROM kn_ppx_sc)), "
+        "doc AS (SELECT u.doc_id, "
+        "  CAST(COUNT(*) DIV 2 AS BIGINT) AS n_bigrams, "
+        "  SUM(u.s * g.lg_fp) AS bits_fp "
+        "  FROM un u JOIN kn_ppx_lg g ON g.vv = u.vv GROUP BY u.doc_id), "
+        "scored AS (SELECT doc_id, n_bigrams, "
+        "  CAST((bits_fp * 1000) DIV (1024 * n_bigrams) AS BIGINT) "
+        "  AS ce_mbits, "
+        "  NTILE(3) OVER (ORDER BY (bits_fp * 1000) "
+        "    DIV (1024 * n_bigrams), doc_id) AS tier FROM doc) "
+        "SELECT doc_id, n_bigrams, ce_mbits, "
+        "CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+        "ELSE 'tail' END AS bucket "
+        "FROM scored ORDER BY doc_id"
+    )
+
+
+df_query(
     "text_perplexity_kn",
-    _kn_perplexity_sql("spark"),
+    _kn_perplexity_spark,
     oracle=_kn_perplexity_sql("duck"),
     tables=DOCS,
     tags=("text", "lm", "kneser-ney", "perplexity", "quality"),
@@ -1050,7 +1155,7 @@ def _ccnet_score_ctes(dialect: str) -> tuple[str, str, str]:
         bucket = bucket_sql_spark("doc_id", "ccnet1")
         toks = (
             "SELECT doc_id, split(text, ' ') AS l "
-            "FROM (SELECT /*+ REPARTITION(32) */ * FROM documents) "
+            "FROM (SELECT /*+ REPARTITION(__PAR__) */ * FROM documents) "
             "WHERE size(split(text, ' ')) >= 2"
         )
         bg = (
