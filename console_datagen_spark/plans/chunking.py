@@ -37,7 +37,9 @@ is covered at least once (tokens in positions k·S+1..k·S+W).
 
 from __future__ import annotations
 
-from .registry import sql_query
+from ..caching import CacheSlot
+from ..catalog import register_views
+from .registry import df_query, sql_query
 
 DOCS = ("documents",)
 
@@ -235,25 +237,30 @@ sql_query(
 # shape as pipeline_pack_sequences; the DuckDB oracle keeps the plain
 # window, so the strict-hash compare certifies bin identity end-to-end).
 
-_E2E_SPARK = f"""
-WITH keepers AS (
-  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-),
-base AS (
-  -- REPARTITION(__PAR__): same tiny-scan parallelism guard as _MIX_SPARK
-  SELECT d.doc_id, d.lang, d.source, split(d.text, ' ') AS l
-  FROM (SELECT /*+ REPARTITION(__PAR__) */ * FROM documents) d
-  JOIN keepers k ON d.doc_id = k.doc_id
-),
-quality AS (
-  SELECT doc_id, lang, source, l FROM base
+# r15 (guide §1.2/§2.4, VERDICT r14 #5): the dedup-keepers tokenize
+# (`base`) feeds BOTH the quality gate and the decontamination shingle
+# pass, and Spark inlines multiply-referenced CTEs — the pure-SQL spelling
+# re-ran the scan + md5-groupBy-join + split once per reference. The query
+# is now registered as a df_query that materializes `base` once (CacheSlot
+# + temp view, the same shape as the r14 KN-perplexity rewrite) and runs
+# the identical SQL tail over it. The DuckDB oracle spelling is untouched.
+_E2E_BASE_SPARK = """
+SELECT d.doc_id, d.lang, d.source, split(d.text, ' ') AS l
+FROM (SELECT /*+ REPARTITION({par}) */ * FROM documents) d
+JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+  ON d.doc_id = k.doc_id
+"""
+
+_E2E_TAIL_SPARK = f"""
+WITH quality AS (
+  SELECT doc_id, lang, source, l FROM e2e_base
   WHERE size(l) >= 20
     AND (size(l) - size(array_distinct(l))) * 1000 DIV size(l) < 700
 ),
 sh AS (
   SELECT doc_id, explode(transform(sequence(1, size(l) - 7),
          i -> concat_ws(' ', slice(l, i, 8)))) AS s
-  FROM (SELECT doc_id, l FROM base WHERE size(l) >= 8) b
+  FROM (SELECT doc_id, l FROM e2e_base WHERE size(l) >= 8) b
 ),
 ids AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
 hold AS (SELECT DISTINCT h FROM ids WHERE doc_id % 10 = 0),
@@ -363,9 +370,26 @@ GROUP BY source, CAST(FLOOR(prefix / {_BUDGET}.0) AS BIGINT)
 ORDER BY source, bin
 """
 
-sql_query(
+_e2e_cache = CacheSlot()
+
+
+def _e2e(spark, sf_dir):
+    register_views(spark, sf_dir, DOCS)
+    _e2e_cache.release()
+    # eager hold: quality and sh are parallel branches of the one final
+    # job and would race to rebuild the scan+dedup+split pipeline cold
+    base = _e2e_cache.hold(
+        spark.sql(
+            _E2E_BASE_SPARK.format(par=spark.sparkContext.defaultParallelism)
+        )
+    )
+    base.createOrReplaceTempView("e2e_base")
+    return spark.sql(_E2E_TAIL_SPARK)
+
+
+df_query(
     "pipeline_end_to_end",
-    _E2E_SPARK,
+    _e2e,
     oracle=_E2E_DUCK,
     tables=DOCS,
     tags=("pipeline", "dedup", "quality", "decontamination", "sampling",
@@ -373,7 +397,8 @@ sql_query(
     doc="the full corpus-to-trainer DAG in one plan: exact dedup -> "
     "quality gate -> 8-gram decontamination -> per-language mix sample "
     f"-> {_W}-token chunking -> {_BUDGET}-token hierarchical bin packing "
-    "per source; bins hash-certified against the plain-window oracle",
+    "per source; bins hash-certified against the plain-window oracle "
+    "(base tokenize materialized once — r15)",
 )
 
 

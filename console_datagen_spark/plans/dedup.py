@@ -909,8 +909,11 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # held frame carries one extra BIGINT per edge. Built off the cached
     # edges, so the upstream pair pipeline still runs exactly once.
     edeg = _pr_cache.hold(edges.join(deg, "src"))
+    from ..tools import plan_probe
+
+    plan_probe("pagerank_edeg", edeg)
     pr = deg.select(F.col("src").alias("id"), F.lit(1000).cast("long").alias("pr"))
-    for _ in range(_PR_ROUNDS):
+    for rnd in range(_PR_ROUNDS):
         contrib = (
             edeg.join(pr, edeg["src"] == pr["id"])
             .select("dst", F.expr("pr DIV deg").alias("c"))
@@ -920,7 +923,9 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr = contrib.select(
             F.col("dst").alias("id"),
             (F.lit(150) + F.expr("850 * s DIV 1000")).cast("long").alias("pr"),
-        ).localCheckpoint(eager=False)  # truncate the per-round lineage chain
+        )
+        plan_probe(f"pagerank_round{rnd}", pr)
+        pr = pr.localCheckpoint(eager=False)  # truncate the per-round lineage chain
     return pr.select(F.col("id").alias("doc_id"), "pr").orderBy("doc_id")
 
 
@@ -1069,31 +1074,77 @@ def _triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     High clustering (duplicate families are near-cliques) is what makes
     the min-label components safe to use as dedup keeper groups; low
     clustering flags chains of borderline pairs that over-merge. Edges
-    are canonical (doc_a < doc_b), so each triangle a<b<c is counted
-    once by the two-hop join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — the standard
-    distributed triangle kernel (two equi-joins on the edge list; at
-    100 TB the usual degree-ordering trick applies unchanged because
-    ids are already ordered)."""
+    are canonical (doc_a < doc_b); the census orients them by
+    (degree, id) and counts each triangle once at its lowest-order
+    vertex — the compact-forward kernel whose wedge volume is bounded
+    O(m^1.5) at any degree distribution (see the in-body note)."""
+    from ..tools import plan_probe
+
     _tri_cache.release()
-    # five plan branches (e1/e2/e3 + both degree unions) read the edge
-    # list; without the eager hold each branch re-executes the whole
-    # upstream LSH pair pipeline (measured 13.5 s -> ~3 s at sf0.1)
-    pairs = _tri_cache.hold(_minhash_pairs_raw(spark, sf_dir))
+    # plan branches (wedge join both sides + closing edge + both degree
+    # unions) read the edge list; without the eager hold each branch
+    # re-executes the whole upstream LSH pair pipeline (measured
+    # 13.5 s -> ~3 s at sf0.1)
+    pairs_raw = _minhash_pairs_raw(spark, sf_dir)
+    plan_probe("triangles_pairs_precache", pairs_raw)
+    pairs = _tri_cache.hold(pairs_raw)
     e = pairs.select("doc_a", "doc_b")
-    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
-    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
-    tri = (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"])
-        .groupBy()
-        .agg(F.count("*").cast("bigint").alias("n_triangles"))
-    )
     deg = (
         e.selectExpr("doc_a AS v")
         .unionAll(e.selectExpr("doc_b AS v"))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
+    )
+    # r15 opt (guide §2.5 skew / §3, VERDICT r14 #2): DEGREE-ORDERED edge
+    # orientation before the wedge join. The id-ordered kernel built wedges
+    # at every vertex b as d_lower(b)·d_higher(b) — a hot vertex (a
+    # boilerplate doc in thousands of near-dup pairs) contributes O(d²)
+    # wedge rows regardless of how many close into triangles. Orienting
+    # every edge from its lower-(degree, id) endpoint to the higher one and
+    # building wedges only at the SOURCE bounds per-vertex out-degree by
+    # O(√m), so total wedge volume drops from Σ d² worst-case to O(m^1.5)
+    # (the classic compact-forward / Schank-Wagner bound). Each triangle
+    # {x,y,z} with π(x)<π(y)<π(z), π = (degree, id), is counted exactly
+    # once: as the wedge y←x→z (ordered by π(y)<π(z)) closed by the
+    # oriented edge y→z — same single-count-per-triangle invariant as the
+    # a<b<c id-ordered join, so n_triangles is identical. At sf0.1 the
+    # census is cache-bound and moves little; the win is the at-scale
+    # bound on the hot-vertex explosion.
+    da = deg.select(F.col("v").alias("doc_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("v").alias("doc_b"), F.col("d").alias("deg_b"))
+    # canonical edges have doc_a < doc_b, so a degree tie keeps doc_a first
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        F.col("deg_a") == F.col("deg_b")
+    )
+    oriented = (
+        e.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dd"),
+        )
+    )
+    plan_probe("triangles_oriented_precache", oriented)
+    # three consumers (both wedge sides + the closing-edge join) in one
+    # job DAG — lazy persist, the first stage fills it in-flight
+    o = _tri_cache.hold(oriented, materialize=False)
+    w1 = o.select(
+        F.col("src").alias("x"), F.col("dst").alias("y"), F.col("dd").alias("dy")
+    )
+    w2 = o.select(
+        F.col("src").alias("x"), F.col("dst").alias("z"), F.col("dd").alias("dz")
+    )
+    closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = (
+        w1.join(w2, "x")
+        .where(
+            (F.col("dy") < F.col("dz"))
+            | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+        )
+        .join(closing, ["y", "z"])
+        .groupBy()
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
     shape = deg.groupBy().agg(
         F.count("*").cast("bigint").alias("n_nodes"),

@@ -217,21 +217,25 @@ _emb_cache = CacheSlot()
 def _emb_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     _emb_cache.release()
     emb = register_views(spark, sf_dir, EMB)["embeddings"]
-    # the norm projection feeds the bucket pipeline AND both verify-join
-    # sides — three racing consumers in one job, so persist+materialize it
-    # (same cold-run race as the MinHash shingle-id cache). The bucket
-    # frame feeds the candidate self-join twice; a lazy persist suffices
-    # there (both self-join sides sit in one stage lineage). The candidate
-    # pairs are materialized too: the verify's two vector joins are
-    # parallel stages that would otherwise race to rebuild the whole
-    # bucket-join→distinct pipeline on a cold run (measured ~1.5s warm /
-    # ~2x cold at sf0.1; also lets AQE size the verify joins from the
-    # actual candidate count).
-    normed = _emb_cache.hold(S.with_norm(emb))
+    # r15 hold-policy refit (guide §5, VERDICT r14 #1): every frame is now
+    # held LAZILY — the r14 policy (normed eager + cand eager) paid two
+    # blocking count jobs per run. The plane-vector collect inside
+    # lsh_buckets_multi is itself a full pass over normed, so it fills the
+    # normed cache in-flight (no count job and no consumer race: the
+    # collect runs before any other consumer exists); cand's cache fills
+    # during the final job's own build stages. Interleaved same-session
+    # A/B (scripts/ab_emb.py, all six policies × min-of-3): lazy-all
+    # 2.99 s vs committed-eager 4.43 s min (3.44 vs 7.09 median) — the
+    # two deleted count jobs were pure floor. Values are hold-policy
+    # independent; dedup_embedding + dedup_cross_lingual re-verified
+    # against the oracle.
+    normed = _emb_cache.hold(S.with_norm(emb), materialize=False)
     buckets = _emb_cache.hold(
         S.lsh_buckets_multi(emb, _DUP_BANDS, normed=normed), materialize=False
     )
-    cand = _emb_cache.hold(S.candidate_pairs_from_buckets(buckets))
+    cand = _emb_cache.hold(
+        S.candidate_pairs_from_buckets(buckets), materialize=False
+    )
     return S.embedding_dup_pairs_lsh(
         emb, bands=_DUP_BANDS, threshold=0.4, candidates=cand, normed=normed
     ).orderBy("vec_a", "vec_b")
@@ -1671,6 +1675,9 @@ def _kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = _kc_cache.hold(
             cur.select("vec_id", "q", mind.alias("mind")), materialize=False
         )
+        from ..tools import plan_probe
+
+        plan_probe(f"kcenter_round{i}", cur)
         nxt = cur.orderBy(F.col("mind").desc(), "vec_id").first()
         centers.append((nxt["vec_id"], list(nxt["q"])))
 

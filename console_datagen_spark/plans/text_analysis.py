@@ -1436,17 +1436,31 @@ _DSIR_TOPN = 100
 _dsir_cache = CacheSlot()
 
 
-def _dsir_score_frame(docs: DataFrame) -> DataFrame:
+def _dsir_score_frame(docs: DataFrame, tokens: DataFrame | None = None) -> DataFrame:
     """(doc_id, dsir_score) over the full corpus — weights always come
     from the RAW distribution (DSIR's prescription), so composers that
-    filter the corpus first still score against unfiltered counts."""
+    filter the corpus first still score against unfiltered counts.
+
+    ``tokens``: an optional pre-split (doc_id, lang, l array<string>)
+    frame (r15, guide §1.2/§2.4): composers that already tokenized the
+    same corpus (the boilerplate gate's segment pass) hand the shared
+    frame in, so ONE scan+split feeds both tokenizations instead of two.
+    explode(l) over the split array is exactly explode(split(text)), so
+    the bucket counts — and every downstream value — are unchanged.
+    """
     from ..functions.hashing import bucket_sql_spark
     from ..functions.spread import spread
 
     _dsir_cache.release()
+    base = (
+        tokens
+        if tokens is not None
+        else spread(docs).select(
+            "doc_id", "lang", F.split("text", " ").alias("l")
+        )
+    )
     tok = (
-        spread(docs)
-        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        base.select("doc_id", "lang", F.explode("l").alias("tok"))
         .select("doc_id", "lang", F.expr(bucket_sql_spark("tok", _DSIR_SEED, _DSIR_B)).alias("b"))
     )
     pd = _dsir_cache.hold(
@@ -1541,11 +1555,23 @@ def _select_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sc_cache.release()
     _sc_keep_cache.release()
     docs = register_views(spark, sf_dir, DOCS)["documents"]
+    # r15 tokenize fusion (guide §1.2/§2.4, VERDICT r14 #5): the boilerplate
+    # segment pass and the DSIR unigram pass both split the SAME corpus —
+    # previously two independent scan+split pipelines. One (doc_id, lang, l)
+    # token-array frame is now held and feeds BOTH tokenizations (the two
+    # downstream explodes stay genuinely different: aligned 8-gram segment
+    # ids vs unigrams). Lazy hold: the pd_seg build below is the first job
+    # and fills the cache in-flight; at cache-overflow scale the slot spills
+    # or recomputes a column-pruned scan, either stays corpus-linear.
+    tokl = _sc_cache.hold(
+        spread(docs).select(
+            "doc_id", "lang", F.split("text", " ").alias("l")
+        ),
+        materialize=False,
+    )
     # stage 1: per-doc boilerplate permille over the shared segment frame
     seg = (
-        spread(docs)
-        .select("doc_id", F.split("text", " ").alias("l"))
-        .where(F.size("l") >= _BP_SEG)
+        tokl.where(F.size("l") >= _BP_SEG)
         .select("doc_id", F.explode(F.expr(_bp_segment_ids_expr())).alias("tid"))
     )
     pd_seg = _sc_cache.hold(
@@ -1564,7 +1590,9 @@ def _select_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("binst"))
     )
     bp = (
-        docs.select("doc_id")
+        # every doc appears in tokl (split never drops rows), so the
+        # cached frame doubles as the doc-id spine — no extra parquet scan
+        tokl.select("doc_id")
         .join(tot, "doc_id", "left")
         .join(binst, "doc_id", "left")
         .select(
@@ -1576,9 +1604,10 @@ def _select_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     survivors = bp.where(F.col("bp") <= _SC_MAX_BP).select("doc_id")
-    # stage 2: DSIR keep set (weights from the RAW corpus)
+    # stage 2: DSIR keep set (weights from the RAW corpus) — scored off
+    # the SAME held token frame (r15 fusion, see tokl above)
     keep = _sc_keep_cache.hold(
-        survivors.join(_dsir_score_frame(docs), "doc_id")
+        survivors.join(_dsir_score_frame(docs, tokens=tokl), "doc_id")
         .orderBy(F.desc("dsir_score"), "doc_id")
         .limit(_SC_TOPN)
     )

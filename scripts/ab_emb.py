@@ -1,7 +1,10 @@
 """Interleaved A/B of _emb_dups hold policy (dedup_embedding pipeline).
 
-Variants: cur (normed eager + buckets lazy + cand eager — committed),
-nocand (cand NOT held), none (nothing held).
+Variants: cur (normed eager + buckets lazy + cand eager — the r14
+committed policy), nocand (cand NOT held), none (nothing held), and the
+r15 additions: nlazy (normed LAZY — lsh_buckets_multi's plane collect is
+the job that fills the cache, deleting the separate count job), nlazy_cl
+(normed lazy + cand lazy), nlazy_nc (normed lazy + cand unheld).
 """
 
 from __future__ import annotations
@@ -30,12 +33,16 @@ def build(spark, mode):
     normed = S.with_norm(emb)
     if mode in ("cur", "nocand"):
         normed = _slot.hold(normed)
+    elif mode.startswith("nlazy"):
+        normed = _slot.hold(normed, materialize=False)
     buckets = S.lsh_buckets_multi(emb, _DUP_BANDS, normed=normed)
-    if mode in ("cur", "nocand"):
+    if mode != "none":
         buckets = _slot.hold(buckets, materialize=False)
     cand = S.candidate_pairs_from_buckets(buckets)
-    if mode == "cur":
+    if mode in ("cur", "nlazy"):
         cand = _slot.hold(cand)
+    elif mode == "nlazy_cl":
+        cand = _slot.hold(cand, materialize=False)
     return S.embedding_dup_pairs_lsh(
         emb, bands=_DUP_BANDS, threshold=0.4, candidates=cand, normed=normed
     ).orderBy("vec_a", "vec_b")
@@ -45,7 +52,10 @@ def main():
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     spark = get_spark(app_name="ab-emb", extra_conf={"spark.driver.memory": "8g"})
     register_views(spark, SF, EMB)["embeddings"].count()
-    out = {m: [] for m in ("cur", "nocand", "none")}
+    out = {
+        m: []
+        for m in ("cur", "nocand", "none", "nlazy", "nlazy_cl", "nlazy_nc")
+    }
     for _ in range(runs):
         for m in out:
             t0 = time.perf_counter()

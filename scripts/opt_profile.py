@@ -26,7 +26,7 @@ from console_datagen_spark.plans import all_queries  # noqa: E402
 from console_datagen_spark.session import get_spark  # noqa: E402
 
 PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                         "plans", "r14")
+                         "plans", "r15")
 
 
 def main() -> None:

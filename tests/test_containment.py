@@ -81,3 +81,19 @@ def test_group_split_has_zero_leakage(spark, duck, sf_dir):
     # doc mass conserved across splits
     n_docs = pd.read_parquet(f"{sf_dir}/documents.parquet").shape[0]
     assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_packed_verify_giant_doc_bound(spark, monkeypatch):
+    """PACKED_VERIFY_MAX_IDS is a guarantee, not advice (r15): the packed
+    frame rejects a doc whose id list exceeds the bound mid-job instead of
+    silently producing an unsplittable multi-MB row."""
+    import console_datagen_spark.operators.dedup as D
+
+    ids = spark.createDataFrame(
+        [(1, t) for t in range(5)] + [(2, 99)], "doc_id long, tid long"
+    )
+    ok = {r.doc_id: sorted(r._ts) for r in D.packed_doc_ids(ids).collect()}
+    assert ok == {1: [0, 1, 2, 3, 4], 2: [99]}
+    monkeypatch.setattr(D, "PACKED_VERIFY_MAX_IDS", 3)
+    with pytest.raises(Exception, match="packed verify|PACKED|exceeds|shingle"):
+        D.packed_doc_ids(ids).collect()
